@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{EmbeddingQueries, EventQueries, RelationalQueries, TextQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory (operator coverage mapping lives beside each query):
+  *  - q01–q15 relational  (SURVEY §2.1–§2.7)  → RelationalQueries
+  *  - q16–q18 events      (SURVEY §2.9 batch) → EventQueries
+  *  - q19–q26 text/dedup  (SURVEY §7.4)       → TextQueries
+  *  - q27–q29 embeddings  (SURVEY §7.4)       → EmbeddingQueries
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q02(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ EventQueries.queries ++
+      TextQueries.queries ++ EmbeddingQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q26 simhash, q29 ann — approximate / engine-hash-dependent), which
+    * get the driver's weaker rows-only check and are pinned by ScalaTest.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ EventQueries.oracles ++
+      TextQueries.oracles ++ EmbeddingQueries.oracles
 }

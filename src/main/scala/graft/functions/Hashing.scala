@@ -1,0 +1,93 @@
+package graft.functions
+
+/** Deterministic 64-bit hashing primitives for MinHash / SimHash.
+  *
+  * Standard public constructions: FNV-1a for string→64-bit base hashes,
+  * SplitMix64 (Steele et al., "Fast Splittable Pseudorandom Number
+  * Generators") as the per-permutation mixer. Seeds are fixed so
+  * signatures are stable across runs and executors.
+  */
+object Hashing {
+
+  /** SplitMix64 finalizer — a high-quality 64-bit mix. */
+  @inline def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def stringHash64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature: sig(p) = min over shingles of mix(h(s), p). */
+  def minhashSignature(shingleHashes: Array[Long], numPerms: Int): Array[Long] = {
+    val sig = new Array[Long](numPerms)
+    var p = 0
+    while (p < numPerms) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < shingleHashes.length) {
+        val h = splitmix64(shingleHashes(i) ^ splitmix64(p.toLong))
+        if (h < best) best = h
+        i += 1
+      }
+      sig(p) = best
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH band buckets: fold each band of the signature into one 64-bit
+    * bucket id. Band index is mixed in, so buckets from different bands
+    * occupy disjoint (w.h.p.) key spaces and can be joined on the bare
+    * bucket value.
+    */
+  def bandBuckets(sig: Array[Long], bands: Int): Array[Long] = {
+    val rowsPerBand = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = splitmix64(0x5851F42D4C957F2DL + b)
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = splitmix64(acc ^ sig(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over token hashes, as a bit string (MSB first). */
+  def simhashBits(tokenHashes: Array[Long]): String = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < tokenHashes.length) {
+      val h = tokenHashes(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var k = 63
+    while (k >= 0) {
+      sb.append(if (counts(k) > 0) '1' else '0')
+      k -= 1
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.functions.{Hashing, TextFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora (SURVEY.md §7.4 extension
+  * inventory). Three tiers, in increasing fuzziness:
+  *
+  *  1. exact       — hash-groupBy on a content digest (one shuffle on the
+  *                   digest key; survivors picked by min id — deterministic).
+  *  2. minhashLsh  — MinHash + banded LSH candidate generation, then exact
+  *                   shingle-Jaccard verification of candidates only. The
+  *                   100 TB path: signature computation is shuffle-free,
+  *                   banding shuffles (band, bucket) keys only, and the
+  *                   verify join touches candidate pairs, not O(n²).
+  *  3. jaccardBrute — exact all-pairs shingle Jaccard via cross join; the
+  *                   correctness oracle for (2), only viable at test scale.
+  *
+  * Reference anchor: the reference dedups patron batches exactly by key
+  * (/root/reference/lib/pipeline_controller.py:165-181); the fuzzy tiers
+  * are the LLM-pipeline extensions required by BASELINE.json.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content digest with the
+    * surviving (minimum) id and the group size.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Docs annotated with their distinct k-shingle set. */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFns.wordShingles(col(textCol), k).as("shingles"))
+
+  /** All-pairs exact Jaccard ≥ threshold via cross join (oracle / small data
+    * only — O(n²); use [[minhashLsh]] at scale).
+    */
+  def jaccardBrute(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double): DataFrame = {
+    val t = withShingles(docs, idCol, textCol, k)
+    val a = t.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash + LSH near-dup pairs, exact-verified.
+    *
+    * numPerms=128, bands=32 (4 rows/band) ⇒ P(miss | J=0.8) ≈ 5e-8, so the
+    * verified output equals the brute-force truth with near certainty while
+    * candidate generation is a single shuffle on the bucket key.
+    *
+    * The signature + band buckets are computed by ONE deterministic JVM
+    * function per row (graft.functions.Hashing): an expression-tree form
+    * would have its 128-perm signature subtree inlined into every band
+    * expression by Catalyst's CollapseProject and recomputed 32× per row
+    * (measured 300s vs <1s on 500 docs).
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int, threshold: Double,
+                 numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    val bucketsUdf = udf { shingles: Seq[String] =>
+      val hs = shingles.map(Hashing.stringHash64).toArray
+      Hashing.bandBuckets(Hashing.minhashSignature(hs, numPerms), bands)
+    }
+    val t = withShingles(docs, idCol, textCol, k)
+    val banded = t.select(col("doc_id"), explode(bucketsUdf(col("shingles"))).as("bucket"))
+    // Candidate pairs: docs sharing any band bucket. Shuffle key is the
+    // bucket, so skew is bounded by bucket collision width, not corpus
+    // size. distinct() collapses pairs found in multiple bands.
+    val left = banded.select(col("bucket"), col("doc_id").as("doc_a"))
+    val right = banded.select(col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = left.join(right, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // Exact verification of candidates only.
+    val shA = t.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val shB = t.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash per doc: 64-bit signature as a bit string. Near-dups have
+    * small Hamming distance; bucketing on bit-prefixes gives an LSH analog.
+    * JVM function per row for the same recompute reason as [[minhashLsh]].
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val simhashUdf = udf { text: String =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      Hashing.simhashBits(toks.map(Hashing.stringHash64))
+    }
+    docs.select(col(idCol).as("doc_id"), simhashUdf(col(textCol)).as("simhash_bits"))
+  }
+}

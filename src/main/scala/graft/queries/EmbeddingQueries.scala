@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFns
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity-search / vector operators over `embeddings`
+  * (ArrayType(FloatType), dim 64; SURVEY §7.4). All vector math is
+  * double-cast, left-to-right folds — see VectorFns — so the DuckDB
+  * oracle (same fold order) matches bit-for-bit.
+  */
+object EmbeddingQueries {
+  private val dec9 = DecimalType(18, 9)
+
+  /** q27 — exact brute-force cosine top-20 for query vector vec_id=0
+    * (the correctness baseline for ANN; broadcast query + TakeOrdered).
+    */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnBruteForce(Tables.embeddings(s, dir), 0L, 20)
+
+  val q27Sql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      | list_sum(list_transform(range(1, len(embedding) + 1),
+      |   i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cos
+      |FROM embeddings, q
+      |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+
+  /** q28 — per-label embedding statistics: count and mean L2 norm
+    * (decimal-summed for engine-independent totals).
+    */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), VectorFns.l2Norm(col("embedding")).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("norm").cast(dec9)).cast("double") / count(lit(1))).as("avg_norm"))
+      .orderBy("label")
+
+  val q28Sql: String =
+    """SELECT label, COUNT(*) AS n,
+      | CAST(SUM(CAST(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+      |   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS DECIMAL(18,9)))
+      |   AS DOUBLE) / COUNT(*) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  /** q29 — ANN via random-hyperplane LSH buckets (the 100 TB path: only
+    * the query's bucket is scanned). Approximate ⇒ no SQL oracle; recall
+    * vs q27 is pinned by ScalaTest.
+    */
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Similarity.annHyperplaneLsh(Tables.embeddings(s, dir), 0L, 10, bits = 8)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_knn_brute" -> (q27 _),
+    "q28_embed_stats" -> (q28 _),
+    "q29_ann_lsh" -> (q29 _))
+
+  val oracles: Map[String, String] = Map(
+    "q27_knn_brute" -> q27Sql,
+    "q28_embed_stats" -> q28Sql)
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operator coverage over the `events` table: tumbling-window
+  * rollups, sessionization, JSON extraction (SURVEY §2.9 batch analogues;
+  * the true Structured Streaming forms live in graft.streaming and are
+  * exercised in ScalaTest, since the DuckDB oracle is batch-only).
+  */
+object EventQueries {
+  private val dec6 = DecimalType(18, 6)
+
+  /** q16 — tumbling 1h window rollup per event_type: the batch shape of
+    * `groupBy(window($"ts", "1 hour"), $"event_type")`. Emitted as a
+    * formatted string hour so parquet tz encodings can't skew the compare.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec6)).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour", "event_type")
+
+  val q16Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** q17 — sessionization via gaps-and-islands: a new session starts when
+    * the gap to the previous event of the same user exceeds 30 minutes.
+    * Batch analogue of `session_window($"ts", "30 minutes")`; at scale this
+    * is one shuffle on user_id and a sorted window within partitions.
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q17Sql: String =
+    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events FROM (
+      | SELECT user_id,
+      |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           > 1800 * 1000000
+      |       THEN 1 ELSE 0 END AS new_session
+      | FROM events) t
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q18 — JSON property extraction + rollup (events.props is a JSON
+    * string; SURVEY §1.2 — from_json into a typed struct on the Spark
+    * side, regex-equivalent in the oracle to avoid extension dependence).
+    */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_k"))
+      .orderBy("event_type")
+
+  val q18Sql: String =
+    """SELECT event_type,
+      | SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS n_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_hourly_rollup" -> (q16 _),
+    "q17_sessionization" -> (q17 _),
+    "q18_json_extract" -> (q18 _))
+
+  val oracles: Map[String, String] = Map(
+    "q16_hourly_rollup" -> q16Sql,
+    "q17_sessionization" -> q17Sql,
+    "q18_json_extract" -> q18Sql)
+}

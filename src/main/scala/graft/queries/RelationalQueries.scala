@@ -1,0 +1,384 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator coverage (SURVEY.md §2.1–§2.7) expressed over the
+  * driver testdata, each with a DuckDB oracle.
+  *
+  * Float-sum determinism: every SUM over doubles first casts each addend to
+  * DECIMAL (exact, associative) and casts the final sum back to DOUBLE, so
+  * Spark's partition-order-dependent summation matches the oracle
+  * bit-for-bit. Per-row double arithmetic needs no such care (IEEE ops are
+  * deterministic). Dates/timestamps are emitted as formatted strings to
+  * avoid tz-encoding mismatches between parquet writers.
+  */
+object RelationalQueries {
+  // Exact-decimal money arithmetic: inputs are cast to decimal ONCE (a
+  // deterministic rounding of each double, far from any half-boundary with
+  // overwhelming probability), then every multiply/sum stays in exact
+  // decimal — associative, so Spark's partition order can't change the
+  // result — and only the final value is cast back to double.
+  // Widths chosen so the triple product eps*disc*tax stays under Spark's
+  // decimal precision cap (38): (12,2)*(6,4)*(6,4) → (26,10) — no silent
+  // precision-loss rounding on either engine.
+  private val money = DecimalType(12, 2)
+  private val rate = DecimalType(8, 4)
+  private val factor = DecimalType(6, 4)
+  // Products are re-cast to scale 6 before SUM: at scale 6 the scaled sum
+  // stays < 2^53, where decimal→double conversion is correctly rounded in
+  // every engine (DuckDB's cast at scale 10 is off by 1 ulp for ~1e18-scaled
+  // sums). Lossless: inputs are 2-decimal, so products have scale ≤ 6.
+  private val sumable = DecimalType(18, 6)
+  private def eps = col("l_extendedprice").cast(money)
+  private def discFactor = (lit(1) - col("l_discount").cast(rate)).cast(factor)
+  private def taxFactor = (lit(1) + col("l_tax").cast(rate)).cast(factor)
+
+  /** q01 — TPC-H Q1-style pricing summary. Covers: group-agg with map-side
+    * partial aggregation, predicate pushdown to parquet (SURVEY §2.4, P4).
+    */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < to_timestamp(lit("1998-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(money)).cast("double").as("sum_qty"),
+        sum(eps).cast("double").as("sum_base_price"),
+        sum((eps * discFactor).cast(sumable)).cast("double").as("sum_disc_price"),
+        sum((eps * discFactor * taxFactor).cast(sumable)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(6,4)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — TPC-H Q5-style revenue by nation: 4-way join with broadcast
+    * dimensions (J1/J2 chain; SURVEY §2.3). nation/region are broadcast so
+    * the only shuffle is the final group-by.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        sum((eps * discFactor).cast(sumable)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q02Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** q03 — top-10 orders by revenue (TPC-H Q3 shape): join + agg + global
+    * top-k (TakeOrderedAndProject — no full sort at scale; SURVEY §2.5 W1).
+    * Revenue summed in decimal so the ORDER BY is engine-independent.
+    */
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((eps * discFactor).cast(sumable)).as("rev_dec"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q04 — keep-first-per-key dedup via row_number window (the reference's
+    * primary-address dedup, SURVEY §2.4 A4 / lib/pipeline_controller.py:176-181).
+    */
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in this testdata — the order
+    // must be total (tie-broken to a unique key) for keep-first to be
+    // deterministic across engines.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .orderBy("l_orderkey")
+  }
+
+  val q04Sql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM (
+      | SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |   ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+      | FROM lineitem) t
+      |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+
+  /** q05 — incremental watermark scan: half-open time range + IS NOT NULL +
+    * ORDER BY + LIMIT, the reference's Sierra poll query shape
+    * (helpers/query_helper.py:16-25; SURVEY §2.1 S1, §2.2 P4, §2.5 W1).
+    */
+  def q05(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-07-01")) &&
+        col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_ts"),
+        col("o_totalprice"))
+      .orderBy(col("order_ts"), col("o_orderkey"))
+      .limit(500)
+
+  val q05Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts, o_totalprice
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND o_orderdate IS NOT NULL
+      |ORDER BY order_ts, o_orderkey LIMIT 500""".stripMargin
+
+  /** q06 — IN-list predicate (reference's Redshift IN-list pushdown shape,
+    * SURVEY §2.2 P5).
+    */
+  def q06(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q07 — anti join: customers with no orders (the reference's
+    * missing-key set difference, SURVEY §2.6 SO1 / §2.3 J7).
+    */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q08 — semi join: orders of BUILDING-segment customers (IN-list
+    * semi-join pushdown S3; SURVEY §2.1).
+    */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("o_orderkey")
+  }
+
+  val q08Sql: String =
+    """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM customer
+      |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q09 — stream-static-style broadcast left join + coalesce enrichment
+    * (the reference's Redshift lookup joins J3/J5; SURVEY §2.3).
+    */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("c_name"), lit("UNKNOWN")).as("cust_name"),
+        coalesce(col("c_mktsegment"), lit("none")).as("segment"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val q09Sql: String =
+    """SELECT o_orderkey, COALESCE(c_name, 'UNKNOWN') AS cust_name,
+      | COALESCE(c_mktsegment, 'none') AS segment, o_totalprice
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q10 — the reference's empty/'none' → NULL normalization rule applied
+    * verbatim (helpers/query_helper.py:8-10; SURVEY §2.2 P1), then a
+    * null-grouping aggregate.
+    */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val norm = when(length(trim(col("event_type"))) === 0 ||
+        trim(col("event_type")) === "none", lit(null))
+      .otherwise(trim(col("event_type")))
+    Tables.events(s, dir)
+      .select(norm.as("event_type_norm"))
+      .groupBy("event_type_norm")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type_norm")
+  }
+
+  val q10Sql: String =
+    """SELECT CASE WHEN LENGTH(TRIM(event_type)) = 0 OR TRIM(event_type) = 'none'
+      |            THEN NULL ELSE TRIM(event_type) END AS event_type_norm,
+      | COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY event_type_norm""".stripMargin
+
+  /** q11 — null-safe '_'-separated concat + digest, the reference's
+    * address_hash_plaintext construction (lib/pipeline_controller.py:189-194;
+    * SURVEY §2.7 F2). concat+coalesce (NOT concat_ws) preserves empty slots.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        md5(concat(
+          col("c_custkey").cast("string"), lit("_"),
+          coalesce(col("c_name"), lit("")), lit("_"),
+          coalesce(col("c_mktsegment"), lit("")))).as("row_hash"))
+      .orderBy("c_custkey")
+
+  val q11Sql: String =
+    """SELECT c_custkey,
+      | md5(CAST(c_custkey AS VARCHAR) || '_' || COALESCE(c_name, '') || '_' ||
+      |     COALESCE(c_mktsegment, '')) AS row_hash
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** q12 — min/max/count stall guard (the reference's watermark-advance
+    * check, lib/pipeline_controller.py:150-162; SURVEY §2.4 A1).
+    */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+        count(lit(1)).as("n_rows"))
+
+  val q12Sql: String =
+    """SELECT strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_ts,
+      | strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_ts,
+      | COUNT(*) AS n_rows
+      |FROM orders""".stripMargin
+
+  /** q13 — conditional counting (geocode success-rate counter A6;
+    * SURVEY §2.4).
+    */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_big"),
+        sum(when(col("l_discount") === 0.0, 1L).otherwise(0L)).as("n_nodisc"),
+        count(lit(1)).as("n_total"))
+      .orderBy("l_returnflag")
+
+  val q13Sql: String =
+    """SELECT l_returnflag,
+      | SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big,
+      | SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS n_nodisc,
+      | COUNT(*) AS n_total
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q14 — multi-key sort + limit (the reference's dedup-priority ORDER BY,
+    * helpers/query_helper.py:30; SURVEY §2.5 W2). Tie-broken to a unique
+    * key so row order is engine-independent.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy(asc("l_returnflag"), desc("ship_date"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(100)
+
+  val q14Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      | strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      |FROM lineitem
+      |ORDER BY l_returnflag ASC, ship_date DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 100""".stripMargin
+
+  /** q15 — scalar shaping: substring, regex strip, two-step int→string cast
+    * (SURVEY §2.7 F4/F5/F13).
+    */
+  def q15(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        substring(col("p_name"), 1, 10).as("name10"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+        upper(col("p_brand")).as("brand_upper"),
+        col("p_size").cast("long").cast("string").as("size_str"))
+      .orderBy("p_partkey")
+
+  val q15Sql: String =
+    """SELECT p_partkey, substr(p_name, 1, 10) AS name10,
+      | regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+      | upper(p_brand) AS brand_upper,
+      | CAST(CAST(p_size AS BIGINT) AS VARCHAR) AS size_str
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_revenue_by_nation" -> (q02 _),
+    "q03_top_orders" -> (q03 _),
+    "q04_dedup_keepfirst" -> (q04 _),
+    "q05_incremental_scan" -> (q05 _),
+    "q06_inlist_filter" -> (q06 _),
+    "q07_anti_join" -> (q07 _),
+    "q08_semi_join" -> (q08 _),
+    "q09_left_join_enrich" -> (q09 _),
+    "q10_norm_casewhen" -> (q10 _),
+    "q11_concat_hash" -> (q11 _),
+    "q12_minmax_guard" -> (q12 _),
+    "q13_conditional_count" -> (q13 _),
+    "q14_multikey_sort" -> (q14 _),
+    "q15_scalar_shaping" -> (q15 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_revenue_by_nation" -> q02Sql,
+    "q03_top_orders" -> q03Sql,
+    "q04_dedup_keepfirst" -> q04Sql,
+    "q05_incremental_scan" -> q05Sql,
+    "q06_inlist_filter" -> q06Sql,
+    "q07_anti_join" -> q07Sql,
+    "q08_semi_join" -> q08Sql,
+    "q09_left_join_enrich" -> q09Sql,
+    "q10_norm_casewhen" -> q10Sql,
+    "q11_concat_hash" -> q11Sql,
+    "q12_minmax_guard" -> q12Sql,
+    "q13_conditional_count" -> q13Sql,
+    "q14_multikey_sort" -> q14Sql,
+    "q15_scalar_shaping" -> q15Sql)
+}

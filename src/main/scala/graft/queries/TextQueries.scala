@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over `documents` (the
+  * LLM-data-pipeline extension inventory; SURVEY §7.4). Heuristics are
+  * deliberately SQL-expressible so the DuckDB oracle replays the exact
+  * computation.
+  */
+object TextQueries {
+
+  // Marker stopword sets for the language-ID heuristic. Deterministic
+  // tie-break order: en > es > fr > de > und.
+  private val enM = Seq("the", "a", "of", "and")
+  private val esM = Seq("el", "los", "una", "que")
+  private val frM = Seq("le", "les", "des", "est")
+  private val deM = Seq("der", "und", "die", "ist")
+
+  /** q19 — exact dedup via content digest: one row per distinct md5(text)
+    * with surviving min doc_id and group size. One shuffle on the digest;
+    * at 100 TB the digest groupBy partial-aggregates map-side so only
+    * (hash, min, count) triples move.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("content_hash")
+
+  val q19Sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** q20 — token statistics: whitespace tokens, BPE-ish regex tokens,
+    * character count (SURVEY §7.4 token counting).
+    */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy("doc_id")
+
+  val q20Sql: String =
+    """SELECT doc_id,
+      | len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+      | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      | length(text) AS len_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q21 — quality scoring: non-alphanumeric ratio, stopword ratio, mean
+    * token length (SURVEY §7.4 quality scoring). Per-row double arithmetic
+    * is IEEE-deterministic, so no rounding is needed for oracle parity.
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nToks = size(toks).cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double") /
+          length(col("text")).cast("double")).as("junk_ratio"),
+        (TextFns.markerCount(toks, enM ++ esM ++ frM ++ deM).cast("double") / nToks)
+          .as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nToks)
+          .as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val q21Sql: String =
+    """SELECT doc_id,
+      | CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |   / CAST(length(text) AS DOUBLE) AS junk_ratio,
+      | CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |       t -> t IN ('the','a','of','and','el','los','una','que','le','les','des','est','der','und','die','ist')))
+      |      AS DOUBLE)
+      |   / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS stopword_ratio,
+      | CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |   / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q22 — n-gram/stopword language-ID heuristic with deterministic
+    * tie-break, cross-tabbed against the labeled lang column
+    * (SURVEY §7.4 language-ID).
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val en = TextFns.markerCount(toks, enM)
+    val es = TextFns.markerCount(toks, esM)
+    val fr = TextFns.markerCount(toks, frM)
+    val de = TextFns.markerCount(toks, deM)
+    val predicted =
+      when(en >= es && en >= fr && en >= de && en > 0, lit("en"))
+        .when(es >= fr && es >= de && es > 0, lit("es"))
+        .when(fr >= de && fr > 0, lit("fr"))
+        .when(de > 0, lit("de"))
+        .otherwise(lit("und"))
+    Tables.documents(s, dir)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val q22Sql: String =
+    """WITH scored AS (
+      | SELECT lang,
+      |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t IN ('the','a','of','and'))) AS en,
+      |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t IN ('el','los','una','que'))) AS es,
+      |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t IN ('le','les','des','est'))) AS fr,
+      |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t IN ('der','und','die','ist'))) AS de
+      | FROM documents)
+      |SELECT lang,
+      | CASE WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+      |      WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+      |      WHEN fr >= de AND fr > 0 THEN 'fr'
+      |      WHEN de > 0 THEN 'de'
+      |      ELSE 'und' END AS predicted,
+      | COUNT(*) AS n
+      |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
+  /** q23 — document fingerprinting: full-content md5 + order-insensitive
+    * bag-of-words fingerprint (SURVEY §7.4 fingerprinting).
+    */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        TextFns.bowFingerprint(col("text")).as("bow_fp"))
+      .orderBy("doc_id")
+
+  val q23Sql: String =
+    """SELECT doc_id, md5(text) AS content_fp,
+      | md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS bow_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q24 — exact all-pairs 3-shingle Jaccard ≥ 0.7 (near-dup ground truth;
+    * O(n²) oracle path — see q25 for the scale path).
+    */
+  def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardBrute(Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared oracle: brute-force shingle Jaccard in DuckDB. Both q24 and q25
+    * must produce exactly this — q25's LSH banding (128 perms, 32×4) has
+    * P(miss) ≈ 5e-8 at J ≥ 0.7, so its verified output equals the truth.
+    */
+  val jaccardOracle: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+      |FROM t a, t b
+      |WHERE a.doc_id < b.doc_id
+      |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q25 — MinHash + banded-LSH near-dup detection with exact verification
+    * of candidates (the 100 TB dedup path; SURVEY §7.4).
+    */
+  def q25(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
+      .orderBy("doc_a", "doc_b")
+
+  /** q26 — 64-bit SimHash signatures (bit-string form). No SQL oracle:
+    * xxhash64 has no DuckDB twin; pinned instead by ScalaTest (near-dup
+    * pairs from q24's truth have small Hamming distance).
+    */
+  def q26(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_dedup_exact" -> (q19 _),
+    "q20_token_stats" -> (q20 _),
+    "q21_quality_score" -> (q21 _),
+    "q22_langid" -> (q22 _),
+    "q23_fingerprint" -> (q23 _),
+    "q24_ngram_jaccard" -> (q24 _),
+    "q25_minhash_lsh" -> (q25 _),
+    "q26_simhash" -> (q26 _))
+
+  val oracles: Map[String, String] = Map(
+    "q19_dedup_exact" -> q19Sql,
+    "q20_token_stats" -> q20Sql,
+    "q21_quality_score" -> q21Sql,
+    "q22_langid" -> q22Sql,
+    "q23_fingerprint" -> q23Sql,
+    "q24_ngram_jaccard" -> jaccardOracle,
+    "q25_minhash_lsh" -> jaccardOracle)
+}
