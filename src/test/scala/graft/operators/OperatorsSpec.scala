@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties pinning the oracle-less operators (q26 simhash, q29 ann)
+  * and the LSH-vs-brute equivalence that backs q25's shared oracle.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, dir)
+
+  test("minhash-LSH verified pairs equal brute-force truth at J>=0.7") {
+    val brute = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+  }
+
+  test("simhash: near-dup pairs have small Hamming distance, random pairs large") {
+    val bits = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val nearDups = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nearDists = nearDups.map { case (a, b) => hamming(bits(a), bits(b)) }
+    assert(nearDists.nonEmpty && nearDists.forall(_ <= 12))
+    // random non-dup pairs: distance concentrated near 32
+    val ids = bits.keys.toSeq.sorted.take(40)
+    val dupSet = nearDups.toSet
+    val randomDists = for {
+      a <- ids; b <- ids if a < b && !dupSet.contains((a, b))
+    } yield hamming(bits(a), bits(b))
+    assert(randomDists.sum.toDouble / randomDists.size > 15.0)
+  }
+
+  test("exact dedup groups: one group per distinct text") {
+    val n = docs.count()
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() <= n)
+    assert(groups.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) == n)
+  }
+
+  test("ANN bucket results are a subset of brute-force ranking, self first") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.knnBruteForce(emb, 0L, 20).collect()
+    assert(brute.head.getLong(0) == 0L)
+    assert(math.abs(brute.head.getDouble(1) - 1.0) < 1e-12)
+    val bruteAll = Similarity.knnBruteForce(emb, 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annHyperplaneLsh(emb, 0L, 10, bits = 8).collect()
+    assert(ann.nonEmpty && ann.head.getLong(0) == 0L)
+    ann.foreach { r =>
+      assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+}

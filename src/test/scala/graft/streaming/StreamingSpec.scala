@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+import java.time.{LocalDate, ZoneId, ZonedDateTime}
+
+import graft.TestSpark
+import graft.pipeline._
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Streaming semantics: the reference's micro-batch loop behaviors ST1-ST6
+  * (SURVEY §2.9) driven through a real Structured Streaming query over a
+  * file source, plus the windowed event operators.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val et = ZoneId.of("America/New_York")
+  private def ts(y: Int, m: Int, d: Int, h: Int = 23): Timestamp =
+    Timestamp.from(ZonedDateTime.of(y, m, d, h, 59, 59, 0, et).toInstant)
+  private def dt(y: Int, m: Int, d: Int): Date = Date.valueOf(LocalDate.of(y, m, d))
+
+  test("patron stream: checkpointed micro-batches with cross-batch dedup (ST1-ST5)") {
+    val dir = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    val srcDir = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    def sierraRows(rows: Seq[Row]) =
+      spark.createDataFrame(rows.asJava, Schemas.sierraActive)
+
+    // Batch 1: patrons 123 + duplicate 456; Batch 2 (same run): 456 again
+    // (boundary re-delivery, must be deduped by state) + new 999.
+    sierraRows(Seq(
+      Row(123L, 4, 5, "lib1", "c", "r", "11111", "1 ave", dt(2021, 1, 1),
+        null, ts(2021, 1, 3), ts(2020, 12, 31)))).write.parquet(s"$srcDir/b1")
+    sierraRows(Seq(
+      Row(456L, 5, 6, "lib2", "c", "r", "22222", "2 ave", dt(2021, 2, 1),
+        null, ts(2021, 2, 3), ts(2020, 12, 30)))).write.parquet(s"$srcDir/b2")
+
+    val deps = PatronPipeline.Deps(
+      new Sha256Obfuscator("salt"),
+      new MapGeocoder(Map("123" -> "g1", "456" -> "g2", "999" -> "g9")),
+      new MapGeocoder(Map.empty),
+      keys => spark.createDataFrame(Seq.empty[Row].asJava, Schemas.redshiftAddress),
+      keys => spark.createDataFrame(Seq.empty[Row].asJava, Schemas.redshiftPatron),
+      keys => spark.createDataFrame(Seq.empty[Row].asJava, Schemas.redshiftIphlc))
+
+    val stream = spark.readStream.schema(Schemas.sierraActive)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+
+    StreamSinkLog.reset()
+    val q = PatronStream.runMode(stream, PipelineMode.NewPatrons, deps,
+      ckpt, new StreamSinkLog)
+    q.awaitTermination(60000)
+    val firstRun = StreamSinkLog.records
+    assert(firstRun.map(r => AvroSink.decode(r).get("geoid").toString).sorted
+      == Seq("g1", "g2"))
+
+    // Second run of the same checkpointed query: re-deliver 456 (already in
+    // dedup state → dropped) plus new 999 → only 999 is emitted.
+    sierraRows(Seq(
+      Row(456L, 5, 6, "lib2", "c", "r", "22222", "2 ave", dt(2021, 2, 1),
+        null, ts(2021, 2, 3), ts(2020, 12, 30)),
+      Row(999L, 9, 9, "lib9", "c", "r", "33333", "3 ave", dt(2021, 9, 1),
+        null, ts(2021, 9, 3), ts(2020, 12, 1)))).write.parquet(s"$srcDir/b3")
+    StreamSinkLog.reset()
+    val q2 = PatronStream.runMode(
+      spark.readStream.schema(Schemas.sierraActive).parquet(s"$srcDir/*"),
+      PipelineMode.NewPatrons, deps, ckpt, new StreamSinkLog)
+    q2.awaitTermination(60000)
+    assert(StreamSinkLog.records.map(r => AvroSink.decode(r).get("geoid").toString)
+      == Seq("g9"))
+  }
+
+  test("tumbling rollup on a stream matches the batch plan (ST7)") {
+    val dir = Files.createTempDirectory("graft-events").toFile.getAbsolutePath
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.parquet(s"$dir/events")
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/events")
+    val agg = EventStreams.tumblingRollup(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = EventStreams.tumblingRollup(events)
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("session_window rollup agrees with the gaps-and-islands batch query") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val sessions = EventStreams.sessionRollup(events)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q17 = graft.queries.EventQueries.q17(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions == q17 && sessions.nonEmpty)
+  }
+}
+
+/** Static sink log (local mode: executors share the JVM). */
+final class StreamSinkLog extends AvroSink.RecordSink {
+  def putRecords(records: Seq[Array[Byte]]): Unit =
+    records.foreach(StreamSinkLog.add)
+}
+
+object StreamSinkLog {
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+  def reset(): Unit = buf.clear()
+  def add(r: Array[Byte]): Unit = buf.add(r)
+  def records: Seq[Array[Byte]] = buf.asScala.toSeq
+}
