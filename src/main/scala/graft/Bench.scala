@@ -34,6 +34,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: run every headline plan once at the smallest SF so
+    // the timed pass measures the engine, not JIT + codegen compilation
+    // (measured: q25 21.7s cold vs 2.6s warm on identical data).
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+      headline.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => }
+        }
+      }
+    }
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

@@ -29,6 +29,29 @@ object Hashing {
     h
   }
 
+  /** Distinct k-word shingles of the lowercased, whitespace-tokenized
+    * text; shorter-than-k docs get one whole-text shingle. Semantics match
+    * the SQL oracle form (string_split_regex + list_distinct) exactly.
+    * One JVM pass: the expression form re-evaluates the captured token
+    * array inside every `element_at` of the transform lambda — the text
+    * was re-split ~3·(n-k) times per row (measured ~9 s for 5000 docs).
+    */
+  def shingleSet(text: String, k: Int): Array[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    if (toks.length >= k) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    } else Array(toks.mkString(" "))
+  }
+
   /** MinHash signature: sig(p) = min over shingles of mix(h(s), p). */
   def minhashSignature(shingleHashes: Array[Long], numPerms: Int): Array[Long] = {
     val sig = new Array[Long](numPerms)

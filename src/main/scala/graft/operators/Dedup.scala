@@ -35,10 +35,13 @@ object Dedup {
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }
 
-  /** Docs annotated with their distinct k-shingle set. */
-  def withShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      TextFns.wordShingles(col(textCol), k).as("shingles"))
+  /** Docs annotated with their distinct k-shingle set (single-pass JVM
+    * shingling — see Hashing.shingleSet for why not the expression form).
+    */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val shingleUdf = udf { text: String => Hashing.shingleSet(text, k) }
+    docs.select(col(idCol).as("doc_id"), shingleUdf(col(textCol)).as("shingles"))
+  }
 
   /** All-pairs exact Jaccard ≥ threshold via cross join (oracle / small data
     * only — O(n²); use [[minhashLsh]] at scale).
@@ -74,7 +77,11 @@ object Dedup {
       val hs = shingles.map(Hashing.stringHash64).toArray
       Hashing.bandBuckets(Hashing.minhashSignature(hs, numPerms), bands)
     }
+    // The shingle set is consumed three times (banding + both sides of the
+    // verify join) — materialize it once. MEMORY_AND_DISK: at 100 TB the
+    // shingle table exceeds memory and spills instead of recomputing.
     val t = withShingles(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = t.select(col("doc_id"), explode(bucketsUdf(col("shingles"))).as("bucket"))
     // Candidate pairs: docs sharing any band bucket. Shuffle key is the
     // bucket, so skew is bounded by bucket collision width, not corpus

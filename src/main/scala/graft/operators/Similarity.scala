@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFns
+import graft.functions.{CosineSimilarity, VectorFns}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,7 @@ object Similarity {
       .select(col("embedding").as("q_embedding"))
     corpus.crossJoin(broadcast(query))
       .select(col("vec_id"),
-        VectorFns.cosine(col("embedding"), col("q_embedding")).as("cos"))
+        CosineSimilarity(corpus.sparkSession, col("embedding"), col("q_embedding")).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -42,7 +42,7 @@ object Similarity {
       .select(col("sig").as("q_sig"), col("embedding").as("q_embedding"))
     signed.join(broadcast(query), signed("sig") === query("q_sig"))
       .select(col("vec_id"),
-        VectorFns.cosine(col("embedding"), col("q_embedding")).as("cos"))
+        CosineSimilarity(corpus.sparkSession, col("embedding"), col("q_embedding")).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }

@@ -56,16 +56,13 @@ object TextQueries {
     * is IEEE-deterministic, so no rounding is needed for oracle parity.
     */
   def q21(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val nToks = size(toks).cast("double")
+    val stats = TextFns.textStats(Seq(enM, esM, frM, deM))
     Tables.documents(s, dir)
+      .withColumn("st", stats(col("text")))
       .select(col("doc_id"),
-        (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double") /
-          length(col("text")).cast("double")).as("junk_ratio"),
-        (TextFns.markerCount(toks, enM ++ esM ++ frM ++ deM).cast("double") / nToks)
-          .as("stopword_ratio"),
-        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nToks)
-          .as("mean_token_len"))
+        (col("st._2").cast("double") / col("st._3").cast("double")).as("junk_ratio"),
+        (col("st._5").cast("double") / col("st._1").cast("double")).as("stopword_ratio"),
+        (col("st._4").cast("double") / col("st._1").cast("double")).as("mean_token_len"))
       .orderBy("doc_id")
   }
 
@@ -86,11 +83,9 @@ object TextQueries {
     * (SURVEY §7.4 language-ID).
     */
   def q22(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val en = TextFns.markerCount(toks, enM)
-    val es = TextFns.markerCount(toks, esM)
-    val fr = TextFns.markerCount(toks, frM)
-    val de = TextFns.markerCount(toks, deM)
+    val stats = TextFns.textStats(Seq(enM, esM, frM, deM))
+    val en = col("st._6"); val es = col("st._7")
+    val fr = col("st._8"); val de = col("st._9")
     val predicted =
       when(en >= es && en >= fr && en >= de && en > 0, lit("en"))
         .when(es >= fr && es >= de && es > 0, lit("es"))
@@ -98,6 +93,7 @@ object TextQueries {
         .when(de > 0, lit("de"))
         .otherwise(lit("und"))
     Tables.documents(s, dir)
+      .withColumn("st", stats(col("text")))
       .select(col("lang"), predicted.as("predicted"))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
