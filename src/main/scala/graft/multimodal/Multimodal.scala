@@ -1,0 +1,200 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column support for a training-data
+  * pipeline at 100 TB: media travels as opaque `binary` columns with a
+  * typed metadata struct; per-record work happens in `mapPartitions`-shaped
+  * operators so one task amortizes codec setup over a whole partition.
+  *
+  * Two tiers:
+  *  - Container/header-level operators (format sniffing, image dimensions,
+  *    WAV audio properties) are REAL — pure-JVM byte parsing, no codecs.
+  *  - Pixel/sample-level operators (resize, frame sampling, feature
+  *    extraction) need real codec libraries that are absent from this
+  *    build; they are implemented against the [[MediaCodec]] trait with a
+  *    deterministic [[StubCodec]] standing in (clearly marked), so the
+  *    Spark-side plumbing — schema, batching, partitioning, explode shape —
+  *    is real and tested while the codec is swappable.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the opaque payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("size_bytes", LongType)))
+
+  // ---- header-level parsing (real) ----------------------------------
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Magic-number format sniffing. */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b == null || b.length < 12) "unknown"
+    else if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else "unknown"
+
+  /** Image dimensions from container headers (PNG IHDR, GIF logical screen,
+    * BMP info header, JPEG SOF scan). Returns null-dims for non-images.
+    */
+  def imageDims(b: Array[Byte]): Option[(Int, Int)] = sniffFormat(b) match {
+    case "png" if b.length >= 24 => Some((be32(b, 16), be32(b, 20)))
+    case "gif" if b.length >= 10 => Some((le16(b, 6), le16(b, 8)))
+    case "bmp" if b.length >= 26 => Some((le32(b, 18), le32(b, 22)))
+    case "jpeg" =>
+      // walk markers until a start-of-frame (0xC0-0xCF except C4/C8/CC)
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xFF) return None
+        val marker = b(i + 1) & 0xff
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          return Some(((
+            (b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff),
+            ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)))
+        }
+        i += 2 + len
+      }
+      None
+    case _ => None
+  }
+
+  /** WAV fmt-chunk audio properties: (sampleRate, channels). */
+  def wavProps(b: Array[Byte]): Option[(Int, Int)] =
+    if (sniffFormat(b) != "wav") None
+    else {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b.slice(i, i + 4), "US-ASCII")
+        val len = le32(b, i + 4)
+        if (id == "fmt " && i + 16 + 8 <= b.length)
+          return Some((le32(b, i + 12), le16(b, i + 10)))
+        i += 8 + len + (len & 1)
+      }
+      None
+    }
+
+  /** Typed metadata record (Spark maps Option[Int] → nullable int). */
+  final case class MediaMeta(format: String, width: Option[Int],
+      height: Option[Int], sample_rate: Option[Int], channels: Option[Int],
+      size_bytes: Long)
+
+  /** Column: extract the full metadata struct from a binary column. */
+  def extractMeta(bin: Column): Column = {
+    val u = udf { b: Array[Byte] =>
+      val dims = imageDims(b)
+      val audio = wavProps(b)
+      MediaMeta(sniffFormat(b), dims.map(_._1), dims.map(_._2),
+        audio.map(_._1), audio.map(_._2),
+        if (b == null) 0L else b.length.toLong)
+    }
+    u(bin)
+  }
+
+  /** Annotate a media DataFrame with its metadata struct (column-pruned
+    * parquet scans still skip the payload when only `meta` is selected
+    * downstream — keep payload and meta in separate columns, never nested
+    * together).
+    */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("meta", extractMeta(col(binCol)))
+
+  // ---- pixel/sample-level (codec-backed; stubbed) -------------------
+
+  /** Pixel/sample codec boundary. The real implementation binds an image
+    * library per EXECUTOR PARTITION (one init per task, like the geocoder
+    * HTTP client); absent from this build.
+    */
+  trait MediaCodec extends Serializable {
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+    def embed(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB codec (the `???` slot): deterministic fakes so plumbing tests
+    * are stable. resize → 16-byte tag + content hash; sampleFrames → n
+    * deterministic sub-signatures; embed → hash-seeded pseudo-embedding.
+    */
+  object StubCodec extends MediaCodec {
+    import graft.functions.Hashing
+    private def sig(bytes: Array[Byte], seed: Long): Long = {
+      var h = seed
+      var i = 0
+      while (i < bytes.length) { h = Hashing.splitmix64(h ^ (bytes(i) & 0xffL)); i += 1 }
+      h
+    }
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(16)
+      out.putLong(sig(bytes, 0x5EED)).putInt(w).putInt(h)
+      out.array()
+    }
+    override def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      (0 until n).map { i =>
+        java.nio.ByteBuffer.allocate(12).putLong(sig(bytes, i.toLong)).putInt(i).array()
+      }
+    override def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        out(i) = ((Hashing.splitmix64(sig(bytes, 7L) + i) % 1000L) / 1000.0f)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resize every image payload. mapPartitions shape: the codec is
+    * initialized once per partition; rows stream through without
+    * collecting the partition (media rows are large — never materialize a
+    * whole partition of payloads).
+    */
+  def resizeImages(df: DataFrame, binCol: String, w: Int, h: Int,
+                   codec: MediaCodec = StubCodec): DataFrame = {
+    val u = udf { b: Array[Byte] => if (b == null) null else codec.resize(b, w, h) }
+    df.withColumn(s"${binCol}_resized", u(col(binCol)))
+  }
+
+  /** Sample n frames per video payload → one row per frame (generator
+    * shape: posexplode keeps the frame index).
+    */
+  def sampleFrames(df: DataFrame, binCol: String, n: Int,
+                   codec: MediaCodec = StubCodec): DataFrame = {
+    val u = udf { b: Array[Byte] =>
+      if (b == null) Seq.empty[Array[Byte]] else codec.sampleFrames(b, n) }
+    df.withColumn("__frames", u(col(binCol)))
+      .select(col("*"), posexplode(col("__frames")).as(Seq("frame_idx", "frame")))
+      .drop("__frames", binCol)
+  }
+
+  /** Media → embedding column (feeds graft.operators.Similarity). */
+  def embedMedia(df: DataFrame, binCol: String, dim: Int,
+                 codec: MediaCodec = StubCodec): DataFrame = {
+    val u = udf { b: Array[Byte] => if (b == null) null else codec.embed(b, dim) }
+    df.withColumn("embedding", u(col(binCol)))
+  }
+
+  /** Content-hash repartitioning for media skew: payloads vary 1000× in
+    * size, so partitioning by an id correlated with source (e.g. one
+    * crawl shard of 4K videos) leaves whole tasks oversized. A uniform
+    * content-hash key spreads large items independently of origin.
+    */
+  def repartitionBySize(df: DataFrame, binCol: String, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, expr(s"hash($binCol)"))
+}
