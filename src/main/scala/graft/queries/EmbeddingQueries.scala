@@ -58,12 +58,44 @@ object EmbeddingQueries {
   def q29(s: SparkSession, dir: String): DataFrame =
     Similarity.annHyperplaneLsh(Tables.embeddings(s, dir), 0L, 10, bits = 8)
 
+  /** q30 — embedding-cosine near-duplicate pairs (the vector analogue of
+    * q24/q25 text dedup; SURVEY §7.4). All-pairs with the native fused
+    * cosine expression — at corpus scale the LSH-bucketed variant (q29's
+    * signature scheme) prunes the pair space; this exact form doubles as
+    * its verification oracle.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.functions.CosineSimilarity(s, col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q30Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      | list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+      |  / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+      |     * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+      |  / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+      |     * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_knn_brute" -> (q27 _),
     "q28_embed_stats" -> (q28 _),
-    "q29_ann_lsh" -> (q29 _))
+    "q29_ann_lsh" -> (q29 _),
+    "q30_embed_neardup" -> (q30 _))
 
   val oracles: Map[String, String] = Map(
     "q27_knn_brute" -> q27Sql,
-    "q28_embed_stats" -> q28Sql)
+    "q28_embed_stats" -> q28Sql,
+    "q30_embed_neardup" -> q30Sql)
 }

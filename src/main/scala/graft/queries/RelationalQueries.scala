@@ -348,7 +348,58 @@ object RelationalQueries {
       | CAST(CAST(p_size AS BIGINT) AS VARCHAR) AS size_str
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** q31 — relational set operations (EXCEPT / INTERSECT / UNION ALL;
+    * extension beyond the reference's set-difference SO1, SURVEY §2.6).
+    */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")).distinct()
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    val exceptCount = building.except(withOrders)
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("building_no_orders"))
+    val intersectCount = machinery.intersect(withOrders)
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("machinery_with_orders"))
+    exceptCount.unionByName(intersectCount)
+      .select("tag", "n").orderBy("tag")
+  }
+
+  val q31Sql: String =
+    """SELECT 'building_no_orders' AS tag, COUNT(*) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT SELECT DISTINCT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'machinery_with_orders' AS tag, COUNT(*) AS n FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |  INTERSECT SELECT DISTINCT o_custkey FROM orders)
+      |ORDER BY tag""".stripMargin
+
+  /** q32 — ROLLUP aggregation (grouping-sets family; extension — the
+    * reference has no grouped aggregation at all, SURVEY §2.4). Subtotal
+    * rows surface via coalesce to 'ALL' so null-ordering differences
+    * between engines can't skew the compare.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum((eps * discFactor).cast(sumable)).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val q32Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      | COALESCE(l_linestatus, 'ALL') AS linestatus,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_set_ops" -> (q31 _),
+    "q32_rollup" -> (q32 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_by_nation" -> (q02 _),
     "q03_top_orders" -> (q03 _),
@@ -366,6 +417,8 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q31_set_ops" -> q31Sql,
+    "q32_rollup" -> q32Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_revenue_by_nation" -> q02Sql,
     "q03_top_orders" -> q03Sql,
