@@ -86,13 +86,48 @@ object EventQueries {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q33 — as-of join: each click enriched with the user's most recent
+    * prior (ts-inclusive) purchase. Spark has no native as-of join;
+    * graft.operators.AsOfJoin composes it as one shuffle + one window
+    * (see its scaladoc for why that beats a custom SparkPlan here).
+    * Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+        col("value").as("p_value"))
+    graft.operators.AsOfJoin.lastPrior(
+      clicks, purchases, Seq("user_id"), "ts",
+      valueCols = Seq("p_value", "p_event_id"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("value"),
+        col("asof_p_value").as("last_purchase_value"),
+        col("asof_p_event_id").as("last_purchase_event"))
+      .orderBy("event_id")
+  }
+
+  val q33Sql: String =
+    """SELECT e.event_id, e.user_id,
+      | strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, e.value,
+      | p.value AS last_purchase_value, p.event_id AS last_purchase_event
+      |FROM (SELECT * FROM events WHERE event_type = 'click') e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
-    "q18_json_extract" -> (q18 _))
+    "q18_json_extract" -> (q18 _),
+    "q33_asof_join" -> (q33 _))
 
   val oracles: Map[String, String] = Map(
     "q16_hourly_rollup" -> q16Sql,
     "q17_sessionization" -> q17Sql,
-    "q18_json_extract" -> q18Sql)
+    "q18_json_extract" -> q18Sql,
+    "q33_asof_join" -> q33Sql)
 }
