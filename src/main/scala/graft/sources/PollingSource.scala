@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 micro-batch polling source — the Spark-native form of the
+  * reference's Sierra incremental scan loop (SURVEY §2.1 S1/S2 + §2.9
+  * ST1–ST6, helpers/query_helper.py:16-40, lib/pipeline_controller.py:90-125):
+  *
+  *  - Each trigger polls the backing store for up to `limit` rows with
+  *    `watermarkField > lastOffset`, ordered by the watermark field — the
+  *    reference's `ordering_field >= start ... ORDER BY ... LIMIT batch`
+  *    (half-open here: strictly `>` so boundary rows never re-deliver,
+  *    making the reference's cross-batch dedup set a safety net rather
+  *    than a correctness requirement).
+  *  - Offsets are the last-delivered watermark (micros since epoch),
+  *    persisted by the engine's checkpoint (replacing the S3 JSON state
+  *    doc, lib/pipeline_controller.py:437-468).
+  *  - ST6 stall guard: a full batch sharing one watermark value means the
+  *    offset cannot advance — the source fails the query rather than loop.
+  *  - ST8 backpressure: `limit` == the reference's *_PATRON_BATCH_SIZE.
+  *
+  * The backing store is a [[PollClient]] (a JDBC implementation would
+  * issue exactly the reference's generated SQL; tests register in-memory
+  * clients). The poll itself runs on the driver — same topology as the
+  * reference's single poll connection — while downstream processing is
+  * fully distributed; a partitioned-range JDBC client can shard the read
+  * across executors without changing this interface.
+  */
+trait PollClient {
+  def schema: StructType
+  def watermarkField: String
+  /** Up to `limit` rows with watermark strictly after `afterMicros`,
+    * ordered by watermark. Values use external JVM types matching
+    * `schema` (String / Int / Long / Double / java.sql.Timestamp /
+    * java.sql.Date / null).
+    */
+  def poll(afterMicros: Long, limit: Int): Seq[Seq[Any]]
+}
+
+/** Driver-side registry so option maps (strings) can reference clients. */
+object PollClientRegistry {
+  private val clients = new java.util.concurrent.ConcurrentHashMap[String, PollClient]()
+  def register(name: String, client: PollClient): Unit = clients.put(name, client)
+  def get(name: String): PollClient = {
+    val c = clients.get(name)
+    require(c != null, s"no PollClient registered under '$name'")
+    c
+  }
+}
+
+class PollingStallError(message: String) extends RuntimeException(message)
+
+case class PollOffset(micros: Long) extends Offset {
+  override def json(): String = micros.toString
+}
+
+class PollingSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PollClientRegistry.get(options.get("client")).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PollingTable(schema,
+      properties.get("client"),
+      Option(properties.get("limit")).map(_.toInt).getOrElse(10000),
+      Option(properties.get("startMicros")).map(_.toLong).getOrElse(Long.MinValue))
+}
+
+private class PollingTable(tableSchema: StructType, clientName: String,
+                           limit: Int, startMicros: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"polling($clientName)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = tableSchema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new PollingMicroBatchStream(tableSchema, clientName, limit, startMicros)
+    }
+}
+
+private class PollingMicroBatchStream(schema: StructType, clientName: String,
+                                      limit: Int, startMicros: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private def client = PollClientRegistry.get(clientName)
+  private val wmIdx = schema.fieldIndex(client.watermarkField)
+  // rows fetched for the current (start, end] window, keyed by start offset
+  @volatile private var fetched: (Long, Seq[Seq[Any]]) = (Long.MinValue, Seq.empty)
+  // ST5: AvailableNow snapshots an upper bound at query start (the
+  // reference bounds every poll at session-start `now`,
+  // helpers/query_helper.py:22).
+  @volatile private var availableNowBound: Option[Long] = None
+
+  private def micros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+    case d: java.sql.Date => d.toLocalDate.toEpochDay * 86400000000L
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"unsupported watermark type: $other")
+  }
+
+  override def initialOffset(): Offset = PollOffset(startMicros)
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // page to the current max watermark — the drain target
+    var bound = Long.MinValue
+    var last = Long.MinValue
+    var continue = true
+    while (continue) {
+      val page = client.poll(last, limit)
+      if (page.isEmpty) continue = false
+      else {
+        val wms = page.map(r => micros(r(wmIdx)))
+        if (wms.max == last) continue = false // cannot advance; stall guard fires later
+        else { last = wms.max; bound = wms.max; continue = page.size == limit }
+      }
+    }
+    availableNowBound = Some(bound)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(limit)
+
+  override def reportLatestOffset(): Offset = PollOffset(fetched._1)
+
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
+    val committed = start.asInstanceOf[PollOffset].micros
+    val rows0 = client.poll(committed, limit)
+    val rows = availableNowBound match {
+      case Some(b) => rows0.filter(r => micros(r(wmIdx)) <= b)
+      case None => rows0
+    }
+    fetched = (committed, rows)
+    if (rows.isEmpty) PollOffset(committed)
+    else {
+      val wms = rows.map(r => micros(r(wmIdx)))
+      // ST6: full batch, single watermark value → offset cannot advance.
+      if (rows.size == limit && wms.head == wms.last) {
+        throw new PollingStallError(
+          "Too many records found with the same timestamp")
+      }
+      PollOffset(wms.max)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PollOffset].micros
+    val e = end.asInstanceOf[PollOffset].micros
+    val rows =
+      (if (fetched._1 == s) fetched._2 else client.poll(s, limit))
+        .filter(r => { val m = micros(r(wmIdx)); m > s && m <= e })
+    Array(PollPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PollReaderFactory(schema)
+
+  override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
+  // Nothing to acknowledge upstream: offsets alone define delivery, and the
+  // fetch cache must NOT be invalidated here — planInputPartitions for the
+  // next window may still replay from it.
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class PollPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+private class PollReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[PollPartition].rows.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = toInternal(rows.next()); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  /** External JVM values → catalyst values for the declared schema. */
+  private def toInternal(values: Seq[Any]): InternalRow = {
+    val out = new Array[Any](values.length)
+    var i = 0
+    values.foreach { v =>
+      out(i) = (v, schema.fields(i).dataType) match {
+        case (null, _) => null
+        case (s: String, StringType) => UTF8String.fromString(s)
+        case (t: java.sql.Timestamp, TimestampType) =>
+          t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        case (inst: java.time.Instant, TimestampType) =>
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000
+        case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+        case (x: Int, IntegerType) => x
+        case (x: Long, LongType) => x
+        case (x: Double, DoubleType) => x
+        case (x, dt) => throw new IllegalArgumentException(
+          s"unsupported value $x for ${dt.catalogString}")
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+object PollRunLog {
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  def reset(): Unit = buf.clear()
+  def add(id: Long): Unit = buf.add(id)
+  def ids: Seq[Long] = { import scala.jdk.CollectionConverters._; buf.asScala.toSeq }
+}
+
+/** The custom DSv2 micro-batch polling source: batch-limited incremental
+  * delivery ordered by watermark, offset advance, and the stall guard —
+  * the reference's poll loop semantics (SURVEY §2.9 ST1-ST6).
+  */
+class PollingSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("payload", StringType),
+    StructField("updated_at", TimestampType)))
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private class FixedClient(rows: Seq[(Long, String, Long)]) extends PollClient {
+    override def schema: StructType = PollingSourceSpec.this.schema
+    override val watermarkField = "updated_at"
+    override def poll(afterMicros: Long, limit: Int): Seq[Seq[Any]] =
+      rows.filter(_._3 * 1000000L > afterMicros).sortBy(_._3).take(limit)
+        .map { case (id, p, sec) => Seq(id, p, ts(sec)) }
+  }
+
+  test("limit-bounded micro-batches drain the backlog in watermark order") {
+    val rows = (1L to 10L).map(i => (i, s"row$i", 1000L + i))
+    PollClientRegistry.register("fixed10", new FixedClient(rows))
+    val stream = spark.readStream
+      .format(classOf[PollingSourceProvider].getName)
+      .option("client", "fixed10")
+      .option("limit", "3")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("poll_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("poll_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == rows.map(r => (r._1, r._2)))
+    // 10 rows at limit 3 → 4 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
+  test("boundary rows are not re-delivered across restarts (offset = last watermark)") {
+    val dir = java.nio.file.Files.createTempDirectory("poll-ckpt").toFile.getAbsolutePath
+    val rows1 = Seq((1L, "a", 1001L), (2L, "b", 1002L))
+    val client = new FixedClient(rows1) {
+      var all: Seq[(Long, String, Long)] = rows1
+      override def poll(afterMicros: Long, limit: Int): Seq[Seq[Any]] =
+        all.filter(_._3 * 1000000L > afterMicros).sortBy(_._3).take(limit)
+          .map { case (id, p, sec) => Seq(id, p, ts(sec)) }
+    }
+    PollClientRegistry.register("restart", client)
+    def run(): Unit = {
+      // memory sink cannot recover a checkpoint — foreachBatch can
+      val q = spark.readStream.format(classOf[PollingSourceProvider].getName)
+        .option("client", "restart").option("limit", "10").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => PollRunLog.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", dir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    PollRunLog.reset()
+    run()
+    assert(PollRunLog.ids.sorted == Seq(1L, 2L))
+    // new row + an already-delivered boundary row; only the new one arrives
+    client.all = rows1 ++ Seq((3L, "c", 1003L))
+    PollRunLog.reset()
+    run()
+    assert(PollRunLog.ids == Seq(3L))
+  }
+
+  test("stall guard: full batch with one watermark fails the query (ST6)") {
+    val rows = (1L to 5L).map(i => (i, s"row$i", 999L))
+    PollClientRegistry.register("stalled", new FixedClient(rows))
+    val q = spark.readStream.format(classOf[PollingSourceProvider].getName)
+      .option("client", "stalled").option("limit", "3").load()
+      .writeStream.format("memory").queryName("poll_stall")
+      .trigger(Trigger.AvailableNow()).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[PollingStallError]))
+  }
+}
