@@ -73,11 +73,12 @@ class PollingSourceProvider extends TableProvider {
     new PollingTable(schema,
       properties.get("client"),
       Option(properties.get("limit")).map(_.toInt).getOrElse(10000),
-      Option(properties.get("startMicros")).map(_.toLong).getOrElse(Long.MinValue))
+      Option(properties.get("startMicros")).map(_.toLong).getOrElse(Long.MinValue),
+      Option(properties.get("maxBatches")).map(_.toInt).getOrElse(Int.MaxValue))
 }
 
 private class PollingTable(tableSchema: StructType, clientName: String,
-                           limit: Int, startMicros: Long)
+                           limit: Int, startMicros: Long, maxBatches: Int)
     extends Table with SupportsRead {
   override def name(): String = s"polling($clientName)"
   override def schema(): StructType = tableSchema
@@ -88,13 +89,16 @@ private class PollingTable(tableSchema: StructType, clientName: String,
     () => new Scan {
       override def readSchema(): StructType = tableSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new PollingMicroBatchStream(tableSchema, clientName, limit, startMicros)
+        new PollingMicroBatchStream(tableSchema, clientName, limit, startMicros, maxBatches)
     }
 }
 
 private class PollingMicroBatchStream(schema: StructType, clientName: String,
-                                      limit: Int, startMicros: Long)
+                                      limit: Int, startMicros: Long, maxBatches: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // ST8/MAX_BATCHES: per-run cap on micro-batches (the reference's
+  // MAX_BATCHES env, lib/pipeline_controller.py:121-124).
+  private val batchesPlanned = new java.util.concurrent.atomic.AtomicInteger(0)
   private def client = PollClientRegistry.get(clientName)
   private val wmIdx = schema.fieldIndex(client.watermarkField)
   // rows fetched for the current (start, end] window, keyed by start offset
@@ -137,6 +141,7 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
 
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[PollOffset].micros
+    if (batchesPlanned.get() >= maxBatches) return PollOffset(committed)
     val rows0 = client.poll(committed, limit)
     val rows = availableNowBound match {
       case Some(b) => rows0.filter(r => micros(r(wmIdx)) <= b)
@@ -151,6 +156,7 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
         throw new PollingStallError(
           "Too many records found with the same timestamp")
       }
+      batchesPlanned.incrementAndGet()
       PollOffset(wms.max)
     }
   }

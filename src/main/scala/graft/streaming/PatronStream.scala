@@ -32,6 +32,72 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object PatronStream {
 
+  /** Run all three modes as ONE streaming query over mode-tagged unioned
+    * sources, with a single global dropDuplicates — the Spark-native form
+    * of the reference's shared `processed_ids` across its three sequential
+    * runs (O1; SURVEY §7.4 risk 5): a patron appearing in several modes'
+    * windows is emitted exactly once. Mode priority at equal keys follows
+    * the reference's sequential order (NEW first) via min(mode_rank)
+    * pre-aggregation inside each micro-batch plus the cross-batch state.
+    *
+    * `newStream`/`updatedStream` carry the Sierra active schema;
+    * `deletedStream` the 2-column deleted schema (padded to match).
+    */
+  def runAll(newStream: DataFrame, updatedStream: DataFrame,
+             deletedStream: DataFrame, deps: PatronPipeline.Deps,
+             checkpointDir: String, sink: AvroSink.RecordSink): StreamingQuery = {
+    def tag(df: DataFrame, rank: Int) =
+      PatronPipeline.withCanonicalId(df).withColumn("__mode_rank", lit(rank))
+    val unioned = tag(newStream, 0)
+      .unionByName(tag(updatedStream, 1), allowMissingColumns = true)
+      .unionByName(tag(deletedStream, 2), allowMissingColumns = true)
+    // Seen-keys state lives as parquet beside the checkpoint (the
+    // reference's `processed_ids` set, but distributed: the unseen filter
+    // is a left-anti join, not a driver-side set). Stream-level
+    // dropDuplicates can't express mode priority — it would keep an
+    // arbitrary mode's row when one patron lands in two modes in the same
+    // micro-batch.
+    val seenPath = s"$checkpointDir/seen_keys"
+    unioned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val seen =
+            try spark.read.parquet(seenPath)
+            catch { case _: Throwable =>
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("patron_id_plaintext",
+                    org.apache.spark.sql.types.StringType))))
+            }
+          // within a batch: highest-priority mode wins (NEW < UPDATED <
+          // DELETED — the reference's sequential run order)
+          val best = PatronPipeline.dedupKeepFirst(
+            PatronPipeline.filterUnseen(batch, seen), Seq(col("__mode_rank")))
+            .persist()
+          try {
+            val newRows = best.filter(col("__mode_rank") === 0)
+            val updRows = best.filter(col("__mode_rank") === 1)
+            val delRows = best.filter(col("__mode_rank") === 2)
+              .select("patron_id_plaintext", "deletion_date_et")
+            if (!newRows.isEmpty) AvroSink.write(
+              PatronPipeline.processActivePatrons(newRows, PipelineMode.NewPatrons,
+                deps, Seq(col(PipelineMode.NewPatrons.orderingField))), sink)
+            if (!updRows.isEmpty) AvroSink.write(
+              PatronPipeline.processActivePatrons(updRows, PipelineMode.UpdatedPatrons,
+                deps, Seq(col(PipelineMode.UpdatedPatrons.orderingField))), sink)
+            if (!delRows.isEmpty) AvroSink.write(
+              PatronPipeline.processDeletedPatrons(delRows, deps), sink)
+            best.select("patron_id_plaintext")
+              .write.mode("append").parquet(seenPath)
+          } finally best.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Run one mode as a streaming query. `stream` is any streaming
     * DataFrame with the Sierra schema (file, Kafka, or a custom JDBC
     * micro-batch source).

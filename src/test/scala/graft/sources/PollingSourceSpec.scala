@@ -86,6 +86,18 @@ class PollingSourceSpec extends AnyFunSuite {
     assert(PollRunLog.ids == Seq(3L))
   }
 
+  test("maxBatches caps a run (MAX_BATCHES, lib/pipeline_controller.py:121-124)") {
+    val rows = (1L to 10L).map(i => (i, s"row$i", 2000L + i))
+    PollClientRegistry.register("capped", new FixedClient(rows))
+    val q = spark.readStream.format(classOf[PollingSourceProvider].getName)
+      .option("client", "capped").option("limit", "3").option("maxBatches", "2")
+      .load()
+      .writeStream.format("memory").queryName("poll_capped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("poll_capped").count() == 6) // 2 batches × 3 rows
+  }
+
   test("stall guard: full batch with one watermark fails the query (ST6)") {
     val rows = (1L to 5L).map(i => (i, s"row$i", 999L))
     PollClientRegistry.register("stalled", new FixedClient(rows))
