@@ -20,7 +20,8 @@ object Bench {
     "q16_hourly_rollup", "q17_sessionization", "q18_json_extract",
     "q19_dedup_exact", "q20_token_stats", "q21_quality_score",
     "q22_langid", "q25_minhash_lsh", "q26_simhash",
-    "q27_knn_brute", "q28_embed_stats", "q29_ann_lsh")
+    "q27_knn_brute", "q28_embed_stats", "q29_ann_lsh",
+    "q30_embed_neardup", "q31_set_ops", "q32_rollup", "q33_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

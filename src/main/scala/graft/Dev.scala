@@ -1,7 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Scratch runner for local iteration (not part of the driver contract). */
+/** Scratch runner for local iteration (not part of the driver contract).
+  * Edit freely: point it at whatever flow is under verification, run with
+  * `sbt "runMain graft.Dev"` (see .claude/skills/verify/SKILL.md).
+  */
 object Dev {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -13,13 +16,8 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q01_pricing_summary", "q02_revenue_by_nation",
-        "q05_incremental_scan", "q08_semi_join", "q16_hourly_rollup")) {
-      println(s"==== $name")
-      println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-    }
+    val df = SparkEntry.entry(spark)
+    println(s"ENTRY_ROWS=${df.count()}")
     spark.stop()
   }
 }
