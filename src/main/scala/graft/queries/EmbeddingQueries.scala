@@ -88,11 +88,19 @@ object EmbeddingQueries {
       |     * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q34 — IVF-indexed ANN (coarse k-means quantizer, nProbe lists
+    * scanned). Approximate ⇒ rows-only check; recall pinned by
+    * OperatorsSpec.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(Tables.embeddings(s, dir), 0L, 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_knn_brute" -> (q27 _),
     "q28_embed_stats" -> (q28 _),
     "q29_ann_lsh" -> (q29 _),
-    "q30_embed_neardup" -> (q30 _))
+    "q30_embed_neardup" -> (q30 _),
+    "q34_ann_ivf" -> (q34 _))
 
   val oracles: Map[String, String] = Map(
     "q27_knn_brute" -> q27Sql,

@@ -47,6 +47,19 @@ class OperatorsSpec extends AnyFunSuite {
       .head().getLong(0) == n)
   }
 
+  test("IVF ANN: self first, scores exact, high recall vs brute top-10") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute10 = Similarity.knnBruteForce(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val bruteAll = Similarity.knnBruteForce(emb, 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.annIvf(emb, 0L, 10, nlist = 8, nProbe = 3).collect()
+    assert(ivf.head.getLong(0) == 0L)
+    ivf.foreach(r => assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+    val recall = ivf.count(r => brute10.contains(r.getLong(0))).toDouble / 10
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("ANN bucket results are a subset of brute-force ranking, self first") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.knnBruteForce(emb, 0L, 20).collect()
