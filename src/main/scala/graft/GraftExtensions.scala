@@ -1,0 +1,30 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions entry point: registers graft's native functions in
+  * every session, including SQL-only ones — wire up with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * so `SELECT graft_cosine_similarity(a.embedding, b.embedding)` works
+  * from pure SQL on a cluster without any driver-side registration call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      FunctionIdentifier(CosineSimilarity.functionName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        CosineSimilarity.functionName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"${CosineSimilarity.functionName} takes exactly 2 arguments")
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions entry point: a fresh session configured with
+  * spark.sql.extensions=graft.GraftExtensions can call the native
+  * functions from pure SQL.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("graft_cosine_similarity is available via spark.sql.extensions") {
+    // getOrCreate would silently return the shared TestSpark session and
+    // drop the extensions config — clear the active/default session and
+    // build a fresh one over the same SparkContext, restoring after.
+    val shared = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val got = spark.sql(
+        """SELECT graft_cosine_similarity(
+          |  array(cast(1.0 as float), cast(0.0 as float)),
+          |  array(cast(1.0 as float), cast(0.0 as float))) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(got - 1.0) < 1e-12)
+      val ortho = spark.sql(
+        """SELECT graft_cosine_similarity(
+          |  array(cast(1.0 as float), cast(0.0 as float)),
+          |  array(cast(0.0 as float), cast(1.0 as float))) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(ortho) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
