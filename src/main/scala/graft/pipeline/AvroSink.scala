@@ -54,6 +54,30 @@ object AvroSink extends Logging {
     reader.read(null, dec)
   }
 
+  /** S5: fetch the authoritative output schema from a registry at startup
+    * (reference lib/pipeline_controller.py:59 — AvroEncoder fetches
+    * PATRON_INFO_SCHEMA_URL). Accepts either a bare Avro schema document
+    * or a `{"data": {"schema": "<json-string>"}}` envelope. Transport is
+    * injectable (this build has no egress).
+    */
+  def fetchSchemaJson(url: String,
+                      transport: String => String = defaultHttpGet): String = {
+    val body = transport(url)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(body)
+    val node = root.path("data").path("schema")
+    val schemaJson =
+      if (!node.isMissingNode && node.isTextual) node.asText() else body
+    new Schema.Parser().parse(schemaJson) // validate before returning
+    schemaJson
+  }
+
+  private def defaultHttpGet(url: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
   /** Record transport (reference KinesisClient.send_records). */
   trait RecordSink extends Serializable {
     /** Deliver one chunk of ≤ maxBatch records. */

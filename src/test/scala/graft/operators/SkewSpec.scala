@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted two-phase aggregation / salted join equal their unsalted plans. */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("saltedAggregate equals plain groupBy for algebraic aggregates") {
+    val li = Tables.lineitem(spark, dir)
+    val salted = Skew.saltedAggregate(li, Seq("l_returnflag"), salts = 7, Seq(
+      Skew.SaltedSum("l_quantity", "sq"), Skew.SaltedCount("n"),
+      Skew.SaltedMin("l_orderkey", "mn"), Skew.SaltedMax("l_orderkey", "mx")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val plain = li.groupBy("l_returnflag").agg(
+      sum("l_quantity").as("sq"), count(lit(1)).as("n"),
+      min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // l_quantity values are integral doubles → sums exact in any order
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+    val salted = Skew.saltedJoin(o, c, "o_custkey", salts = 5)
+      .select("o_orderkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val plain = o.join(c, Seq("o_custkey"), "left")
+      .select("o_orderkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(salted == plain)
+  }
+}
