@@ -92,6 +92,30 @@ object Hashing {
     out
   }
 
+  /** 64-bit SimHash over token hashes, as a Long (bit k set iff the
+    * weighted bit-k vote over tokens is positive).
+    */
+  def simhash64(tokenHashes: Array[Long]): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < tokenHashes.length) {
+      val h = tokenHashes(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash over token hashes, as a bit string (MSB first). */
   def simhashBits(tokenHashes: Array[Long]): String = {
     val counts = new Array[Int](64)

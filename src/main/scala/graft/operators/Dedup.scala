@@ -100,6 +100,46 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** SimHash near-duplicate pairs: band the 64-bit signature into
+    * `bands` equal chunks, pair docs sharing any chunk, verify with the
+    * codegen'd Hamming expression. Pigeonhole guarantee: any pair with
+    * Hamming distance < `bands` shares at least one clean chunk, so
+    * recall is exact for maxDist ≤ bands-1 (8 bands ⇒ exact ≤ 7); above
+    * that it degrades gracefully. Same shuffle shape as [[minhashLsh]]:
+    * only (bucket, id) pairs move.
+    */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sigUdf = udf { text: String =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      Hashing.simhash64(toks.map(Hashing.stringHash64))
+    }
+    val sigs = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          // band index in the high bits keeps buckets of different bands apart
+          (shiftrightunsigned(col("sig"), b * bits).bitwiseAND(lit(mask)))
+            .bitwiseOR(lit(b.toLong << 56))
+        }: _*)).as("bucket"))
+      .select("doc_id", "bucket")
+    val left = banded.select(col("bucket"), col("doc_id").as("doc_a"))
+    val right = banded.select(col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = left.join(right, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming",
+        graft.functions.HammingDistance(docs.sparkSession, col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** SimHash per doc: 64-bit signature as a bit string. Near-dups have
     * small Hamming distance; bucketing on bit-prefixes gives an LSH analog.
     * JVM function per row for the same recompute reason as [[minhashLsh]].

@@ -39,6 +39,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(randomDists.sum.toDouble / randomDists.size > 15.0)
   }
 
+  test("simhashNearDup equals brute-force Hamming search for dist <= bands-1") {
+    import graft.functions.Hashing
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val sigs = texts.map { case (id, t) =>
+      id -> Hashing.simhash64(t.trim.toLowerCase.split("\\s+").map(Hashing.stringHash64))
+    }.toMap
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 7
+    } yield (a, b, d)).toSet
+    val got = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // the planted near-dups are simhash-close too
+  }
+
   test("exact dedup groups: one group per distinct text") {
     val n = docs.count()
     val groups = Dedup.exactGroups(docs, "doc_id", "text")
