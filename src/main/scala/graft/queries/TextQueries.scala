@@ -175,7 +175,16 @@ object TextQueries {
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q35 — SimHash banded near-dup search (Hamming ≤ 7, pigeonhole-exact
+    * recall with 8 bands). Engine-hash-dependent ⇒ rows-only check;
+    * equality with brute-force Hamming search pinned by OperatorsSpec.
+    */
+  def q35(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxDist = 7)
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_simhash_neardup" -> (q35 _),
     "q19_dedup_exact" -> (q19 _),
     "q20_token_stats" -> (q20 _),
     "q21_quality_score" -> (q21 _),
