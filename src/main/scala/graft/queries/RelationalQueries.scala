@@ -378,16 +378,32 @@ object RelationalQueries {
     * reference has no grouped aggregation at all, SURVEY §2.4). Subtotal
     * rows surface via coalesce to 'ALL' so null-ordering differences
     * between engines can't skew the compare.
+    *
+    * Plan choice: built-in `rollup` replicates every input row once per
+    * grouping set (3× the scan feeding the shuffle). The finest-level
+    * aggregate is tiny and the decimal sums are associative, so subtotals
+    * are RE-aggregated from it instead — one pass over the data, then
+    * ~|groups| rows of extra work. Bit-identical results.
     */
-  def q32(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum((eps * discFactor).cast(sumable)).cast("double").as("revenue"),
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum((eps * discFactor).cast(sumable)).as("rev_dec"),
         count(lit(1)).as("n"))
-      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("revenue"), col("n"))
+    val fine = base.select(col("l_returnflag").as("returnflag"),
+      col("l_linestatus").as("linestatus"), col("rev_dec"), col("n"))
+    val byFlag = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("rev_dec")).as("rev_dec"), sum(col("n")).as("n"))
+      .select(col("l_returnflag").as("returnflag"), lit("ALL").as("linestatus"),
+        col("rev_dec"), col("n"))
+    val total = base.agg(sum(col("rev_dec")).as("rev_dec"), sum(col("n")).as("n"))
+      .select(lit("ALL").as("returnflag"), lit("ALL").as("linestatus"),
+        col("rev_dec"), col("n"))
+    fine.unionByName(byFlag).unionByName(total)
+      .select(col("returnflag"), col("linestatus"),
+        col("rev_dec").cast("double").as("revenue"), col("n"))
       .orderBy("returnflag", "linestatus")
+  }
 
   val q32Sql: String =
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
