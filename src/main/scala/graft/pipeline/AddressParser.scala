@@ -66,13 +66,22 @@ object AddressParser {
   }
 
   /** ASCII transliteration of Latin letters (reference F8 `unidecode`):
-    * NFD-decompose and drop combining marks. Non-Latin symbols the
+    * NFD-decompose and drop combining marks, plus the common Latin
+    * ligatures/letters NFD cannot decompose. Non-Latin symbols the
     * reference's unidecode deletes are handled by the downstream regex
     * whitelists instead.
     */
-  def translit(s: String): String =
-    Normalizer.normalize(s, Normalizer.Form.NFD)
+  def translit(s: String): String = {
+    val pre = s.flatMap {
+      case 'ß' => "ss"; case 'Æ' => "AE"; case 'æ' => "ae"
+      case 'Œ' => "OE"; case 'œ' => "oe"; case 'Ø' => "O"; case 'ø' => "o"
+      case 'Đ' => "D"; case 'đ' => "d"; case 'Þ' => "Th"; case 'þ' => "th"
+      case 'Ł' => "L"; case 'ł' => "l"
+      case c => c.toString
+    }
+    Normalizer.normalize(pre, Normalizer.Form.NFD)
       .replaceAll("\\p{M}+", "")
+  }
 
   // F9 charset whitelists (reference helpers/address_helper.py:53-66) —
   // identical character classes.

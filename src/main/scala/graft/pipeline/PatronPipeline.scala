@@ -127,6 +127,10 @@ object PatronPipeline extends Logging {
       .withColumn("full_address",
         trim(concat(col("address"), lit(" "), col("city"), lit(" "),
           col("region"), lit(" "), col("postal_code"))))
+      // Consumed by up to three geocode tiers + the id projection; one
+      // batch's unknown rows fit memory by construction (≤ poll limit).
+      // Released by LRU eviction — per-batch explicit unpersist isn't
+      // possible while the returned plan still references it.
       .persist()
     val ids = addressDf.select("patron_id_plaintext", "patron_id")
 

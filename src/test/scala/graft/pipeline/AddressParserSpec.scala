@@ -72,6 +72,11 @@ class AddressParserSpec extends AnyFunSuite {
       in.fullAddress, "123", "REAL AVE"))
   }
 
+  test("translit covers ligatures and special Latin letters (F8 unidecode)") {
+    assert(AddressParser.translit("Straße ÆON Œuvre Øst Łódź") == "Strasse AEON OEuvre Ost Lodz")
+    assert(AddressParser.translit("ÁVE çafé") == "AVE cafe")
+  }
+
   test("heuristic tagger covers the reference cascade shapes") {
     // tier-2 census inputs from tests/test_pipeline_controller.py:204-217
     val p3 = reformat(AddressParts("456 address", "Brooklyn", "NY", "22222",
