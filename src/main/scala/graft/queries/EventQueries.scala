@@ -53,7 +53,7 @@ object EventQueries {
   }
 
   val q17Sql: String =
-    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events FROM (
+    """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
       | SELECT user_id,
       |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -80,7 +80,7 @@ object EventQueries {
 
   val q18Sql: String =
     """SELECT event_type,
-      | SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS n_k
+      | CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(k) AS n_k
       |FROM (SELECT event_type,
       |        CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
       |      FROM events) t

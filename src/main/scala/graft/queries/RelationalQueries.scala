@@ -306,8 +306,8 @@ object RelationalQueries {
 
   val q13Sql: String =
     """SELECT l_returnflag,
-      | SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big,
-      | SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS n_nodisc,
+      | CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      | CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodisc,
       | COUNT(*) AS n_total
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -157,7 +157,20 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
           "Too many records found with the same timestamp")
       }
       batchesPlanned.incrementAndGet()
-      PollOffset(wms.max)
+      // A full page may end MID-watermark-group: rows beyond the page can
+      // share wms.max, and the next poll is strictly `>`, so advancing to
+      // wms.max would skip them forever. Trim the trailing group from the
+      // delivered window (planInputPartitions filters to `<= end`) and
+      // advance only to the max watermark of the kept rows; the trimmed
+      // rows lead the next page. A non-full page has no rows beyond it,
+      // so its max is safe. (The reference instead re-polls with >= and
+      // drops re-delivered rows via processed_ids —
+      // lib/pipeline_controller.py:165-174; same delivery, no replays.)
+      if (rows.size == limit) {
+        val boundary = wms.last
+        // wms is ordered; the stall guard above guarantees a smaller value exists
+        PollOffset(wms.filter(_ < boundary).max)
+      } else PollOffset(wms.max)
     }
   }
 

@@ -98,6 +98,26 @@ class PollingSourceSpec extends AnyFunSuite {
     assert(spark.table("poll_capped").count() == 6) // 2 batches × 3 rows
   }
 
+  test("a full page ending mid-watermark-group delivers every row sharing the boundary") {
+    // limit=3 → first page is [1@1001, 2@1002, 3@1002] but row 4 also sits
+    // at 1002; a naive advance to 1002 with strictly-greater polling would
+    // skip row 4 forever. The source must trim the trailing group and
+    // re-deliver it with the next page.
+    val rows = Seq(
+      (1L, "a", 1001L), (2L, "b", 1002L), (3L, "c", 1002L),
+      (4L, "d", 1002L), (5L, "e", 1003L))
+    PollClientRegistry.register("midgroup", new FixedClient(rows))
+    val q = spark.readStream.format(classOf[PollingSourceProvider].getName)
+      .option("client", "midgroup").option("limit", "3").load()
+      .writeStream.format("memory").queryName("poll_midgroup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("poll_midgroup").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // and no duplicates: exactly five rows delivered
+    assert(spark.table("poll_midgroup").count() == 5)
+  }
+
   test("stall guard: full batch with one watermark fails the query (ST6)") {
     val rows = (1L to 5L).map(i => (i, s"row$i", 999L))
     PollClientRegistry.register("stalled", new FixedClient(rows))

@@ -62,7 +62,20 @@ def main():
                 for df in (g, e):
                     if pd.api.types.is_datetime64_any_dtype(df[c]):
                         df[c] = pd.to_datetime(df[c], utc=True).dt.tz_localize(None)
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            # the driver's hash is dtype-sensitive (HUGEINT→float64 vs
+            # BIGINT→int64 hash differently) — compare dtypes strictly
+            dt_mismatch = [
+                c for c in g.columns if str(g[c].dtype) != str(e[c].dtype)
+            ]
+            if dt_mismatch:
+                raise AssertionError(
+                    "dtype mismatch: "
+                    + ", ".join(
+                        f"{c}: spark={g[c].dtype} oracle={e[c].dtype}"
+                        for c in dt_mismatch
+                    )
+                )
+            pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
         except AssertionError as ex:
