@@ -142,35 +142,45 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[PollOffset].micros
     if (batchesPlanned.get() >= maxBatches) return PollOffset(committed)
-    val rows0 = client.poll(committed, limit)
+    // Poll one row PAST the page so we can tell whether the boundary
+    // watermark group genuinely straddles it. The next poll is strictly
+    // `>`, so advancing to wms.max while rows beyond the page share it
+    // would skip those rows forever — but trimming unconditionally (as a
+    // prior revision did) shrinks every full page by one group and
+    // false-triggers the stall guard when the trimmed group re-fills the
+    // next page exactly. (The reference instead re-polls with >= and drops
+    // re-delivered rows via processed_ids — lib/pipeline_controller.py:
+    // 165-174; same delivery, no replays.)
+    val rows0 = client.poll(committed, limit + 1)
     val rows = availableNowBound match {
       case Some(b) => rows0.filter(r => micros(r(wmIdx)) <= b)
       case None => rows0
     }
-    fetched = (committed, rows)
-    if (rows.isEmpty) PollOffset(committed)
+    val page = rows.take(limit)
+    fetched = (committed, page)
+    if (page.isEmpty) PollOffset(committed)
     else {
-      val wms = rows.map(r => micros(r(wmIdx)))
-      // ST6: full batch, single watermark value → offset cannot advance.
-      if (rows.size == limit && wms.head == wms.last) {
-        throw new PollingStallError(
-          "Too many records found with the same timestamp")
+      val wms = page.map(r => micros(r(wmIdx)))
+      val straddles = rows.size > limit && micros(rows(limit)(wmIdx)) == wms.last
+      if (!straddles) {
+        // The page's last group ends at (or before) the page boundary:
+        // deliver every row and advance to its max watermark.
+        batchesPlanned.incrementAndGet()
+        PollOffset(wms.max)
+      } else {
+        // The boundary group spills past the page. Trim it from the
+        // delivered window (planInputPartitions filters to `<= end`) and
+        // advance only past the kept rows; the group leads the next page.
+        val kept = wms.filter(_ < wms.last)
+        if (kept.isEmpty) {
+          // ST6: the straddling group alone exceeds the page — the offset
+          // can never advance past it. Fail rather than loop.
+          throw new PollingStallError(
+            "Too many records found with the same timestamp")
+        }
+        batchesPlanned.incrementAndGet()
+        PollOffset(kept.max)
       }
-      batchesPlanned.incrementAndGet()
-      // A full page may end MID-watermark-group: rows beyond the page can
-      // share wms.max, and the next poll is strictly `>`, so advancing to
-      // wms.max would skip them forever. Trim the trailing group from the
-      // delivered window (planInputPartitions filters to `<= end`) and
-      // advance only to the max watermark of the kept rows; the trimmed
-      // rows lead the next page. A non-full page has no rows beyond it,
-      // so its max is safe. (The reference instead re-polls with >= and
-      // drops re-delivered rows via processed_ids —
-      // lib/pipeline_controller.py:165-174; same delivery, no replays.)
-      if (rows.size == limit) {
-        val boundary = wms.last
-        // wms is ordered; the stall guard above guarantees a smaller value exists
-        PollOffset(wms.filter(_ < boundary).max)
-      } else PollOffset(wms.max)
     }
   }
 
@@ -182,7 +192,7 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
     val s = start.asInstanceOf[PollOffset].micros
     val e = end.asInstanceOf[PollOffset].micros
     val rows =
-      (if (fetched._1 == s) fetched._2 else client.poll(s, limit))
+      (if (fetched._1 == s) fetched._2 else client.poll(s, limit + 1))
         .filter(r => { val m = micros(r(wmIdx)); m > s && m <= e })
     Array(PollPartition(rows))
   }
