@@ -40,13 +40,16 @@ object Main {
     Seq("sierra_active_new", "sierra_active_updated", "sierra_deleted")
       .foreach(PollClientRegistry.get) // fail fast with a clear message
 
+    // The source polls strictly `> startMicros`; the reference's scans are
+    // `>= start` (helpers/query_helper.py:22,36), so the configured instant
+    // itself must be included — start one micro before it.
     def stream(client: String, limit: Int, startMicros: Long): DataFrame = {
       val reader = spark.readStream
         .format(classOf[PollingSourceProvider].getName)
         .option("client", client)
         .option("limit", limit)
       val withStart =
-        if (cfg.ignoreCache) reader.option("startMicros", startMicros) else reader
+        if (cfg.ignoreCache) reader.option("startMicros", startMicros - 1) else reader
       cfg.maxBatches.fold(withStart)(m => withStart.option("maxBatches", m)).load()
     }
 
@@ -75,7 +78,8 @@ object Main {
         Config.startMicros(cfg.startingCreationDt)),
       stream("sierra_active_updated", cfg.activePatronBatchSize,
         Config.startMicros(cfg.startingUpdateDt)),
-      stream("sierra_deleted", cfg.deletedPatronBatchSize, Long.MinValue),
+      stream("sierra_deleted", cfg.deletedPatronBatchSize,
+        Config.dateMicros(cfg.startingDeletionDate)),
       deps, cfg.checkpointDir, sink)
     q.awaitTermination()
     spark.stop()

@@ -54,4 +54,13 @@ object Config {
     val i = java.time.OffsetDateTime.parse(isoWithOffset, fmt).toInstant
     i.getEpochSecond * 1000000L + i.getNano / 1000
   }
+
+  /** STARTING_DELETION_DATE parsed to epoch micros. The deleted stream's
+    * watermark is a DATE column (deletion_date_gmt), so the reference
+    * default `2020-01-01` (lib/pipeline_controller.py:449-450) maps to that
+    * day's epoch-day micros — the same encoding the polling source uses for
+    * java.sql.Date watermarks.
+    */
+  def dateMicros(isoDate: String): Long =
+    java.time.LocalDate.parse(isoDate).toEpochDay * 86400000000L
 }

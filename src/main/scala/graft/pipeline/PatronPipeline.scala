@@ -73,6 +73,18 @@ object PatronPipeline extends Logging {
   def filterUnseen(df: DataFrame, seenKeys: DataFrame): DataFrame =
     df.join(seenKeys.select(col("patron_id_plaintext")), Seq("patron_id_plaintext"), "left_anti")
 
+  /** The reference's address-row priority: its scan ORDER BYs
+    * `display_order, patron_record_address_type_id` after the ordering
+    * field (helpers/query_helper.py:30) and `duplicated(keep='first')`
+    * (lib/pipeline_controller.py:176-181) keeps the lowest pair — that row
+    * feeds address_hash and geocoding, so the choice must be deterministic
+    * and identical to the reference's. Nulls last: a patron with no address
+    * row (all-null left join) never outranks a real address.
+    */
+  val addressPriority: Seq[Column] = Seq(
+    col("display_order").asc_nulls_last,
+    col("patron_record_address_type_id").asc_nulls_last)
+
   /** Keep-first-per-key dedup (reference A4,
     * lib/pipeline_controller.py:176-181). The reference keeps the first row
     * in SQL result order (ordering_field, display_order,

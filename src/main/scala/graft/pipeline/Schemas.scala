@@ -9,7 +9,13 @@ import org.apache.spark.sql.types._
 object Schemas {
 
   /** Sierra active-patrons scan result (12 cols, reference
-    * lib/pipeline_controller.py:27-30; types per FIXTURES.md §A1).
+    * lib/pipeline_controller.py:27-30; types per FIXTURES.md §A1), plus the
+    * two address-priority columns the reference only ORDER BYs
+    * (helpers/query_helper.py:30: `ORDER BY {ordering_field}, display_order,
+    * patron_record_address_type_id`). Pandas inherits that SQL order and
+    * `duplicated(keep='first')` implicitly keeps the lowest-priority-value
+    * address row; Spark has no input order, so the columns must be carried
+    * and the priority made explicit (see [[PatronPipeline.addressPriority]]).
     * `patron_id_plaintext` arrives as a long and is canonicalized to a
     * digit string (two-step cast, reference :147-148).
     */
@@ -25,7 +31,9 @@ object Schemas {
     StructField("circ_active_date_et", DateType),
     StructField("deletion_date_et", DateType),
     StructField("last_updated_timestamp", TimestampType),
-    StructField("creation_timestamp", TimestampType)))
+    StructField("creation_timestamp", TimestampType),
+    StructField("display_order", IntegerType),
+    StructField("patron_record_address_type_id", IntegerType)))
 
   /** Sierra deleted-patrons scan result (reference
     * lib/pipeline_controller.py:258-260).

@@ -64,18 +64,28 @@ object PatronStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // Only a MISSING state dir means "first run, nothing seen" — any
+          // other failure (corrupt files, transient IO) must fail the batch,
+          // or processed patrons would silently re-emit.
           val seen =
             try spark.read.parquet(seenPath)
-            catch { case _: Throwable =>
-              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("patron_id_plaintext",
-                    org.apache.spark.sql.types.StringType))))
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" =>
+                spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("patron_id_plaintext",
+                      org.apache.spark.sql.types.StringType))))
             }
           // within a batch: highest-priority mode wins (NEW < UPDATED <
-          // DELETED — the reference's sequential run order)
+          // DELETED — the reference's sequential run order); at equal mode,
+          // the lowest (display_order, patron_record_address_type_id)
+          // address row survives (the reference's SQL-order keep='first',
+          // helpers/query_helper.py:30). Deleted rows carry nulls there
+          // (2-col schema padded by unionByName) — nulls sort last.
           val best = PatronPipeline.dedupKeepFirst(
-            PatronPipeline.filterUnseen(batch, seen), Seq(col("__mode_rank")))
+            PatronPipeline.filterUnseen(batch, seen),
+            col("__mode_rank") +: PatronPipeline.addressPriority)
             .persist()
           try {
             val newRows = best.filter(col("__mode_rank") === 0)
@@ -84,10 +94,12 @@ object PatronStream {
               .select("patron_id_plaintext", "deletion_date_et")
             if (!newRows.isEmpty) AvroSink.write(
               PatronPipeline.processActivePatrons(newRows, PipelineMode.NewPatrons,
-                deps, Seq(col(PipelineMode.NewPatrons.orderingField))), sink)
+                deps, col(PipelineMode.NewPatrons.orderingField) +:
+                  PatronPipeline.addressPriority), sink)
             if (!updRows.isEmpty) AvroSink.write(
               PatronPipeline.processActivePatrons(updRows, PipelineMode.UpdatedPatrons,
-                deps, Seq(col(PipelineMode.UpdatedPatrons.orderingField))), sink)
+                deps, col(PipelineMode.UpdatedPatrons.orderingField) +:
+                  PatronPipeline.addressPriority), sink)
             if (!delRows.isEmpty) AvroSink.write(
               PatronPipeline.processDeletedPatrons(delRows, deps), sink)
             best.select("patron_id_plaintext")
@@ -105,9 +117,20 @@ object PatronStream {
   def runMode(stream: DataFrame, mode: PipelineMode, deps: PatronPipeline.Deps,
               checkpointDir: String, sink: AvroSink.RecordSink,
               batchSize: Long = Long.MaxValue): StreamingQuery = {
+    // State-store dedup key: active modes keep one row PER ADDRESS so the
+    // batch-level ordered dedup (not the state store's arbitrary
+    // first-arrival) picks which address survives — the polling source
+    // never splits a watermark group across pages, so all of a patron's
+    // address rows land in one micro-batch. A patron re-delivered in a
+    // later batch with unchanged address rows is still suppressed, as the
+    // reference's run-scoped processed_ids would.
     val canonical = PatronPipeline.withCanonicalId(stream)
-      .dropDuplicates("patron_id_plaintext")
-    canonical.writeStream
+    val deduped =
+      if (mode == PipelineMode.DeletedPatrons)
+        canonical.dropDuplicates("patron_id_plaintext")
+      else canonical.dropDuplicates(
+        "patron_id_plaintext", "display_order", "patron_record_address_type_id")
+    deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -115,7 +138,7 @@ object PatronStream {
           if (mode != PipelineMode.DeletedPatrons) {
             PatronPipeline.stallGuard(batch, batchSize, mode.orderingField)
             val out = PatronPipeline.processActivePatrons(batch, mode, deps,
-              Seq(col(mode.orderingField)))
+              col(mode.orderingField) +: PatronPipeline.addressPriority)
             AvroSink.write(out, sink)
           } else {
             PatronPipeline.stallGuard(batch, batchSize, mode.orderingField)
