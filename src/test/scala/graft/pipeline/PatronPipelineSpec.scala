@@ -30,26 +30,26 @@ class PatronPipelineSpec extends AnyFunSuite {
   private def activeSierraRows: Seq[Row] = Seq(
     Row(123L, 4, 5, "home_library1", "city1", "region1", "postal_code1",
       "address1", dt(2021, 1, 1), dt(2021, 1, 2), ts(2021, 1, 3, 23, 59, 59),
-      ts(2020, 12, 31, 23, 59, 59)),
+      ts(2020, 12, 31, 23, 59, 59), 1, 1),
     Row(456L, 5, 6, "home_library2", "city2", "region2", "postal_code2",
       "address2", dt(2021, 2, 1), dt(2021, 2, 2), ts(2021, 2, 3, 0, 0, 1),
-      ts(2020, 12, 30, 23, 59, 59)),
+      ts(2020, 12, 30, 23, 59, 59), 1, 1),
     Row(456L, 6, 7, "home_library3", "city3", "region3", "postal_code3",
       "address3", dt(2021, 3, 1), dt(2021, 3, 2), ts(2021, 3, 3, 3, 3, 3),
-      ts(2020, 12, 29, 23, 59, 59)),
+      ts(2020, 12, 29, 23, 59, 59), 1, 1),
     Row(789L, null, null, null, null, null, null, null, null, null,
-      ts(2021, 4, 3, 4, 4, 4), ts(2020, 12, 28, 23, 59, 59)))
+      ts(2021, 4, 3, 4, 4, 4), ts(2020, 12, 28, 23, 59, 59), null, null))
 
   // _EXTRA_SIERRA_RESULTS (:44-61): warehouse-known 999/888, seen 777.
   private def extraSierraRows: Seq[Row] = Seq(
     Row(999L, 9, 9, "home_library9", "city9", "region9", "postal_code9",
       "address9", dt(2021, 9, 1), dt(2021, 9, 2), ts(2021, 9, 3, 23, 59, 59),
-      ts(2020, 12, 1, 23, 59, 59)),
+      ts(2020, 12, 1, 23, 59, 59), 1, 1),
     Row(888L, 8, 8, "home_library8", "city8", "region8", "postal_code8",
       "address8", dt(2021, 8, 1), dt(2021, 8, 2), ts(2021, 8, 3, 23, 59, 59),
-      ts(2020, 12, 2, 23, 59, 59)),
+      ts(2020, 12, 2, 23, 59, 59), 1, 1),
     Row(777L, null, null, null, null, null, null, null, null, null,
-      ts(2021, 4, 3, 4, 4, 4), ts(2022, 7, 7, 7, 7, 7)))
+      ts(2021, 4, 3, 4, 4, 4), ts(2022, 7, 7, 7, 7, 7), null, null))
 
   private def sierraDf(rows: Seq[Row]): DataFrame =
     PatronPipeline.withCanonicalId(
@@ -161,9 +161,36 @@ class PatronPipelineSpec extends AnyFunSuite {
         "2021-03-03", "2022-03-03", "2021-06-03", 3L, 4L, "cc", "dd")))
   }
 
+  test("priority dedup keeps the lowest (display_order, type_id) address " +
+      "(helpers/query_helper.py:30, lib/pipeline_controller.py:176-181)") {
+    // Same patron, same ordering timestamp, two address rows: the reference's
+    // SQL ORDER BY + keep='first' keeps display_order 1 over 2 regardless of
+    // arrival order; that row feeds address_hash.
+    val rows = Seq(
+      Row(456L, 5, 6, "home_library2", "city2", "region2", "postal_code2",
+        "addressA", dt(2021, 2, 1), dt(2021, 2, 2), ts(2021, 2, 3, 0, 0, 1),
+        ts(2020, 12, 30, 23, 59, 59), 2, 1),
+      Row(456L, 5, 6, "home_library2", "city2", "region2", "postal_code2",
+        "addressB", dt(2021, 2, 1), dt(2021, 2, 2), ts(2021, 2, 3, 0, 0, 1),
+        ts(2020, 12, 30, 23, 59, 59), 1, 2))
+    val obf = new MapObfuscator(Map(
+      "456_addressA_city2_region2_postal_code2" -> "obf_A",
+      "456_addressB_city2_region2_postal_code2" -> "obf_B",
+      "456" -> "obf_456"))
+    val d = PatronPipeline.Deps(obf, new MapGeocoder(Map("456" -> "g")),
+      new MapGeocoder(Map.empty), emptyLookup,
+      PatronPipeline.staticLookup(redshiftPatronDf, "patron_id"), emptyLookup)
+    val out = PatronPipeline.processActivePatrons(
+      sierraDf(rows), PipelineMode.NewPatrons, d,
+      col("last_updated_timestamp") +: PatronPipeline.addressPriority)
+    val got = out.select("patron_id", "address_hash").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("obf_456", "obf_B")))
+  }
+
   test("stall guard raises on a full batch with one timestamp (:549-597)") {
     val rows = activeSierraRows.map(r =>
-      Row.fromSeq(r.toSeq.init :+ ts(2021, 1, 1, 0, 0, 0)))
+      Row.fromSeq(r.toSeq.updated(11, ts(2021, 1, 1, 0, 0, 0))))
     val df = sierraDf(rows)
     intercept[PatronPipeline.PipelineStallError] {
       PatronPipeline.stallGuard(df, batchSize = 4, "creation_timestamp")

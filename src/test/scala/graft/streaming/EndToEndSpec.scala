@@ -28,21 +28,22 @@ class EndToEndSpec extends AnyFunSuite {
   private class SierraStandIn(rows: Seq[Seq[Any]]) extends PollClient {
     override def schema: StructType = Schemas.sierraActive
     override val watermarkField = "creation_timestamp"
+    private val wmIdx = schema.fieldIndex(watermarkField)
     override def poll(afterMicros: Long, limit: Int): Seq[Seq[Any]] =
       rows.filter { r =>
-        val t = r.last.asInstanceOf[Timestamp]
+        val t = r(wmIdx).asInstanceOf[Timestamp]
         t.getTime * 1000L > afterMicros
-      }.sortBy(_.last.asInstanceOf[Timestamp].getTime).take(limit)
+      }.sortBy(_(wmIdx).asInstanceOf[Timestamp].getTime).take(limit)
   }
 
   test("poll source → pipeline → Avro → sink, two micro-batches") {
     val rows: Seq[Seq[Any]] = Seq(
       Seq(123L, 4, 5, "lib1", "city1", "region1", "10001-99", "1 REAL AVE",
-        dt(2021, 1, 1), null, ts(2021, 1, 3), ts(2020, 12, 28)),
+        dt(2021, 1, 1), null, ts(2021, 1, 3), ts(2020, 12, 28), 1, 1),
       Seq(456L, 5, 6, "lib2", "city2", "region2", "10002-99", "2 REAL AVE",
-        dt(2021, 2, 1), null, ts(2021, 2, 3), ts(2020, 12, 29)),
+        dt(2021, 2, 1), null, ts(2021, 2, 3), ts(2020, 12, 29), 1, 1),
       Seq(789L, 6, 7, "lib3", "city3", "region3", "10003-99", "3 REAL AVE",
-        dt(2021, 3, 1), null, ts(2021, 3, 3), ts(2020, 12, 30)))
+        dt(2021, 3, 1), null, ts(2021, 3, 3), ts(2020, 12, 30), 1, 1))
     PollClientRegistry.register("sierra_e2e", new SierraStandIn(rows))
 
     val deps = PatronPipeline.Deps(

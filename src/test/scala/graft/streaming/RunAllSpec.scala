@@ -31,12 +31,12 @@ class RunAllSpec extends AnyFunSuite {
 
     // 123 appears in both NEW and UPDATED; 456 only UPDATED; 999 deleted.
     active(Row(123L, 4, 5, "lib1", "c", "r", "11111", "1 ave", dt(2021, 1, 1),
-      null, ts(2021, 1, 3), ts(2020, 12, 28))).write.parquet(s"$dir/new")
+      null, ts(2021, 1, 3), ts(2020, 12, 28), 1, 1)).write.parquet(s"$dir/new")
     active(
       Row(123L, 4, 5, "lib1", "c", "r", "11111", "1 ave", dt(2021, 1, 1),
-        null, ts(2021, 1, 3), ts(2020, 12, 28)),
+        null, ts(2021, 1, 3), ts(2020, 12, 28), 1, 1),
       Row(456L, 5, 6, "lib2", "c", "r", "22222", "2 ave", dt(2021, 2, 1),
-        null, ts(2021, 2, 3), ts(2020, 12, 29))).write.parquet(s"$dir/upd")
+        null, ts(2021, 2, 3), ts(2020, 12, 29), 1, 1)).write.parquet(s"$dir/upd")
     deleted(Row(999L, dt(2022, 1, 1))).write.parquet(s"$dir/del")
 
     val addressTable = spark.createDataFrame(Seq.empty[Row].asJava, Schemas.redshiftAddress)

@@ -37,10 +37,10 @@ class StreamingSpec extends AnyFunSuite {
     // (boundary re-delivery, must be deduped by state) + new 999.
     sierraRows(Seq(
       Row(123L, 4, 5, "lib1", "c", "r", "11111", "1 ave", dt(2021, 1, 1),
-        null, ts(2021, 1, 3), ts(2020, 12, 31)))).write.parquet(s"$srcDir/b1")
+        null, ts(2021, 1, 3), ts(2020, 12, 31), 1, 1))).write.parquet(s"$srcDir/b1")
     sierraRows(Seq(
       Row(456L, 5, 6, "lib2", "c", "r", "22222", "2 ave", dt(2021, 2, 1),
-        null, ts(2021, 2, 3), ts(2020, 12, 30)))).write.parquet(s"$srcDir/b2")
+        null, ts(2021, 2, 3), ts(2020, 12, 30), 1, 1))).write.parquet(s"$srcDir/b2")
 
     val deps = PatronPipeline.Deps(
       new Sha256Obfuscator("salt"),
@@ -66,9 +66,9 @@ class StreamingSpec extends AnyFunSuite {
     // dedup state → dropped) plus new 999 → only 999 is emitted.
     sierraRows(Seq(
       Row(456L, 5, 6, "lib2", "c", "r", "22222", "2 ave", dt(2021, 2, 1),
-        null, ts(2021, 2, 3), ts(2020, 12, 30)),
+        null, ts(2021, 2, 3), ts(2020, 12, 30), 1, 1),
       Row(999L, 9, 9, "lib9", "c", "r", "33333", "3 ave", dt(2021, 9, 1),
-        null, ts(2021, 9, 3), ts(2020, 12, 1)))).write.parquet(s"$srcDir/b3")
+        null, ts(2021, 9, 3), ts(2020, 12, 1), 1, 1))).write.parquet(s"$srcDir/b3")
     StreamSinkLog.reset()
     val q2 = PatronStream.runMode(
       spark.readStream.schema(Schemas.sierraActive).parquet(s"$srcDir/*"),
