@@ -259,16 +259,26 @@ object PatronPipeline extends Logging {
     shapeActiveOutput(merged)
   }
 
+  /** Max missing-patron ids named in the backfill warning (J5/O7). */
+  private[pipeline] val missingWarnSample = 20
+
   private[pipeline] def backfillIphlc(df: DataFrame, deps: Deps): DataFrame = {
     val needs = df.filter(col("initial_patron_home_library_code").isNull)
       .select(col("patron_id"))
     val found = deps.iphlcLookup(needs)
       .withColumnRenamed("initial_patron_home_library_code", "iphlc_found")
-    val missing = needs.join(found, Seq("patron_id"), "left_anti")
-      .collect().map(_.getString(0)).sorted
-    if (missing.nonEmpty) {
+    // Warn with a BOUNDED sample: collecting every missing id to the driver
+    // is unbounded at scale (a cold warehouse could miss a whole batch).
+    val missingDf = needs.join(found, Seq("patron_id"), "left_anti")
+    val missingCount = missingDf.count()
+    if (missingCount > 0) {
+      val sample = missingDf.sort("patron_id").limit(missingWarnSample)
+        .collect().map(_.getString(0))
+      val suffix = if (missingCount > sample.length)
+        s" … and ${missingCount - sample.length} more" else ""
       logWarning("The following updated patrons could not be found in " +
-        s"Redshift: ${missing.mkString("['", "', '", "']")}")
+        s"Redshift ($missingCount total): " +
+        sample.mkString("['", "', '", "']") + suffix)
     }
     df.join(broadcast(found), Seq("patron_id"), "left")
       .withColumn("initial_patron_home_library_code",

@@ -390,12 +390,16 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum((eps * discFactor).cast(sumable)).as("rev_dec"),
         count(lit(1)).as("n"))
-    val fine = base.select(col("l_returnflag").as("returnflag"),
-      col("l_linestatus").as("linestatus"), col("rev_dec"), col("n"))
+    // NULL group keys must surface as 'ALL' at every level, exactly as the
+    // oracle's COALESCE does — raw NULLs here would hash-diverge on data
+    // with nullable keys even though the aggregates match.
+    val fine = base.select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+      coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+      col("rev_dec"), col("n"))
     val byFlag = base.groupBy(col("l_returnflag"))
       .agg(sum(col("rev_dec")).as("rev_dec"), sum(col("n")).as("n"))
-      .select(col("l_returnflag").as("returnflag"), lit("ALL").as("linestatus"),
-        col("rev_dec"), col("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        lit("ALL").as("linestatus"), col("rev_dec"), col("n"))
     val total = base.agg(sum(col("rev_dec")).as("rev_dec"), sum(col("n")).as("n"))
       .select(lit("ALL").as("returnflag"), lit("ALL").as("linestatus"),
         col("rev_dec"), col("n"))

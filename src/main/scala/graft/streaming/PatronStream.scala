@@ -113,6 +113,20 @@ object PatronStream {
   /** Run one mode as a streaming query. `stream` is any streaming
     * DataFrame with the Sierra schema (file, Kafka, or a custom JDBC
     * micro-batch source).
+    *
+    * ST6 ownership (intentional deviation from the reference's guard,
+    * lib/pipeline_controller.py:150-162): the reference stalls on ANY full
+    * batch sharing one timestamp because its next `>=` scan would loop.
+    * Here the SOURCE owns stall detection — [[graft.sources.PollingSource]]
+    * polls `limit+1` rows and fails only when a watermark group alone
+    * exceeds the page (the one case its strict-`>` offset genuinely cannot
+    * advance past), and file/Kafka sources define batches by offsets that
+    * always advance. Re-checking count==batchSize here would kill the
+    * legitimate final full page whose rows share one watermark, and after
+    * the per-address `dropDuplicates` the batch count no longer equals the
+    * page size anyway. `batchSize` applies [[PatronPipeline.stallGuard]]
+    * for sources with no guard of their own (the reference's batch-mode
+    * parity path); pass the default to delegate ST6 to the source.
     */
   def runMode(stream: DataFrame, mode: PipelineMode, deps: PatronPipeline.Deps,
               checkpointDir: String, sink: AvroSink.RecordSink,

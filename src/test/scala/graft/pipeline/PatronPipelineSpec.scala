@@ -213,6 +213,23 @@ class PatronPipelineSpec extends AnyFunSuite {
       r.getString(0) -> Option(r.getString(1)).orNull).toMap
     assert(got == Map("123" -> "aa", "456" -> null, "789" -> "bb", "012" -> null))
   }
+
+  test("iphlc backfill warning is sample-bounded beyond the cap") {
+    // More misses than missingWarnSample: the join semantics must be
+    // unchanged (all misses stay null) and the driver-side collect bounded.
+    val n = PatronPipeline.missingWarnSample + 15
+    val ids = (1 to n).map(i => f"m$i%03d")
+    val df = spark.createDataFrame(
+      ids.map(id => Row(id, null)).asJava, Schemas.redshiftIphlc)
+    val lookupTable = spark.createDataFrame(
+      Seq(Row("m001", "aa")).asJava, Schemas.redshiftIphlc)
+    val out = PatronPipeline.backfillIphlc(df,
+      deps(iphlc = PatronPipeline.staticLookup(lookupTable, "patron_id")))
+    val got = out.collect().map(r =>
+      r.getString(0) -> Option(r.getString(1)).orNull).toMap
+    assert(got.size == n && got("m001") == "aa" &&
+      got.count(_._2 == null) == n - 1)
+  }
 }
 
 /** Driver-side scripted geocoder: records the exact input rows each tier

@@ -118,6 +118,24 @@ class PollingSourceSpec extends AnyFunSuite {
     assert(spark.table("poll_midgroup").count() == 5)
   }
 
+  test("a final full page sharing one watermark completes without stalling") {
+    // Exactly `limit` rows share the last watermark and NO row lies beyond
+    // it: the limit+1 probe shows the group does not straddle the page, so
+    // the source delivers it and advances (the reference's conservative
+    // guard would stall here — intentional deviation, see
+    // PatronStream.runMode Scaladoc).
+    val rows = Seq((1L, "a", 1001L), (2L, "b", 1002L), (3L, "c", 1002L),
+      (4L, "d", 1002L))
+    PollClientRegistry.register("finalfull", new FixedClient(rows))
+    val q = spark.readStream.format(classOf[PollingSourceProvider].getName)
+      .option("client", "finalfull").option("limit", "3").load()
+      .writeStream.format("memory").queryName("poll_finalfull")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("poll_finalfull").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("stall guard: full batch with one watermark fails the query (ST6)") {
     val rows = (1L to 5L).map(i => (i, s"row$i", 999L))
     PollClientRegistry.register("stalled", new FixedClient(rows))

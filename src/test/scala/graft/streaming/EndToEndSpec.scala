@@ -62,8 +62,11 @@ class EndToEndSpec extends AnyFunSuite {
 
     StreamSinkLog.reset()
     val ckpt = java.nio.file.Files.createTempDirectory("e2e-ckpt").toFile.getAbsolutePath
+    // No batchSize: the polling source owns ST6 stall detection (see
+    // runMode's Scaladoc) — the pipeline-level guard is for guard-less
+    // sources only.
     val q = PatronStream.runMode(stream, PipelineMode.NewPatrons, deps,
-      ckpt, new StreamSinkLog, batchSize = 100)
+      ckpt, new StreamSinkLog)
     q.awaitTermination(120000)
 
     val decoded = StreamSinkLog.records.map(AvroSink.decode(_))
