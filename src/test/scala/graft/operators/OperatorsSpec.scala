@@ -77,6 +77,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("embedNearDupLsh (exactness-tuned) equals the brute-force q30 truth") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = graft.queries.EmbeddingQueries.q30(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.embedNearDupLsh(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty)
+    // same pairs AND bit-identical cosines (shared fused expression)
+    assert(lsh == brute)
+  }
+
+  test("embedNearDupLsh (pruning-tuned) finds planted near-dups and prunes noise") {
+    import graft.functions.Hashing
+    // 200 deterministic random unit-ish vectors + 10 planted near-dups
+    // (small perturbation → cos > 0.95); τ=0.9 with 16-bit × 32-band keys.
+    val dim = 64
+    def vec(seed: Long): Array[Float] = Array.tabulate(dim) { i =>
+      ((Hashing.splitmix64(seed * 1000 + i) >>> 11).toDouble /
+        (1L << 53).toDouble - 0.5).toFloat
+    }
+    val base = (0 until 200).map(i => i.toLong -> vec(i.toLong))
+    val planted = (0 until 10).map { i =>
+      val src = base(i)._2
+      val p = vec(9000L + i)
+      (1000L + i) -> src.zip(p).map { case (x, e) => x + 0.05f * e }
+    }
+    val all = base ++ planted
+    import spark.implicits._
+    val df = all.toDF("vec_id", "embedding")
+    val got = Dedup.embedNearDupLsh(df, "vec_id", "embedding",
+        threshold = 0.9, bitsPerBand = 16, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    assert(got == expected)
+    // pruning: candidate pairs (any shared band bucket) are a tiny
+    // fraction of the 22155-pair space — the point of the banding.
+    val buckets = all.map { case (id, v) =>
+      id -> Hashing.hyperplaneBandBuckets(v.toSeq, 16, 32).toSet
+    }
+    val candidates = for {
+      (a, ba) <- buckets; (b, bb) <- buckets
+      if a < b && ba.exists(bb.contains)
+    } yield (a, b)
+    assert(candidates.size < 300, s"candidate space not pruned: ${candidates.size}")
+    assert(expected.forall(candidates.toSet.contains))
+  }
+
   test("ANN bucket results are a subset of brute-force ranking, self first") {
     val emb = Tables.embeddings(spark, dir)
     val brute = Similarity.knnBruteForce(emb, 0L, 20).collect()
