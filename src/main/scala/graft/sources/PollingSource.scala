@@ -129,7 +129,10 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
       else {
         val wms = page.map(r => micros(r(wmIdx)))
         if (wms.max == last) continue = false // cannot advance; stall guard fires later
-        else { last = wms.max; bound = wms.max; continue = page.size == limit }
+        // `>=`, not `==`: clients whose limit counts parent entities (the
+        // JDBC active scan pages metadata rows, then fans out over the
+        // address join) legitimately return MORE than `limit` rows.
+        else { last = wms.max; bound = wms.max; continue = page.size >= limit }
       }
     }
     availableNowBound = Some(bound)
