@@ -144,8 +144,16 @@ object AddressParser {
   /** Deterministic rule-based tagger standing in for the usaddress CRF:
     * leading numeric token → AddressNumber; trailing zip-shaped token →
     * ZipCode; 2-letter token before it → StateName; a secondary-unit
-    * marker splits street from line2; tokens between line2 and state →
-    * PlaceName. Heuristic by necessity — the CRF's learned behavior is not
+    * marker splits street from line2; trailing capitalized tokens (up to
+    * the first street-suffix token, directionals excluded) → PlaceName —
+    * multi-token places like "New York" included. PO boxes are tagged
+    * USPSBoxType/USPSBoxID, which the reference's tag map leaves OUTSIDE
+    * street/line2, so the reformatted address is empty — exactly what
+    * usaddress + reformat_malformed_address produce. Intersections
+    * ("Main St & 5th Ave") yield repeated StreetName labels, which in
+    * usaddress raises RepeatedLabelError — reproduced here as a
+    * [[RepeatedLabels]] result routed through the same combine logic.
+    * Heuristic by necessity — the CRF's learned behavior is not
     * reproducible — but covers the reference's tested shapes.
     */
   def tag(fullAddress: String): TagResult = {
@@ -166,7 +174,67 @@ object AddressParser {
       case Some(st) => fields("StateName") = st; rest = rest.dropRight(1)
       case None =>
     }
-    val markerIdx = rest.indexWhere(t => secondaryMarkers.contains(t.toUpperCase.replaceAll("[^A-Z#]", "")))
+
+    def normToken(t: String): String = t.toUpperCase.replaceAll("[^A-Z#]", "")
+    def isSuffix(t: String): Boolean = streetSuffixes.contains(normToken(t))
+    def isDirectional(t: String): Boolean = directionals.contains(normToken(t))
+    // Trailing capitalized non-suffix, non-directional tokens form the
+    // place; always leave `minStreet` tokens for the street itself.
+    def splitPlace(toks: Seq[String]): (Seq[String], Seq[String]) = {
+      val minStreet = if (toks.length >= 3) 2 else 1
+      var split = toks.length
+      while (split > minStreet && toks(split - 1).headOption.exists(_.isUpper)
+        && !isSuffix(toks(split - 1)) && !isDirectional(toks(split - 1))) split -= 1
+      (toks.take(split), toks.drop(split))
+    }
+
+    // PO box: USPSBoxType/USPSBoxID stay outside the reference's
+    // street/line2 tag map (helpers/address_helper.py:10-17), so the
+    // assembled street address is empty — the geocodable-address filter
+    // then drops the row, as the reference pipeline does for box-only rows.
+    val boxTypeLen =
+      if (rest.length >= 2 && normToken(rest.head) == "PO"
+        && normToken(rest(1)) == "BOX") 2
+      else if (rest.nonEmpty && Set("POB", "BOX").contains(normToken(rest.head))) 1
+      else 0
+    if (boxTypeLen > 0) {
+      fields("USPSBoxType") = rest.take(boxTypeLen).mkString(" ")
+      rest = rest.drop(boxTypeLen)
+      if (rest.headOption.exists(t => t.nonEmpty && t.forall(_.isDigit))) {
+        fields("USPSBoxID") = rest.head
+        rest = rest.tail
+      }
+      if (rest.nonEmpty) fields("PlaceName") = rest.mkString(" ")
+      return Tagged(fields.toMap)
+    }
+
+    // Intersection: two street groups → repeated street labels, which
+    // usaddress surfaces as RepeatedLabelError (the reference handles it
+    // via _combine_repeated_labels; same combine runs on this result).
+    val sepIdx = rest.indexWhere(t => t == "&" || normToken(t) == "AND")
+    if (sepIdx > 0 && sepIdx < rest.length - 1) {
+      val (streets, placeToks) = splitPlace(rest)
+      def streetLabels(toks: Seq[String]): Seq[(String, String)] =
+        toks.zipWithIndex.map { case (t, i) =>
+          if (isDirectional(t))
+            t -> (if (i == 0) "StreetNamePreDirectional" else "StreetNamePostDirectional")
+          else if (isSuffix(t)) t -> "StreetNamePostType"
+          else t -> "StreetName"
+        }
+      // `streets` is a prefix of `rest` (splitPlace only strips the tail),
+      // so the separator index is valid in both.
+      val parsed = ListBuffer.empty[(String, String)]
+      fields.get("AddressNumber").foreach(parsed += _ -> "AddressNumber")
+      parsed ++= streetLabels(streets.take(sepIdx))
+      parsed += rest(sepIdx) -> "IntersectionSeparator"
+      parsed ++= streetLabels(streets.drop(sepIdx + 1))
+      placeToks.foreach(parsed += _ -> "PlaceName")
+      fields.get("StateName").foreach(parsed += _ -> "StateName")
+      fields.get("ZipCode").foreach(parsed += _ -> "ZipCode")
+      return RepeatedLabels(parsed.toSeq)
+    }
+
+    val markerIdx = rest.indexWhere(t => secondaryMarkers.contains(normToken(t)))
     val (streetToks, tailToks) =
       if (markerIdx >= 0) (rest.take(markerIdx), rest.drop(markerIdx))
       else (rest, Seq.empty[String])
@@ -178,17 +246,9 @@ object AddressParser {
       if (placeToks.nonEmpty) fields("PlaceName") = placeToks.mkString(" ")
       if (streetToks.nonEmpty) fields("street") = streetToks.mkString(" ")
     } else {
-      // No unit marker: a trailing capitalized non-suffix token after a
-      // multi-token street reads as the place name ("456 address Brooklyn"
-      // → street "address", place "Brooklyn"); otherwise all-street.
-      if (streetToks.length >= 2 &&
-          streetToks.last.headOption.exists(_.isUpper) &&
-          !streetSuffixes.contains(streetToks.last.toUpperCase.replaceAll("[^A-Z]", ""))) {
-        fields("street") = streetToks.dropRight(1).mkString(" ")
-        fields("PlaceName") = streetToks.last
-      } else if (streetToks.nonEmpty) {
-        fields("street") = streetToks.mkString(" ")
-      }
+      val (street, placeToks) = splitPlace(streetToks)
+      if (placeToks.nonEmpty) fields("PlaceName") = placeToks.mkString(" ")
+      if (street.nonEmpty) fields("street") = street.mkString(" ")
     }
     Tagged(fields.toMap)
   }
@@ -198,6 +258,10 @@ object AddressParser {
     "DR", "DRIVE", "LN", "LANE", "CT", "COURT", "PL", "PLACE", "PKWY",
     "PARKWAY", "TER", "TERRACE", "WAY", "CIR", "CIRCLE", "HWY", "HIGHWAY",
     "SQ", "SQUARE", "BWAY", "BROADWAY")
+
+  private val directionals = Set(
+    "N", "S", "E", "W", "NE", "NW", "SE", "SW",
+    "NORTH", "SOUTH", "EAST", "WEST")
 
   /** Full re-parse: tag + reformat (reference applies this row-wise on
     * census-geocoder misses, lib/pipeline_controller.py:389).

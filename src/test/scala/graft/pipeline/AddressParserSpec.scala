@@ -77,6 +77,50 @@ class AddressParserSpec extends AnyFunSuite {
     assert(AddressParser.translit("ÁVE çafé") == "AVE cafe")
   }
 
+  test("directionals stay in the street; multi-token places split off") {
+    val p = reformat(AddressParts("123 N Main St", "", "", "",
+      "123 N Main St Brooklyn NY 11211"))
+    assert(p.houseNumber == "123" && p.streetName == "N Main St"
+      && p.city == "Brooklyn" && p.region == "NY" && p.postalCode == "11211"
+      && p.address == "123 N Main St")
+    val q = reformat(AddressParts("456 W 42nd St", "", "", "",
+      "456 W 42nd St New York NY 10036"))
+    assert(q.houseNumber == "456" && q.streetName == "W 42nd St"
+      && q.city == "New York" && q.region == "NY" && q.postalCode == "10036")
+  }
+
+  test("PO box: box labels stay outside street/line2, address empties") {
+    // usaddress tags USPSBoxType/USPSBoxID, which the reference's tag map
+    // does NOT fold into street/line2 — so the rebuilt address is '' and
+    // the row falls out at the geocodable filter (P9), matching the
+    // reference pipeline's behavior for box-only rows.
+    val p = reformat(AddressParts("PO Box 123", "", "", "",
+      "PO Box 123 Brooklyn NY 11211"))
+    assert(p.address == "" && p.streetName == "" && p.houseNumber == ""
+      && p.city == "Brooklyn" && p.region == "NY" && p.postalCode == "11211")
+    val q = reformat(AddressParts("P.O. BOX 99", "", "", "",
+      "P.O. BOX 99 Queens NY 114"))
+    assert(q.address == "" && q.city == "Queens NY")
+  }
+
+  test("intersections route through the repeated-labels combine") {
+    // Two street groups = repeated StreetName labels = usaddress
+    // RepeatedLabelError; _combine_multilabel_field then concatenates the
+    // unique portions per street key, in label order.
+    val p = reformat(AddressParts("orig addr", "origcity", "XX", "00000",
+      "Main St & 5th Ave Brooklyn NY 11211"))
+    assert(p.city == "Brooklyn" && p.region == "NY" && p.postalCode == "11211")
+    assert(p.streetName == "Main 5th St Ave") // StreetName then PostType portions
+    assert(p.address == "Main 5th St Ave")
+    // directionals keep their own label and position in the combine
+    val q = reformat(AddressParts("", "", "", "",
+      "W Main St and E 5th Ave Brooklyn NY 11211"))
+    // both directionals lead their street group → PreDirectional portions
+    // combine first, then StreetName portions, then PostTypes (key order)
+    assert(q.streetName == "W E Main 5th St Ave")
+    assert(q.city == "Brooklyn")
+  }
+
   test("heuristic tagger covers the reference cascade shapes") {
     // tier-2 census inputs from tests/test_pipeline_controller.py:204-217
     val p3 = reformat(AddressParts("456 address", "Brooklyn", "NY", "22222",
