@@ -10,14 +10,25 @@ import java.util.Base64
   * to equal ciphertexts across runs, or the warehouse joins (J3/J4/J5)
   * break.
   *
-  * The default implementation is salted SHA-256 (pure JVM — this build has
-  * no bcrypt dependency); swap in a jBCrypt-backed Obfuscator for byte
-  * parity with the reference deployment. Parallelism note: the reference
-  * fans obfuscation over a ThreadPoolExecutor; here partition parallelism
-  * does the same job with zero extra code.
+  * [[BcryptObfuscator]] is the reference-parity implementation (pure-JVM
+  * bcrypt, verified against libxcrypt vectors — graft.functions.Bcrypt);
+  * [[Sha256Obfuscator]] remains as the fast non-parity option for
+  * environments where warehouse keys are not bcrypt-derived. Parallelism
+  * note: the reference fans obfuscation over a ThreadPoolExecutor; here
+  * partition parallelism does the same job with zero extra code.
   */
 trait Obfuscator extends Serializable {
   def obfuscate(plaintext: String): String
+}
+
+/** Byte-parity with the reference's nypl-py-utils `obfuscate`:
+  * `bcrypt.hashpw(plaintext, BCRYPT_SALT)` with the 29-char
+  * `$2b$NN$<salt>` prefix stripped, keeping the 31-char digest — the form
+  * stored in the warehouse. `salt` is the full env-provided salt string.
+  */
+final class BcryptObfuscator(salt: String) extends Obfuscator {
+  override def obfuscate(plaintext: String): String =
+    graft.functions.Bcrypt.hashpw(plaintext, salt).substring(29)
 }
 
 final class Sha256Obfuscator(salt: String) extends Obfuscator {
