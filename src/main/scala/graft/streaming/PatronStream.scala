@@ -138,6 +138,13 @@ object PatronStream {
     // address rows land in one micro-batch. A patron re-delivered in a
     // later batch with unchanged address rows is still suppressed, as the
     // reference's run-scoped processed_ids would.
+    // DOCUMENTED DIVERGENCE (single-mode path only): a patron re-delivered
+    // with a PARTIALLY CHANGED address set passes only its novel
+    // (patron, display_order, type_id) rows through state dedup, so the
+    // batch-level keep-first may emit a non-top-priority address where the
+    // reference's patron-keyed processed_ids would suppress the patron
+    // entirely. The production runAll path does not share this edge: it
+    // filters by patron id against the seen-keys state before emitting.
     val canonical = PatronPipeline.withCanonicalId(stream)
     val deduped =
       if (mode == PipelineMode.DeletedPatrons)
