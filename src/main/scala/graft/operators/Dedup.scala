@@ -167,8 +167,13 @@ object Dedup {
       Hashing.hyperplaneBandBuckets(v, bitsPerBand, bands)
     }
     val t = vectors.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    // Both sides of the candidate join consume the banded table — persist
+    // it so the signature matrix-product runs once per row, not twice
+    // (same reasoning as minhashLsh's shingle persist; MEMORY_AND_DISK
+    // spills instead of recomputing at corpus scale).
     val banded = t.select(col("vec_id"),
       explode(bucketsUdf(col("embedding"))).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = banded.select(col("bucket"), col("vec_id").as("vec_a"))
     val right = banded.select(col("bucket"), col("vec_id").as("vec_b"))
     val candidates = left.join(right, Seq("bucket"))
