@@ -80,6 +80,13 @@ object Main {
       if (cfg.ignoreKinesis) new AvroSink.LoggingSink
       else required("Main.recordSink", recordSink)
 
+    // S5: the registry is authoritative for the output schema when
+    // configured (reference fetches PATRON_INFO_SCHEMA_URL at startup,
+    // lib/pipeline_controller.py:59); the built-in schema serves dev runs.
+    val schemaJson = cfg.schemaUrl
+      .map(AvroSink.fetchSchemaJson(_))
+      .getOrElse(Schemas.patronInfoAvroJson)
+
     val q = streaming.PatronStream.runAll(
       stream("sierra_active_new", cfg.activePatronBatchSize,
         Config.startMicros(cfg.startingCreationDt)),
@@ -87,7 +94,7 @@ object Main {
         Config.startMicros(cfg.startingUpdateDt)),
       stream("sierra_deleted", cfg.deletedPatronBatchSize,
         Config.dateMicros(cfg.startingDeletionDate)),
-      deps, cfg.checkpointDir, sink)
+      deps, cfg.checkpointDir, sink, schemaJson)
     q.awaitTermination()
     spark.stop()
   }

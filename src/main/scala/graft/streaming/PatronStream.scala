@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.{AvroSink, PatronPipeline, PipelineMode}
+import graft.pipeline.{AvroSink, PatronPipeline, PipelineMode, Schemas}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -45,7 +45,8 @@ object PatronStream {
     */
   def runAll(newStream: DataFrame, updatedStream: DataFrame,
              deletedStream: DataFrame, deps: PatronPipeline.Deps,
-             checkpointDir: String, sink: AvroSink.RecordSink): StreamingQuery = {
+             checkpointDir: String, sink: AvroSink.RecordSink,
+             schemaJson: String = Schemas.patronInfoAvroJson): StreamingQuery = {
     def tag(df: DataFrame, rank: Int) =
       PatronPipeline.withCanonicalId(df).withColumn("__mode_rank", lit(rank))
     val unioned = tag(newStream, 0)
@@ -95,13 +96,14 @@ object PatronStream {
             if (!newRows.isEmpty) AvroSink.write(
               PatronPipeline.processActivePatrons(newRows, PipelineMode.NewPatrons,
                 deps, col(PipelineMode.NewPatrons.orderingField) +:
-                  PatronPipeline.addressPriority), sink)
+                  PatronPipeline.addressPriority), sink, schemaJson = schemaJson)
             if (!updRows.isEmpty) AvroSink.write(
               PatronPipeline.processActivePatrons(updRows, PipelineMode.UpdatedPatrons,
                 deps, col(PipelineMode.UpdatedPatrons.orderingField) +:
-                  PatronPipeline.addressPriority), sink)
+                  PatronPipeline.addressPriority), sink, schemaJson = schemaJson)
             if (!delRows.isEmpty) AvroSink.write(
-              PatronPipeline.processDeletedPatrons(delRows, deps), sink)
+              PatronPipeline.processDeletedPatrons(delRows, deps), sink,
+              schemaJson = schemaJson)
             best.select("patron_id_plaintext")
               .write.mode("append").parquet(seenPath)
           } finally best.unpersist()
@@ -130,7 +132,8 @@ object PatronStream {
     */
   def runMode(stream: DataFrame, mode: PipelineMode, deps: PatronPipeline.Deps,
               checkpointDir: String, sink: AvroSink.RecordSink,
-              batchSize: Long = Long.MaxValue): StreamingQuery = {
+              batchSize: Long = Long.MaxValue,
+              schemaJson: String = Schemas.patronInfoAvroJson): StreamingQuery = {
     // State-store dedup key: active modes keep one row PER ADDRESS so the
     // batch-level ordered dedup (not the state store's arbitrary
     // first-arrival) picks which address survives — the polling source
@@ -160,11 +163,11 @@ object PatronStream {
             PatronPipeline.stallGuard(batch, batchSize, mode.orderingField)
             val out = PatronPipeline.processActivePatrons(batch, mode, deps,
               col(mode.orderingField) +: PatronPipeline.addressPriority)
-            AvroSink.write(out, sink)
+            AvroSink.write(out, sink, schemaJson = schemaJson)
           } else {
             PatronPipeline.stallGuard(batch, batchSize, mode.orderingField)
             val out = PatronPipeline.processDeletedPatrons(batch, deps)
-            AvroSink.write(out, sink)
+            AvroSink.write(out, sink, schemaJson = schemaJson)
           }
         }
       }
