@@ -47,6 +47,26 @@ trait PollClient {
   def poll(afterMicros: Long, limit: Int): Seq[Seq[Any]]
 }
 
+/** A PollClient that can shard the read across executors. Offset planning
+  * only ever needs the WATERMARK COLUMN (the trim/stall logic is pure
+  * watermark arithmetic), so the driver polls a narrow ordered scan and
+  * row payloads flow database → executors directly, in parallel disjoint
+  * watermark ranges — the driver never materializes a batch. Must be
+  * Serializable: partitions carry the client itself to the executors
+  * (e.g. [[JdbcPollClient.Active]] is just a URL + field name).
+  */
+trait PartitionedPollClient extends PollClient with Serializable {
+  /** Watermarks (micros, ordered ascending) of up to `limit` entities
+    * strictly after `afterMicros` — the narrow planning scan.
+    */
+  def pollWatermarks(afterMicros: Long, limit: Int): Seq[Long]
+
+  /** Full rows with watermark in (loMicros, hiMicros], ordered by
+    * watermark — the executor-side range read.
+    */
+  def pollRange(loMicros: Long, hiMicros: Long): Seq[Seq[Any]]
+}
+
 /** Driver-side registry so option maps (strings) can reference clients. */
 object PollClientRegistry {
   private val clients = new java.util.concurrent.ConcurrentHashMap[String, PollClient]()
@@ -74,11 +94,13 @@ class PollingSourceProvider extends TableProvider {
       properties.get("client"),
       Option(properties.get("limit")).map(_.toInt).getOrElse(10000),
       Option(properties.get("startMicros")).map(_.toLong).getOrElse(Long.MinValue),
-      Option(properties.get("maxBatches")).map(_.toInt).getOrElse(Int.MaxValue))
+      Option(properties.get("maxBatches")).map(_.toInt).getOrElse(Int.MaxValue),
+      Option(properties.get("numPartitions")).map(_.toInt).getOrElse(1))
 }
 
 private class PollingTable(tableSchema: StructType, clientName: String,
-                           limit: Int, startMicros: Long, maxBatches: Int)
+                           limit: Int, startMicros: Long, maxBatches: Int,
+                           numPartitions: Int)
     extends Table with SupportsRead {
   override def name(): String = s"polling($clientName)"
   override def schema(): StructType = tableSchema
@@ -89,20 +111,34 @@ private class PollingTable(tableSchema: StructType, clientName: String,
     () => new Scan {
       override def readSchema(): StructType = tableSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new PollingMicroBatchStream(tableSchema, clientName, limit, startMicros, maxBatches)
+        new PollingMicroBatchStream(tableSchema, clientName, limit, startMicros,
+          maxBatches, numPartitions)
     }
 }
 
 private class PollingMicroBatchStream(schema: StructType, clientName: String,
-                                      limit: Int, startMicros: Long, maxBatches: Int)
+                                      limit: Int, startMicros: Long, maxBatches: Int,
+                                      numPartitions: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // ST8/MAX_BATCHES: per-run cap on micro-batches (the reference's
   // MAX_BATCHES env, lib/pipeline_controller.py:121-124).
   private val batchesPlanned = new java.util.concurrent.atomic.AtomicInteger(0)
   private def client = PollClientRegistry.get(clientName)
+  // Executor-sharded reads: offset planning needs only the watermark
+  // column, so with a PartitionedPollClient the driver polls the narrow
+  // watermark scan and planInputPartitions emits disjoint watermark
+  // ranges that EXECUTORS read directly from the store — the driver
+  // never materializes row payloads.
+  private def partitioned: Option[PartitionedPollClient] =
+    if (numPartitions > 1) client match {
+      case p: PartitionedPollClient => Some(p)
+      case _ => None
+    } else None
   private val wmIdx = schema.fieldIndex(client.watermarkField)
-  // rows fetched for the current (start, end] window, keyed by start offset
+  // rows/watermarks fetched for the current window, keyed by start offset
+  // (rows empty in sharded mode — executors fetch them per range)
   @volatile private var fetched: (Long, Seq[Seq[Any]]) = (Long.MinValue, Seq.empty)
+  @volatile private var fetchedWms: (Long, Seq[Long]) = (Long.MinValue, Seq.empty)
   // ST5: AvailableNow snapshots an upper bound at query start (the
   // reference bounds every poll at session-start `now`,
   // helpers/query_helper.py:22).
@@ -116,6 +152,17 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
     case other => throw new IllegalArgumentException(s"unsupported watermark type: $other")
   }
 
+  /** Ordered watermarks after `after` (plus the row page when the client
+    * cannot shard — kept for the single-partition delivery path).
+    */
+  private def pollWms(after: Long, n: Int): (Seq[Long], Seq[Seq[Any]]) =
+    partitioned match {
+      case Some(p) => (p.pollWatermarks(after, n), Seq.empty)
+      case None =>
+        val rows = client.poll(after, n)
+        (rows.map(r => micros(r(wmIdx))), rows)
+    }
+
   override def initialOffset(): Offset = PollOffset(startMicros)
 
   override def prepareForTriggerAvailableNow(): Unit = {
@@ -124,28 +171,25 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
     var last = Long.MinValue
     var continue = true
     while (continue) {
-      val page = client.poll(last, limit)
-      if (page.isEmpty) continue = false
-      else {
-        val wms = page.map(r => micros(r(wmIdx)))
-        if (wms.max == last) continue = false // cannot advance; stall guard fires later
-        // `>=`, not `==`: clients whose limit counts parent entities (the
-        // JDBC active scan pages metadata rows, then fans out over the
-        // address join) legitimately return MORE than `limit` rows.
-        else { last = wms.max; bound = wms.max; continue = page.size >= limit }
-      }
+      val (wms, _) = pollWms(last, limit)
+      if (wms.isEmpty) continue = false
+      else if (wms.max == last) continue = false // cannot advance; stall guard fires later
+      // `>=`, not `==`: clients whose limit counts parent entities (the
+      // JDBC active scan pages metadata rows, then fans out over the
+      // address join) legitimately return MORE than `limit` rows.
+      else { last = wms.max; bound = wms.max; continue = wms.size >= limit }
     }
     availableNowBound = Some(bound)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(limit)
 
-  override def reportLatestOffset(): Offset = PollOffset(fetched._1)
+  override def reportLatestOffset(): Offset = PollOffset(fetchedWms._1)
 
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[PollOffset].micros
     if (batchesPlanned.get() >= maxBatches) return PollOffset(committed)
-    // Poll one row PAST the page so we can tell whether the boundary
+    // Poll one entry PAST the page so we can tell whether the boundary
     // watermark group genuinely straddles it. The next poll is strictly
     // `>`, so advancing to wms.max while rows beyond the page share it
     // would skip those rows forever — but trimming unconditionally (as a
@@ -154,17 +198,19 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
     // next page exactly. (The reference instead re-polls with >= and drops
     // re-delivered rows via processed_ids — lib/pipeline_controller.py:
     // 165-174; same delivery, no replays.)
-    val rows0 = client.poll(committed, limit + 1)
-    val rows = availableNowBound match {
-      case Some(b) => rows0.filter(r => micros(r(wmIdx)) <= b)
-      case None => rows0
+    val (wms0, rows0) = pollWms(committed, limit + 1)
+    // watermarks arrive ascending, so the AvailableNow bound keeps a prefix
+    val keep = availableNowBound match {
+      case Some(b) => wms0.count(_ <= b)
+      case None => wms0.size
     }
-    val page = rows.take(limit)
-    fetched = (committed, page)
-    if (page.isEmpty) PollOffset(committed)
+    val wmsAll = wms0.take(keep)
+    val wms = wmsAll.take(limit)
+    fetched = (committed, rows0.take(keep).take(limit))
+    fetchedWms = (committed, wms)
+    if (wms.isEmpty) PollOffset(committed)
     else {
-      val wms = page.map(r => micros(r(wmIdx)))
-      val straddles = rows.size > limit && micros(rows(limit)(wmIdx)) == wms.last
+      val straddles = wmsAll.size > limit && wmsAll(limit) == wms.last
       if (!straddles) {
         // The page's last group ends at (or before) the page boundary:
         // deliver every row and advance to its max watermark.
@@ -194,10 +240,36 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PollOffset].micros
     val e = end.asInstanceOf[PollOffset].micros
-    val rows =
-      (if (fetched._1 == s) fetched._2 else client.poll(s, limit + 1))
-        .filter(r => { val m = micros(r(wmIdx)); m > s && m <= e })
-    Array(PollPartition(rows))
+    partitioned match {
+      case Some(p) =>
+        // Quantile-split the window's watermarks into ≤ numPartitions
+        // contiguous ranges. Boundaries snap to watermark VALUES, so a
+        // group never spans two partitions and (lo, hi] ranges stay
+        // disjoint even under heavy duplication.
+        val wms = (if (fetchedWms._1 == s) fetchedWms._2
+                   else p.pollWatermarks(s, limit + 1))
+          .filter(m => m > s && m <= e)
+        if (wms.isEmpty) Array.empty
+        else {
+          val k = math.min(numPartitions, wms.size)
+          val bounds = (1 to k)
+            .map(i => wms((wms.size * i / k) - 1))
+            .distinct
+          val ranges = bounds.foldLeft((s, Seq.empty[(Long, Long)])) {
+            case ((lo, acc), hi) => (hi, acc :+ (lo, hi))
+          }._2
+          // the final boundary always equals `e`: the end offset is the
+          // max delivered watermark by construction
+          ranges.map { case (lo, hi) =>
+            RangePollPartition(p, lo, hi): InputPartition
+          }.toArray
+        }
+      case None =>
+        val rows =
+          (if (fetched._1 == s) fetched._2 else client.poll(s, limit + 1))
+            .filter(r => { val m = micros(r(wmIdx)); m > s && m <= e })
+        Array(PollPartition(rows))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -213,9 +285,21 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
 
 private case class PollPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
+/** Executor-side range read: carries the (Serializable) client and a
+  * disjoint (lo, hi] watermark range; the payload never touches the
+  * driver.
+  */
+private case class RangePollPartition(client: PartitionedPollClient,
+                                      loMicros: Long, hiMicros: Long)
+    extends InputPartition
+
 private class PollReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[PollPartition].rows.iterator
+    val rows = partition match {
+      case PollPartition(r) => r.iterator
+      case RangePollPartition(c, lo, hi) => c.pollRange(lo, hi).iterator
+      case other => throw new IllegalArgumentException(s"unexpected partition: $other")
+    }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
