@@ -48,6 +48,9 @@ object Main {
         .format(classOf[PollingSourceProvider].getName)
         .option("client", client)
         .option("limit", limit)
+        // >1 with a PartitionedPollClient shards the row reads across
+        // executors (driver plans from the narrow watermark scan)
+        .option("numPartitions", cfg.sourceNumPartitions)
       val withStart =
         if (cfg.ignoreCache) reader.option("startMicros", startMicros - 1) else reader
       cfg.maxBatches.fold(withStart)(m => withStart.option("maxBatches", m)).load()

@@ -70,15 +70,20 @@ object Similarity {
       df.withColumn("cluster", assignUdf(col("embedding")))
     }
 
-    def recompute(df: DataFrame): Array[(Int, Array[Float])] =
-      df.select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    def recompute(df: DataFrame): Array[(Int, Array[Float])] = {
+      // ONE shuffle of (cluster, dim, value) triples; the nlist×dim mean
+      // rows come straight to the driver and assemble positionally — no
+      // second aggregation or per-cluster array sort.
+      val rows = df
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
-        .groupBy("cluster")
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dims"))
-        .collect().map { r =>
-          r.getInt(0) ->
-            r.getSeq[Row](1).map(_.getDouble(1).toFloat).toArray
-        }
+        .collect()
+      rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val arr = new Array[Float](rs.length)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+        cid -> arr
+      }.toArray
+    }
 
     var centroids: Array[(Int, Array[Float])] =
       corpus.orderBy("vec_id").limit(nlist).collect().zipWithIndex.map {

@@ -86,6 +86,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("E3 tagger: reformat is total and outputs obey the sanitize laws") {
+    val junkChar = Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+      ' ', '&', '#', '$', '%', '.', ',', '-', '/', 'ß', 'Á', '∆', '\''))
+    val junkStr = Gen.listOf(junkChar).map(_.mkString)
+    forAll(junkStr, junkStr) { (a, b) =>
+      val parts = AddressParser.AddressParts(a, b, "", "", s"$a $b")
+      val out = AddressParser.reformat(parts) // must not throw on any input
+      assert(out.postalCode.forall(ch => ch.isDigit || ch == '-'))
+      assert(AddressParser.sanitizeStreet(out.address) == out.address)
+      assert(AddressParser.sanitizeCityRegion(out.city) == out.city)
+    }
+  }
+
+  test("E3 tagger: well-formed addresses round-trip house/state/zip") {
+    val num = Gen.chooseNum(1, 9999).map(_.toString)
+    val street = Gen.oneOf("Main", "Elm", "Ocean", "42nd")
+    val suffix = Gen.oneOf("St", "Ave", "Blvd", "Rd")
+    val city = Gen.oneOf("Brooklyn", "Queens", "Yonkers")
+    val zip = Gen.chooseNum(10000, 99999).map(_.toString)
+    forAll(Gen.zip(num, street, suffix, city, zip)) {
+      case (n, s, sfx, c, z) =>
+        val full = s"$n $s $sfx $c NY $z"
+        val out = AddressParser.reformat(
+          AddressParser.AddressParts("", "", "", "", full))
+        assert(out.houseNumber == n)
+        assert(out.streetName == s"$s $sfx")
+        assert(out.city == c)
+        assert(out.region == "NY")
+        assert(out.postalCode == z)
+        assert(out.address == s"$n $s $sfx")
+    }
+  }
+
   test("Hashing.shingleSet matches the SQL oracle form on random token lists") {
     val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     forAll(Gen.listOfN(8, word), Gen.chooseNum(1, 4)) { (words, k) =>
