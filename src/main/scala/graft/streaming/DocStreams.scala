@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming document operators (LLM-pipeline extension, SURVEY §7.4).
+  *
+  * [[streamingNearDupCandidates]] is the streaming form of
+  * `Dedup.minhashLsh`: detect near-duplicate documents ACROSS
+  * micro-batches — a new document must pair against documents seen in
+  * earlier batches, which no built-in streaming aggregate expresses
+  * (dropDuplicates suppresses, it doesn't PAIR). This is the
+  * `flatMapGroupsWithState` case: state is keyed by LSH band bucket and
+  * holds the (docId, signature) list seen in that bucket; each incoming
+  * doc emits candidate pairs against the bucket's prior occupants.
+  *
+  * Scale shape: identical to the batch operator — (bucket, id, sig) rows
+  * shuffle on the bucket key, state per bucket is bounded by bucket
+  * occupancy (collision width), never corpus size. Pairs found in
+  * several buckets emit once per bucket; consumers dedup with a
+  * downstream `dropDuplicates("doc_a","doc_b")` (itself streaming-safe).
+  * The similarity reported is the MinHash ESTIMATE (matching-permutation
+  * fraction) — signatures live in state, shingle sets do not; route
+  * candidates through the exact batch verify where byte truth matters.
+  */
+object DocStreams {
+
+  final case class BucketDoc(bucket: Long, docId: Long, sig: Array[Long])
+  final case class NearDupCandidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                 k: Int, estThreshold: Double,
+                                 numPerms: Int = 128, bands: Int = 32)
+      : Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigUdf = udf { text: String =>
+      Hashing.minhashSignature(
+        Hashing.shingleSet(text, k).map(Hashing.stringHash64), numPerms)
+    }
+    val banded = docs
+      .select(col(idCol).cast("long").as("docId"), sigUdf(col(textCol)).as("sig"))
+      .select(explode(udf { sig: Seq[Long] =>
+        Hashing.bandBuckets(sig.toArray, bands)
+      }.apply(col("sig"))).as("bucket"), col("docId"), col("sig"))
+      .as[BucketDoc]
+
+    def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+      var same = 0
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) same += 1; i += 1 }
+      same.toDouble / a.length
+    }
+
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
+          val prior = state.getOption.getOrElse(Nil)
+          // stable order so within-batch pairs emit deterministically
+          val fresh = rows.toList.sortBy(_.docId)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupCandidate]
+          var i = 0
+          while (i < fresh.length) {
+            val d = fresh(i)
+            // against earlier batches' occupants...
+            prior.foreach { case (pid, psig) =>
+              if (pid != d.docId) {
+                val est = estJaccard(d.sig, psig)
+                if (est >= estThreshold)
+                  out += NearDupCandidate(math.min(pid, d.docId),
+                    math.max(pid, d.docId), est)
+              }
+            }
+            // ...and within this batch (j < i only — no double emission)
+            var j = 0
+            while (j < i) {
+              val e = fresh(j)
+              if (e.docId != d.docId) {
+                val est = estJaccard(d.sig, e.sig)
+                if (est >= estThreshold)
+                  out += NearDupCandidate(math.min(e.docId, d.docId),
+                    math.max(e.docId, d.docId), est)
+              }
+              j += 1
+            }
+            i += 1
+          }
+          state.update(prior ++ fresh.map(d => d.docId -> d.sig))
+          out.iterator
+      }
+  }
+}
