@@ -105,9 +105,14 @@ object RelationalQueries {
   def q03(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate"))
+    // Aggregate BELOW the join (Catalyst won't push it): revenue is fully
+    // determined by l_orderkey alone (o_orderdate is functionally
+    // dependent on the join key), so the join consumes |orders| pre-
+    // aggregated rows instead of |lineitem| raw rows — the gap widens
+    // with scale (lineitem is ~4× orders in TPC-H).
+    val rev = li.groupBy(col("l_orderkey"))
       .agg(sum((eps * discFactor).cast(sumable)).as("rev_dec"))
+    rev.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("rev_dec").cast("double").as("revenue"))
