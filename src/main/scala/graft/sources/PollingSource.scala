@@ -184,7 +184,11 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(limit)
 
-  override def reportLatestOffset(): Offset = PollOffset(fetchedWms._1)
+  // monitoring hook: the furthest offset this source knows of (the
+  // AvailableNow drain target when snapshotted, else the last planned end)
+  @volatile private var lastPlannedEnd: Long = startMicros
+  override def reportLatestOffset(): Offset =
+    PollOffset(availableNowBound.getOrElse(lastPlannedEnd))
 
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val committed = start.asInstanceOf[PollOffset].micros
@@ -215,6 +219,7 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
         // The page's last group ends at (or before) the page boundary:
         // deliver every row and advance to its max watermark.
         batchesPlanned.incrementAndGet()
+        lastPlannedEnd = wms.max
         PollOffset(wms.max)
       } else {
         // The boundary group spills past the page. Trim it from the
@@ -228,6 +233,7 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
             "Too many records found with the same timestamp")
         }
         batchesPlanned.incrementAndGet()
+        lastPlannedEnd = kept.max
         PollOffset(kept.max)
       }
     }

@@ -30,9 +30,16 @@ object DocStreams {
   final case class BucketDoc(bucket: Long, docId: Long, sig: Array[Long])
   final case class NearDupCandidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
 
+  /** `stateTtl`: evict a bucket's occupants after this much processing
+    * time without new arrivals. None = keep forever (drain-style runs,
+    * e.g. Trigger.AvailableNow over a bounded backlog); endless streams
+    * MUST set a TTL or bucket state grows with corpus size — dedup scope
+    * becomes "documents seen within the TTL", the standard trade.
+    */
   def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
                                  k: Int, estThreshold: Double,
-                                 numPerms: Int = 128, bands: Int = 32)
+                                 numPerms: Int = 128, bands: Int = 32,
+                                 stateTtl: Option[java.time.Duration] = None)
       : Dataset[NearDupCandidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -54,42 +61,50 @@ object DocStreams {
       same.toDouble / a.length
     }
 
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded.groupByKey(_.bucket)
       .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         case (_, rows, state: GroupState[List[(Long, Array[Long])]]) =>
-          val prior = state.getOption.getOrElse(Nil)
-          // stable order so within-batch pairs emit deterministically
-          val fresh = rows.toList.sortBy(_.docId)
-          val out = scala.collection.mutable.ListBuffer.empty[NearDupCandidate]
-          var i = 0
-          while (i < fresh.length) {
-            val d = fresh(i)
-            // against earlier batches' occupants...
-            prior.foreach { case (pid, psig) =>
-              if (pid != d.docId) {
-                val est = estJaccard(d.sig, psig)
-                if (est >= estThreshold)
-                  out += NearDupCandidate(math.min(pid, d.docId),
-                    math.max(pid, d.docId), est)
+          if (state.hasTimedOut) {
+            state.remove() // bucket idle past TTL: evict its occupants
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(Nil)
+            // stable order so within-batch pairs emit deterministically
+            val fresh = rows.toList.sortBy(_.docId)
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupCandidate]
+            var i = 0
+            while (i < fresh.length) {
+              val d = fresh(i)
+              // against earlier batches' occupants...
+              prior.foreach { case (pid, psig) =>
+                if (pid != d.docId) {
+                  val est = estJaccard(d.sig, psig)
+                  if (est >= estThreshold)
+                    out += NearDupCandidate(math.min(pid, d.docId),
+                      math.max(pid, d.docId), est)
+                }
               }
-            }
-            // ...and within this batch (j < i only — no double emission)
-            var j = 0
-            while (j < i) {
-              val e = fresh(j)
-              if (e.docId != d.docId) {
-                val est = estJaccard(d.sig, e.sig)
-                if (est >= estThreshold)
-                  out += NearDupCandidate(math.min(e.docId, d.docId),
-                    math.max(e.docId, d.docId), est)
+              // ...and within this batch (j < i only — no double emission)
+              var j = 0
+              while (j < i) {
+                val e = fresh(j)
+                if (e.docId != d.docId) {
+                  val est = estJaccard(d.sig, e.sig)
+                  if (est >= estThreshold)
+                    out += NearDupCandidate(math.min(e.docId, d.docId),
+                      math.max(e.docId, d.docId), est)
+                }
+                j += 1
               }
-              j += 1
+              i += 1
             }
-            i += 1
+            state.update(prior ++ fresh.map(d => d.docId -> d.sig))
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.iterator
           }
-          state.update(prior ++ fresh.map(d => d.docId -> d.sig))
-          out.iterator
       }
   }
 }
