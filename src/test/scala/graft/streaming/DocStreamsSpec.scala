@@ -46,4 +46,36 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got.contains((math.min(pairA, pairB), math.max(pairA, pairB))))
     assert(brutePairs.subsetOf(got))
   }
+
+  test("TTL-bounded state still pairs within the window") {
+    // Same scenario through the ProcessingTimeTimeout code path: with a
+    // TTL far larger than the run, behavior is identical (eviction timing
+    // itself is the engine's processing-time contract, not testable
+    // deterministically here).
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val brutePairs = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (pairA, pairB) = brutePairs.head
+    val tmp = Files.createTempDirectory("docstream-ttl").toFile.getAbsolutePath
+    docs.filter(s"doc_id != $pairB").write.parquet(s"$tmp/src/b1")
+    docs.filter(s"doc_id = $pairB").write.parquet(s"$tmp/src/b2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val out = DocStreams.streamingNearDupCandidates(
+      stream, "doc_id", "text", k = 3, estThreshold = 0.5,
+      stateTtl = Some(java.time.Duration.ofHours(1)))
+    // AvailableNow, not processAllAvailable: with ProcessingTimeTimeout
+    // the engine keeps scheduling timeout-eviction batches, so a
+    // default-trigger query never reports "all available" — drain and stop.
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("neardup_ttl").start()
+    q.awaitTermination(120000)
+    q.stop()
+    val got = spark.table("neardup_ttl")
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((math.min(pairA, pairB), math.max(pairA, pairB))))
+  }
 }
