@@ -105,8 +105,19 @@ object Dedup {
     * codegen'd Hamming expression. Pigeonhole guarantee: any pair with
     * Hamming distance < `bands` shares at least one clean chunk, so
     * recall is exact for maxDist ≤ bands-1 (8 bands ⇒ exact ≤ 7); above
-    * that it degrades gracefully. Same shuffle shape as [[minhashLsh]]:
-    * only (bucket, id) pairs move.
+    * that it degrades gracefully.
+    *
+    * Unlike [[minhashLsh]], the verify key is the 8-byte signature
+    * itself, so it rides the band join and the Hamming filter runs
+    * INSIDE the join, before anything shuffles again. This matters
+    * because natural-language simhash bands are heavily clustered (on
+    * the sf0.1 corpus ONE 8-bit band value covers ~half the docs —
+    * 9.4M candidate pairs); those pairs exist only in the join's
+    * codegen'd iterator and die at the filter, instead of being
+    * shuffled through a distinct and re-joined (measured 126 MB → <1 MB
+    * shuffle, 7.6 s → ~1 s). minhashLsh keeps the candidate→re-join
+    * shape because ITS verify needs the full shingle sets, which are
+    * too wide to replicate per band.
     */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxDist: Int, bands: Int = 8): DataFrame = {
@@ -125,19 +136,15 @@ object Dedup {
           (shiftrightunsigned(col("sig"), b * bits).bitwiseAND(lit(mask)))
             .bitwiseOR(lit(b.toLong << 56))
         }: _*)).as("bucket"))
-      .select("doc_id", "bucket")
-    val left = banded.select(col("bucket"), col("doc_id").as("doc_a"))
-    val right = banded.select(col("bucket"), col("doc_id").as("doc_b"))
-    val candidates = left.join(right, Seq("bucket"))
+    val left = banded.select(col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val right = banded.select(col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    left.join(right, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("hamming",
         graft.functions.HammingDistance(docs.sparkSession, col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
@@ -157,35 +164,62 @@ object Dedup {
     *    anywhere with P ≈ 5e-4 while true near-dups are kept w.p. ≥ 0.999 —
     *    the O(n²) pair space collapses by ~2000×.
     *
-    * Candidates are distinct (id, id) pairs re-joined to the vectors, so
-    * embeddings cross the wire once per candidate side, not once per band.
+    * Verify placement is regime-dependent (`verifyInJoin`):
+    *  - false (default; pruning-tuned regime): candidates are distinct
+    *    (id, id) pairs re-joined to the vectors — embeddings cross the
+    *    wire once per candidate side, never once per band. Right when
+    *    candidates are sparse (high threshold) and vectors are wide.
+    *  - true (exactness-tuned regime): embeddings ride the band join and
+    *    the fused cosine filter runs INSIDE it — candidate pairs die in
+    *    the join's iterator instead of shuffling through a distinct and
+    *    two re-joins. Right when the threshold sits near the noise floor
+    *    and candidate density approaches all-pairs (q36's case: the
+    *    distinct+re-join shape shuffled 37 MB for 14 surviving rows).
     */
   def embedNearDupLsh(vectors: DataFrame, idCol: String, embCol: String,
                       threshold: Double, bitsPerBand: Int = 4,
-                      bands: Int = 64): DataFrame = {
+                      bands: Int = 64,
+                      verifyInJoin: Boolean = false): DataFrame = {
     val bucketsUdf = udf { v: Seq[Float] =>
       Hashing.hyperplaneBandBuckets(v, bitsPerBand, bands)
     }
     val t = vectors.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    // Both sides of the candidate join consume the banded table — persist
-    // it so the signature matrix-product runs once per row, not twice
-    // (same reasoning as minhashLsh's shingle persist; MEMORY_AND_DISK
-    // spills instead of recomputing at corpus scale).
-    val banded = t.select(col("vec_id"),
-      explode(bucketsUdf(col("embedding"))).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val left = banded.select(col("bucket"), col("vec_id").as("vec_a"))
-    val right = banded.select(col("bucket"), col("vec_id").as("vec_b"))
-    val candidates = left.join(right, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    val ea = t.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val eb = t.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    candidates.join(ea, "vec_a").join(eb, "vec_b")
-      .withColumn("cos", graft.functions.CosineSimilarity(
-        vectors.sparkSession, col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= threshold)
-      .select("vec_a", "vec_b", "cos")
+    val cosine = (a: Column, b: Column) =>
+      graft.functions.CosineSimilarity(vectors.sparkSession, a, b)
+    if (verifyInJoin) {
+      val banded = t.select(col("vec_id"), col("embedding"),
+        explode(bucketsUdf(col("embedding"))).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val left = banded.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      val right = banded.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))
+      left.join(right, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+        .distinct()
+    } else {
+      // Both sides of the candidate join consume the banded table —
+      // persist it so the signature matrix-product runs once per row
+      // (same reasoning as minhashLsh's shingle persist; MEMORY_AND_DISK
+      // spills instead of recomputing at corpus scale).
+      val banded = t.select(col("vec_id"),
+        explode(bucketsUdf(col("embedding"))).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val left = banded.select(col("bucket"), col("vec_id").as("vec_a"))
+      val right = banded.select(col("bucket"), col("vec_id").as("vec_b"))
+      val candidates = left.join(right, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val ea = t.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val eb = t.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      candidates.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    }
   }
 
   /** SimHash per doc: 64-bit signature as a bit string. Near-dups have

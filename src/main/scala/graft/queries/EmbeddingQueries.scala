@@ -105,7 +105,8 @@ object EmbeddingQueries {
     */
   def q36(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.embedNearDupLsh(
-      Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+      Tables.embeddings(s, dir), "vec_id", "embedding", 0.45,
+      verifyInJoin = true) // near-noise threshold ⇒ dense candidates
       .orderBy("vec_a", "vec_b")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -86,6 +86,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     // same pairs AND bit-identical cosines (shared fused expression)
     assert(lsh == brute)
+    // both verify placements agree (in-join verify = q36's shape)
+    val inJoin = Dedup.embedNearDupLsh(emb, "vec_id", "embedding", 0.45,
+        verifyInJoin = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inJoin == brute)
   }
 
   test("embedNearDupLsh (pruning-tuned) finds planted near-dups and prunes noise") {
