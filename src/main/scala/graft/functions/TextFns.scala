@@ -21,6 +21,26 @@ object TextFns {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  // PII scrubbing (training-data hygiene; the batch-column analogue of the
+  // reference's per-value PII obfuscation, lib/pipeline_controller.py:183).
+  // Patterns use only syntax shared by java.util.regex and RE2 (character
+  // classes, \b, bounded repetition — no lookaround), so the DuckDB oracle
+  // replays them verbatim. Email first: a local part could otherwise leave
+  // an SSN/phone-shaped fragment behind.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ssnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val phoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Replace emails / SSNs / US phone numbers with typed placeholders.
+    * Pure codegen'd regexp_replace chain — one pass per pattern class.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ssnRe, "<SSN>"),
+      phoneRe, "<PHONE>")
+
   // NOTE: shingling lives in Hashing.shingleSet (JVM single pass). The
   // expression form (`transform(sequence(...), i => concat_ws(...,
   // element_at(toks, i+j)...))`) re-evaluates the captured `toks` subtree —

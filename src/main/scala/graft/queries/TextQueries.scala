@@ -183,7 +183,25 @@ object TextQueries {
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxDist = 7)
       .orderBy("doc_a", "doc_b")
 
+  /** q37 — PII redaction (emails / SSNs / US phones → typed placeholders):
+    * training-data scrubbing as a codegen'd regexp_replace chain; the
+    * oracle replays the identical patterns (shared Java-regex/RE2 subset).
+    */
+  def q37(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.redactPii(col("text")).as("clean_text"))
+      .orderBy("doc_id")
+
+  val q37Sql: String =
+    """SELECT doc_id,
+      | regexp_replace(regexp_replace(regexp_replace(text,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+      |   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_pii_redact" -> (q37 _),
     "q35_simhash_neardup" -> (q35 _),
     "q19_dedup_exact" -> (q19 _),
     "q20_token_stats" -> (q20 _),
@@ -195,6 +213,7 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q37_pii_redact" -> q37Sql,
     "q19_dedup_exact" -> q19Sql,
     "q20_token_stats" -> q20Sql,
     "q21_quality_score" -> q21Sql,
