@@ -222,6 +222,58 @@ object Dedup {
     }
   }
 
+  /** Connected components over an undirected edge list by min-label
+    * propagation: every vertex's label converges to the minimum id in its
+    * component — the canonical "which document survives a near-dup
+    * cluster" assignment (transitive closure of pairwise matches; a pair
+    * list alone under-merges A~B, B~C into two clusters).
+    *
+    * Each round is one shuffle of the (symmetrized) edge list joined to
+    * current labels + a min-aggregate; rounds needed = component
+    * diameter, which for near-dup clusters is small (dups of one source
+    * form near-cliques). Lineage is cut with localCheckpoint each round —
+    * an iterative plan would otherwise grow unboundedly. For graphs with
+    * adversarially long chains, alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce") halves the
+    * round count; not needed at near-dup topology.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = vertices.select(col("id"), col("id").as("label"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(col("src")).agg(min("label").as("nbr_min"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nbr_min"), labels("label")))
+              .as("label"))
+          .localCheckpoint()
+        changed = next.as("n").join(labels.as("o"), "id")
+          .filter(col("n.label") < col("o.label")).count()
+        labels = next
+      }
+      labels
+    } finally sym.unpersist()
+  }
+
+  /** Full near-dup clustering: MinHash-LSH verified pairs → transitive
+    * components → (doc_id, cluster_id = surviving min doc_id). Singleton
+    * docs keep their own id — `filter(doc_id = cluster_id)` IS the
+    * deduplicated corpus.
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, threshold: Double): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, k, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(pairs, docs.select(col(idCol).as("id")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash per doc: 64-bit signature as a bit string. Near-dups have
     * small Hamming distance; bucketing on bit-prefixes gives an LSH analog.
     * JVM function per row for the same recompute reason as [[minhashLsh]].

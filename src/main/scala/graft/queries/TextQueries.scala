@@ -183,6 +183,41 @@ object TextQueries {
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxDist = 7)
       .orderBy("doc_a", "doc_b")
 
+  /** q38 — near-dup clustering: LSH-verified pairs → transitive connected
+    * components → (doc_id, cluster_id = min id in component). The oracle
+    * recomputes the same thing declaratively: brute-force pairs, then a
+    * recursive-CTE transitive closure with MIN per vertex. Pinning
+    * transitivity matters — a pair list alone under-merges A~B, B~C.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
+      .orderBy("doc_id")
+
+  val q38Sql: String =
+    """WITH RECURSIVE t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)),
+      |p AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM t a, t b
+      | WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7),
+      |e AS (
+      | SELECT doc_a AS a, doc_b AS b FROM p
+      | UNION SELECT doc_b, doc_a FROM p
+      | UNION SELECT doc_id, doc_id FROM documents),
+      |reach(a, b) AS (
+      | SELECT a, b FROM e
+      | UNION
+      | SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+      |SELECT a AS doc_id, MIN(b) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** q37 — PII redaction (emails / SSNs / US phones → typed placeholders):
     * training-data scrubbing as a codegen'd regexp_replace chain; the
     * oracle replays the identical patterns (shared Java-regex/RE2 subset).
@@ -201,6 +236,7 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_dedup_clusters" -> (q38 _),
     "q37_pii_redact" -> (q37 _),
     "q35_simhash_neardup" -> (q35 _),
     "q19_dedup_exact" -> (q19 _),
@@ -213,6 +249,7 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q38_dedup_clusters" -> q38Sql,
     "q37_pii_redact" -> q37Sql,
     "q19_dedup_exact" -> q19Sql,
     "q20_token_stats" -> q20Sql,

@@ -56,6 +56,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the planted near-dups are simhash-close too
   }
 
+  test("connectedComponents: transitive chains merge, singletons stay") {
+    import spark.implicits._
+    // chain 1-2-3 (1-3 is NOT an edge — only transitivity links them),
+    // pair 5-6, isolated 4
+    val edges = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("src", "dst")
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val got = Dedup.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupClusters agrees with union-find over the brute-force pairs") {
+    val pairs = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.dedupClusters(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(expected.values.toSet.size < ids.length) // some real merging happened
+  }
+
   test("exact dedup groups: one group per distinct text") {
     val n = docs.count()
     val groups = Dedup.exactGroups(docs, "doc_id", "text")
