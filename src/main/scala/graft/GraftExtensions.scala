@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HammingDistance}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"${CosineSimilarity.functionName} takes exactly 2 arguments")
         CosineSimilarity(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier(HammingDistance.functionName),
+      new ExpressionInfo(classOf[HammingDistance].getName,
+        HammingDistance.functionName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"${HammingDistance.functionName} takes exactly 2 arguments")
+        HammingDistance(exprs(0), exprs(1))
       }))
   }
 }

@@ -35,6 +35,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  array(cast(0.0 as float), cast(1.0 as float))) AS c""".stripMargin)
         .head().getDouble(0)
       assert(math.abs(ortho) < 1e-12)
+      val ham = spark.sql(
+        "SELECT graft_hamming_distance(cast(5 as bigint), cast(6 as bigint)) AS h")
+        .head().getInt(0)
+      assert(ham == 2) // 0b101 vs 0b110
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
