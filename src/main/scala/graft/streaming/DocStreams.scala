@@ -29,6 +29,8 @@ object DocStreams {
 
   final case class BucketDoc(bucket: Long, docId: Long, sig: Array[Long])
   final case class NearDupCandidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
+  final case class BucketVec(bucket: Long, vecId: Long, emb: Array[Float])
+  final case class EmbedNearDup(vec_a: Long, vec_b: Long, cos: Double)
 
   /** `stateTtl`: evict a bucket's occupants after this much processing
     * time without new arrivals. None = keep forever (drain-style runs,
@@ -102,6 +104,84 @@ object DocStreams {
               i += 1
             }
             state.update(prior ++ fresh.map(d => d.docId -> d.sig))
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming embedding near-dup — the vector analogue of
+    * [[streamingNearDupCandidates]] with one important difference: the
+    * state payload IS the embedding, so the in-state verify is the EXACT
+    * cosine (same left-to-right double fold as the batch
+    * CosineSimilarity expression — bit-identical values), not an
+    * estimate. Recall is governed by the hyperplane banding exactly as
+    * in `Dedup.embedNearDupLsh` (math in Hashing.hyperplaneBandBuckets);
+    * pairs sharing several bands emit once per shared band — dedup
+    * downstream with `dropDuplicates("vec_a","vec_b")`.
+    */
+  def streamingEmbedNearDup(vectors: DataFrame, idCol: String, embCol: String,
+                            threshold: Double, bitsPerBand: Int = 4,
+                            bands: Int = 64,
+                            stateTtl: Option[java.time.Duration] = None)
+      : Dataset[EmbedNearDup] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val banded = vectors
+      .select(col(idCol).cast("long").as("vecId"), col(embCol).as("emb"))
+      .select(explode(udf { v: Seq[Float] =>
+        Hashing.hyperplaneBandBuckets(v, bitsPerBand, bands)
+      }.apply(col("emb"))).as("bucket"), col("vecId"), col("emb"))
+      .as[BucketVec]
+
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Array[Float])], EmbedNearDup](
+        OutputMode.Append, timeout) {
+        case (_, rows, state: GroupState[List[(Long, Array[Float])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(Nil)
+            val fresh = rows.toList.sortBy(_.vecId)
+            val out = scala.collection.mutable.ListBuffer.empty[EmbedNearDup]
+            var i = 0
+            while (i < fresh.length) {
+              val d = fresh(i)
+              prior.foreach { case (pid, pemb) =>
+                if (pid != d.vecId) {
+                  val c = cosine(d.emb, pemb)
+                  if (c >= threshold)
+                    out += EmbedNearDup(math.min(pid, d.vecId),
+                      math.max(pid, d.vecId), c)
+                }
+              }
+              var j = 0
+              while (j < i) {
+                val e = fresh(j)
+                if (e.vecId != d.vecId) {
+                  val c = cosine(d.emb, e.emb)
+                  if (c >= threshold)
+                    out += EmbedNearDup(math.min(e.vecId, d.vecId),
+                      math.max(e.vecId, d.vecId), c)
+                }
+                j += 1
+              }
+              i += 1
+            }
+            state.update(prior ++ fresh.map(d => d.vecId -> d.emb))
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out.iterator
           }

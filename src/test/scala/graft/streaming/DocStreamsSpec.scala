@@ -47,6 +47,39 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(brutePairs.subsetOf(got))
   }
 
+  test("streaming embedding near-dup: exact cosines, pair spans batches") {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val brute = graft.queries.EmbeddingQueries.q30(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(brute.nonEmpty)
+    val (pairA, pairB) = brute.keys.head
+
+    val tmp = Files.createTempDirectory("embstream").toFile.getAbsolutePath
+    emb.filter(s"vec_id != $pairB").write.parquet(s"$tmp/src/b1")
+    emb.filter(s"vec_id = $pairB").write.parquet(s"$tmp/src/b2")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val out = DocStreams.streamingEmbedNearDup(
+      stream, "vec_id", "embedding", threshold = 0.45)
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("embdup_stream").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("embdup_stream")
+      .dropDuplicates("vec_a", "vec_b")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every batch-truth pair surfaces (4x64 banding: per-pair miss <1e-5),
+    // including the one split across batches, with BIT-IDENTICAL cosines
+    // (same double fold as the codegen expression)
+    assert(got.contains((pairA, pairB)))
+    brute.foreach { case (k, cos) =>
+      assert(got.contains(k), s"missing pair $k")
+      assert(got(k) == cos, s"cosine mismatch for $k")
+    }
+  }
+
   test("TTL-bounded state still pairs within the window") {
     // Same scenario through the ProcessingTimeTimeout code path: with a
     // TTL far larger than the run, behavior is identical (eviction timing
