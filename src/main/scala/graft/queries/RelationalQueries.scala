@@ -422,7 +422,29 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q39 — correlated subqueries from pure SQL: a scalar COUNT subquery
+    * and an EXISTS predicate per customer row. Exercises Catalyst's
+    * decorrelation (RewriteCorrelatedScalarSubquery / RewritePredicate-
+    * Subquery): both rewrite to aggregated/semi left joins — a plan shape
+    * nothing else in the inventory produces. COUNT/EXISTS are exact, so
+    * the oracle is dialect-safe (no float aggregation).
+    */
+  val q39Sql: String =
+    """SELECT c_custkey,
+      | (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      | CAST(EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 200000) AS INT) AS has_big_order
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q39Sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_subqueries" -> (q39 _),
     "q31_set_ops" -> (q31 _),
     "q32_rollup" -> (q32 _),
     "q01_pricing_summary" -> (q01 _),
@@ -442,6 +464,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q39_subqueries" -> q39Sql,
     "q31_set_ops" -> q31Sql,
     "q32_rollup" -> q32Sql,
     "q01_pricing_summary" -> q01Sql,
