@@ -62,6 +62,30 @@ object EventQueries {
       | FROM events) t
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q40 — SLIDING window rollup (1 h length, 30 min slide): completes
+    * the window family beside tumbling (q16) and session (q17). Spark's
+    * `window(ts, len, slide)` assigns each event to len/slide
+    * epoch-aligned windows; with len = 2·slide the oracle replays that as
+    * a 2-row expansion per event (k ∈ {0,1} shifted 30-min floors) — no
+    * window-containment filter needed since both shifted windows always
+    * cover the event.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type")
+
+  val q40Sql: String =
+    """SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000),
+      |   '%Y-%m-%d %H:%M') AS window_start,
+      | event_type, COUNT(*) AS n_events
+      |FROM events, range(2) t(k)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   /** q18 — JSON property extraction + rollup (events.props is a JSON
     * string; SURVEY §1.2 — from_json into a typed struct on the Spark
     * side, regex-equivalent in the oracle to avoid extension dependence).
@@ -123,11 +147,13 @@ object EventQueries {
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
     "q18_json_extract" -> (q18 _),
-    "q33_asof_join" -> (q33 _))
+    "q33_asof_join" -> (q33 _),
+    "q40_sliding_window" -> (q40 _))
 
   val oracles: Map[String, String] = Map(
     "q16_hourly_rollup" -> q16Sql,
     "q17_sessionization" -> q17Sql,
     "q18_json_extract" -> q18Sql,
-    "q33_asof_join" -> q33Sql)
+    "q33_asof_join" -> q33Sql,
+    "q40_sliding_window" -> q40Sql)
 }

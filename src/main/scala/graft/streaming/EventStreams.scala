@@ -25,6 +25,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding-window rollup (len > slide ⇒ each event lands in len/slide
+    * windows) with watermarked eviction — the streaming form of q40.
+    */
+  def slidingRollup(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
   /** Session windows per user with a gap timeout (`session_window`) — the
     * native form of the reference-shaped gaps-and-islands batch query q17.
     */

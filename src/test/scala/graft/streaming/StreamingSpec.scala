@@ -99,6 +99,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("sliding rollup on a stream matches the batch plan") {
+    val dir = Files.createTempDirectory("graft-sliding").toFile.getAbsolutePath
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.parquet(s"$dir/events")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/events")
+    val q = EventStreams.slidingRollup(stream).writeStream
+      .outputMode("complete").format("memory").queryName("sliding_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.slidingRollup(events).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("session_window rollup agrees with the gaps-and-islands batch query") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val sessions = EventStreams.sessionRollup(events)
