@@ -37,7 +37,8 @@ object Bench {
     "q22_langid", "q25_minhash_lsh", "q26_simhash",
     "q27_knn_brute", "q28_embed_stats", "q29_ann_lsh",
     "q35_simhash_neardup", "q36_embed_neardup_lsh",
-    "q31_set_ops", "q32_rollup", "q33_asof_join", "q38_dedup_clusters")
+    "q31_set_ops", "q32_rollup", "q33_asof_join", "q38_dedup_clusters",
+    "q39_subqueries", "q40_sliding_window")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run
