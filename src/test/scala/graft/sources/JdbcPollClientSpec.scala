@@ -164,5 +164,25 @@ class JdbcPollClientSpec extends AnyFunSuite {
     val ids = PollRunLog.ids.sorted
     assert(ids == Seq(1L, 1L, 2L, 3L) || ids == Seq(1L, 1L, 2L, 3L, 4L))
     assert(partsSeen == 3)
+
+    // restart the checkpointed query with a new row: only it is
+    // delivered — the sharded planner replays old windows from the
+    // narrow watermark scan without re-delivering them
+    exec(
+      "INSERT INTO record_metadata VALUES (7, 'p', TIMESTAMP('2021-01-09 10:00:00'), TIMESTAMP('2021-01-10 10:00:00'), NULL)",
+      "INSERT INTO patron_record_address VALUES (7, 1, 1, 'city7', 'NY', '77777', '7 AVE')",
+      "INSERT INTO patron_view VALUES (7, 7, 7, 'lib7', DATE('2020-09-01'))")
+    PollRunLog.reset()
+    val q2 = spark.readStream.format(classOf[PollingSourceProvider].getName)
+      .option("client", "jdbc_sharded").option("limit", "10")
+      .option("numPartitions", "3").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => PollRunLog.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(PollRunLog.ids == Seq(7L))
   }
 }
