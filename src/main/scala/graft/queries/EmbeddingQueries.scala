@@ -109,7 +109,46 @@ object EmbeddingQueries {
       verifyInJoin = true) // near-noise threshold ⇒ dense candidates
       .orderBy("vec_a", "vec_b")
 
+  /** q41 — embedding near-dup clustering: q36's exact-verified pairs →
+    * transitive connected components → (vec_id, cluster_id = surviving
+    * min id). The full embedding-dedup pipeline in one plan; oracle =
+    * brute-force pairs + recursive-CTE transitive closure (q38's pattern
+    * on the vector side).
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = graft.operators.Dedup.embedNearDupLsh(
+        emb, "vec_id", "embedding", 0.45, verifyInJoin = true)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    graft.operators.Dedup.connectedComponents(
+        pairs, emb.select(col("vec_id").as("id")))
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  val q41Sql: String =
+    """WITH RECURSIVE v AS (
+      | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      | FROM embeddings),
+      |p AS (
+      | SELECT a.vec_id AS va, b.vec_id AS vb
+      | FROM v a JOIN v b ON a.vec_id < b.vec_id
+      | WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+      |   / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+      |      * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.45),
+      |ed AS (
+      | SELECT va AS a, vb AS b FROM p
+      | UNION SELECT vb, va FROM p
+      | UNION SELECT vec_id, vec_id FROM embeddings),
+      |reach(a, b) AS (
+      | SELECT a, b FROM ed
+      | UNION
+      | SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a)
+      |SELECT a AS vec_id, MIN(b) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_embed_clusters" -> (q41 _),
     "q27_knn_brute" -> (q27 _),
     "q28_embed_stats" -> (q28 _),
     "q29_ann_lsh" -> (q29 _),
@@ -118,6 +157,7 @@ object EmbeddingQueries {
     "q36_embed_neardup_lsh" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q41_embed_clusters" -> q41Sql,
     "q27_knn_brute" -> q27Sql,
     "q28_embed_stats" -> q28Sql,
     "q30_embed_neardup" -> q30Sql,
