@@ -179,9 +179,10 @@ object AddressParser {
     def isSuffix(t: String): Boolean = streetSuffixes.contains(normToken(t))
     def isDirectional(t: String): Boolean = directionals.contains(normToken(t))
     // Trailing capitalized non-suffix, non-directional tokens form the
-    // place; always leave `minStreet` tokens for the street itself.
-    def splitPlace(toks: Seq[String]): (Seq[String], Seq[String]) = {
-      val minStreet = if (toks.length >= 3) 2 else 1
+    // place; always leave at least `floor` (default: 2 for 3+ tokens)
+    // tokens for the street itself.
+    def splitPlace(toks: Seq[String], floor: Int = 0): (Seq[String], Seq[String]) = {
+      val minStreet = math.max(floor, if (toks.length >= 3) 2 else 1)
       var split = toks.length
       while (split > minStreet && toks(split - 1).headOption.exists(_.isUpper)
         && !isSuffix(toks(split - 1)) && !isDirectional(toks(split - 1))) split -= 1
@@ -213,7 +214,10 @@ object AddressParser {
     // via _combine_repeated_labels; same combine runs on this result).
     val sepIdx = rest.indexWhere(t => t == "&" || normToken(t) == "AND")
     if (sepIdx > 0 && sepIdx < rest.length - 1) {
-      val (streets, placeToks) = splitPlace(rest)
+      // floor = sepIdx + 2: the place walk must leave at least one token
+      // AFTER the separator, or a single-token second street ("Main &
+      // Elm") would be eaten as the place name
+      val (streets, placeToks) = splitPlace(rest, floor = sepIdx + 2)
       def streetLabels(toks: Seq[String]): Seq[(String, String)] =
         toks.zipWithIndex.map { case (t, i) =>
           if (isDirectional(t))

@@ -269,17 +269,22 @@ object PatronPipeline extends Logging {
       .withColumnRenamed("initial_patron_home_library_code", "iphlc_found")
     // Warn with a BOUNDED sample: collecting every missing id to the driver
     // is unbounded at scale (a cold warehouse could miss a whole batch).
+    // Persist around the two actions (count + sample) so the anti-join and
+    // the lookup feeding it execute once, as the unbounded version did.
     val missingDf = needs.join(found, Seq("patron_id"), "left_anti")
-    val missingCount = missingDf.count()
-    if (missingCount > 0) {
-      val sample = missingDf.sort("patron_id").limit(missingWarnSample)
-        .collect().map(_.getString(0))
-      val suffix = if (missingCount > sample.length)
-        s" … and ${missingCount - sample.length} more" else ""
-      logWarning("The following updated patrons could not be found in " +
-        s"Redshift ($missingCount total): " +
-        sample.mkString("['", "', '", "']") + suffix)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val missingCount = missingDf.count()
+      if (missingCount > 0) {
+        val sample = missingDf.sort("patron_id").limit(missingWarnSample)
+          .collect().map(_.getString(0))
+        val suffix = if (missingCount > sample.length)
+          s" … and ${missingCount - sample.length} more" else ""
+        logWarning("The following updated patrons could not be found in " +
+          s"Redshift ($missingCount total): " +
+          sample.mkString("['", "', '", "']") + suffix)
+      }
+    } finally missingDf.unpersist()
     df.join(broadcast(found), Seq("patron_id"), "left")
       .withColumn("initial_patron_home_library_code",
         coalesce(col("initial_patron_home_library_code"), col("iphlc_found")))

@@ -136,9 +136,12 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
     } else None
   private val wmIdx = schema.fieldIndex(client.watermarkField)
   // rows/watermarks fetched for the current window, keyed by start offset
-  // (rows empty in sharded mode — executors fetch them per range)
-  @volatile private var fetched: (Long, Seq[Seq[Any]]) = (Long.MinValue, Seq.empty)
-  @volatile private var fetchedWms: (Long, Seq[Long]) = (Long.MinValue, Seq.empty)
+  // (rows empty in sharded mode — executors fetch them per range).
+  // Option, NOT a Long.MinValue sentinel: the default startMicros IS
+  // Long.MinValue, so a sentinel key would collide with a genuine batch-0
+  // replay after crash recovery and silently deliver an empty window.
+  @volatile private var fetched: Option[(Long, Seq[Seq[Any]])] = None
+  @volatile private var fetchedWms: Option[(Long, Seq[Long])] = None
   // ST5: AvailableNow snapshots an upper bound at query start (the
   // reference bounds every poll at session-start `now`,
   // helpers/query_helper.py:22).
@@ -210,8 +213,8 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
     }
     val wmsAll = wms0.take(keep)
     val wms = wmsAll.take(limit)
-    fetched = (committed, rows0.take(keep).take(limit))
-    fetchedWms = (committed, wms)
+    fetched = Some((committed, rows0.take(keep).take(limit)))
+    fetchedWms = Some((committed, wms))
     if (wms.isEmpty) PollOffset(committed)
     else {
       val straddles = wmsAll.size > limit && wmsAll(limit) == wms.last
@@ -252,8 +255,8 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
         // contiguous ranges. Boundaries snap to watermark VALUES, so a
         // group never spans two partitions and (lo, hi] ranges stay
         // disjoint even under heavy duplication.
-        val wms = (if (fetchedWms._1 == s) fetchedWms._2
-                   else p.pollWatermarks(s, limit + 1))
+        val wms = fetchedWms.collect { case (`s`, w) => w }
+          .getOrElse(p.pollWatermarks(s, limit + 1))
           .filter(m => m > s && m <= e)
         if (wms.isEmpty) Array.empty
         else {
@@ -271,9 +274,9 @@ private class PollingMicroBatchStream(schema: StructType, clientName: String,
           }.toArray
         }
       case None =>
-        val rows =
-          (if (fetched._1 == s) fetched._2 else client.poll(s, limit + 1))
-            .filter(r => { val m = micros(r(wmIdx)); m > s && m <= e })
+        val rows = fetched.collect { case (`s`, r) => r }
+          .getOrElse(client.poll(s, limit + 1))
+          .filter(r => { val m = micros(r(wmIdx)); m > s && m <= e })
         Array(PollPartition(rows))
     }
   }

@@ -103,7 +103,12 @@ object DocStreams {
               }
               i += 1
             }
-            state.update(prior ++ fresh.map(d => d.docId -> d.sig))
+            // replace-by-id, don't append: a re-delivered/updated doc must
+            // not leave a stale signature matching forever, and repeated
+            // re-delivery must not grow state beyond bucket occupancy
+            val freshIds = fresh.map(_.docId).toSet
+            state.update(prior.filterNot(p => freshIds(p._1))
+              ++ fresh.map(d => d.docId -> d.sig))
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out.iterator
           }
@@ -181,7 +186,11 @@ object DocStreams {
               }
               i += 1
             }
-            state.update(prior ++ fresh.map(d => d.vecId -> d.emb))
+            // replace-by-id (see streamingNearDupCandidates): stale
+            // embeddings must not survive a re-delivery
+            val freshIds = fresh.map(_.vecId).toSet
+            state.update(prior.filterNot(p => freshIds(p._1))
+              ++ fresh.map(d => d.vecId -> d.emb))
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out.iterator
           }

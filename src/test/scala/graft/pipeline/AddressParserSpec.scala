@@ -119,6 +119,11 @@ class AddressParserSpec extends AnyFunSuite {
     // combine first, then StreetName portions, then PostTypes (key order)
     assert(q.streetName == "W E Main 5th St Ave")
     assert(q.city == "Brooklyn")
+    // single-token second street: the place walk must not eat it
+    val r = reformat(AddressParts("", "", "", "",
+      "123 Main & Elm Brooklyn NY 11211"))
+    assert(r.streetName == "Main Elm" && r.city == "Brooklyn"
+      && r.houseNumber == "123")
   }
 
   test("heuristic tagger covers the reference cascade shapes") {

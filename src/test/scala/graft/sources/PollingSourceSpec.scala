@@ -158,6 +158,39 @@ class PollingSourceSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("crash recovery replays batch 0 from a fresh source (no empty-cache hit)") {
+    // The engine writes the offset log BEFORE running a batch; if the
+    // query dies pre-commit, restart replays the window through a FRESH
+    // source instance whose fetch cache is empty. A Long.MinValue cache
+    // sentinel would collide with the default start offset here and
+    // deliver an empty batch — losing the window forever. Simulate by
+    // deleting batch 0's commit record after a successful run.
+    val rows = Seq((1L, "a", 3001L), (2L, "b", 3002L))
+    PollClientRegistry.register("recovery", new FixedClient(rows))
+    val ckpt = java.nio.file.Files.createTempDirectory("recovery-ckpt")
+      .toFile.getAbsolutePath
+    def run(): Unit = {
+      val q = spark.readStream.format(classOf[PollingSourceProvider].getName)
+        .option("client", "recovery").option("limit", "10").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => PollRunLog.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    PollRunLog.reset()
+    run()
+    assert(PollRunLog.ids.sorted == Seq(1L, 2L))
+    // un-commit batch 0: restart must REPLAY it (exactly-once is the
+    // sink's concern; losing the rows would be a source bug)
+    assert(new java.io.File(s"$ckpt/commits/0").delete())
+    PollRunLog.reset()
+    run()
+    assert(PollRunLog.ids.sorted == Seq(1L, 2L))
+  }
+
   test("sharded partitions: skewed watermarks snap to group boundaries, no splits") {
     // 4 rows share watermark 1001 (a skewed group), then 1002, 1003.
     // numPartitions=3 quantile bounds land at [1001, 1001, 1003] → dedupe
