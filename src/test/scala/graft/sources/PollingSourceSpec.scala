@@ -186,6 +186,9 @@ class PollingSourceSpec extends AnyFunSuite {
     // un-commit batch 0: restart must REPLAY it (exactly-once is the
     // sink's concern; losing the rows would be a source bug)
     assert(new java.io.File(s"$ckpt/commits/0").delete())
+    // local FS keeps a sibling checksum; a stale .crc fails the replay's
+    // commit-log rename (FileAlreadyExistsException), so drop it with the file
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
     PollRunLog.reset()
     run()
     assert(PollRunLog.ids.sorted == Seq(1L, 2L))
