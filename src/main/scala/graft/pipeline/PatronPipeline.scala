@@ -53,6 +53,16 @@ object PatronPipeline extends Logging {
   /** Stall guard (reference A1/A2, lib/pipeline_controller.py:150-162,
     * 264-272): a full batch sharing one timestamp means the watermark
     * cannot advance — fail loudly rather than loop forever.
+    *
+    * This is the reference's CONSERVATIVE form: it assumes a `>=` rescan
+    * (helpers/query_helper.py:21), so it also fires on a legitimate final
+    * full page whose rows all share one watermark with nothing beyond it.
+    * [[graft.sources.PollingSource]] uses strict-`>` offsets plus a
+    * `limit+1` straddle probe and DELIVERS that page, stalling only when a
+    * single watermark group alone exceeds the page — so do NOT pair this
+    * guard with the polling source (leave `runMode`'s `batchSize` at its
+    * default there; the two layers would disagree on exactly that shape).
+    * Intended for guard-less sources on the reference batch-parity path.
     */
   def stallGuard(df: DataFrame, batchSize: Long, orderingField: String): Unit = {
     val row = df.agg(

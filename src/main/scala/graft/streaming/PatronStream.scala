@@ -134,26 +134,17 @@ object PatronStream {
               checkpointDir: String, sink: AvroSink.RecordSink,
               batchSize: Long = Long.MaxValue,
               schemaJson: String = Schemas.patronInfoAvroJson): StreamingQuery = {
-    // State-store dedup key: active modes keep one row PER ADDRESS so the
-    // batch-level ordered dedup (not the state store's arbitrary
-    // first-arrival) picks which address survives — the polling source
-    // never splits a watermark group across pages, so all of a patron's
-    // address rows land in one micro-batch. A patron re-delivered in a
-    // later batch with unchanged address rows is still suppressed, as the
-    // reference's run-scoped processed_ids would.
-    // DOCUMENTED DIVERGENCE (single-mode path only): a patron re-delivered
-    // with a PARTIALLY CHANGED address set passes only its novel
-    // (patron, display_order, type_id) rows through state dedup, so the
-    // batch-level keep-first may emit a non-top-priority address where the
-    // reference's patron-keyed processed_ids would suppress the patron
-    // entirely. The production runAll path does not share this edge: it
-    // filters by patron id against the seen-keys state before emitting.
+    // Cross-batch suppression is PATRON-keyed (suppressSeenPatrons), not
+    // per-address: the polling source never splits a watermark group
+    // across pages, so all of a patron's address rows land in one
+    // micro-batch, and any later delivery of the same patron — identical,
+    // partially changed, or fully changed address set — is suppressed
+    // entirely, exactly like the reference's run-scoped processed_ids.
     val canonical = PatronPipeline.withCanonicalId(stream)
     val deduped =
       if (mode == PipelineMode.DeletedPatrons)
         canonical.dropDuplicates("patron_id_plaintext")
-      else canonical.dropDuplicates(
-        "patron_id_plaintext", "display_order", "patron_record_address_type_id")
+      else suppressSeenPatrons(canonical)
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -172,5 +163,30 @@ object PatronStream {
         }
       }
       .start()
+  }
+
+  /** Patron-keyed cross-batch suppression — the reference's run-scoped
+    * `processed_ids` set (lib/pipeline_controller.py:74,165-174), expressed
+    * as streaming state: the FIRST micro-batch that delivers a patron
+    * passes ALL of that patron's address rows through (the downstream
+    * ordered keep-first then picks the top-priority address,
+    * helpers/query_helper.py:30); every later delivery of the same patron
+    * is suppressed wholesale. A per-address `dropDuplicates` key cannot
+    * express this: novel (patron, display_order, type_id) rows of an
+    * already-emitted patron would leak through, and the batch-level
+    * keep-first could then emit a non-top-priority address. State is one
+    * boolean per patron id — the same asymptotic footprint as
+    * `dropDuplicates`' key set.
+    */
+  private def suppressSeenPatrons(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val idx = df.schema.fieldIndex("patron_id_plaintext")
+    implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+    df.groupByKey(_.getString(idx))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows })(Encoders.scalaBoolean, rowEnc)
   }
 }

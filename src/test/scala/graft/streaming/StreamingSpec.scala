@@ -62,11 +62,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(firstRun.map(r => AvroSink.decode(r).get("geoid").toString).sorted
       == Seq("g1", "g2"))
 
-    // Second run of the same checkpointed query: re-deliver 456 (already in
-    // dedup state → dropped) plus new 999 → only 999 is emitted.
+    // Second run of the same checkpointed query: re-deliver 456 with a
+    // PARTIALLY CHANGED address set — one unchanged row plus a novel
+    // higher-priority (display_order=0) address. Patron-keyed state must
+    // suppress the patron wholesale (reference processed_ids semantics); a
+    // per-address dedup key would leak the novel row and emit it. Plus new
+    // 999 → only 999 is emitted.
     sierraRows(Seq(
       Row(456L, 5, 6, "lib2", "c", "r", "22222", "2 ave", dt(2021, 2, 1),
         null, ts(2021, 2, 3), ts(2020, 12, 30), 1, 1),
+      Row(456L, 5, 6, "lib2", "c", "r", "44444", "4 blvd", dt(2021, 2, 1),
+        null, ts(2021, 2, 3), ts(2020, 12, 30), 0, 1),
       Row(999L, 9, 9, "lib9", "c", "r", "33333", "3 ave", dt(2021, 9, 1),
         null, ts(2021, 9, 3), ts(2020, 12, 1), 1, 1))).write.parquet(s"$srcDir/b3")
     StreamSinkLog.reset()
