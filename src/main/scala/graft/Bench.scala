@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Robustness (the r2/r3 artifacts were poisoned by machine contention —
   * different queries spiked each round with byte-identical plans):
-  *  - TWO timed passes, per-query minimum reported. A transient CPU spike
-  *    hits one pass; the min is the engine's actual cost.
+  *  - THREE timed passes, per-query minimum reported. A transient CPU
+  *    spike hits one pass; the min is the engine's actual cost (r4's
+  *    recorded q01 was 5.6 s across both of two passes under driver-side
+  *    contention vs 1.3 s warm on a quiet machine).
   *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` if set, so
   *    the driver parses a file instead of scraping sbt-prefixed stdout.
   *  - per-query shuffle bytes (read+write) via SparkListener: plan
@@ -91,10 +93,9 @@ object Bench {
       runOne(name, sfDir)
       (name, (System.nanoTime() - t0) / 1e9, shuffle.bytes.get() - b0)
     }
-    val pass1 = timedPass()
-    val pass2 = timedPass()
-    val results = pass1.zip(pass2).map { case ((n, t1, s1), (_, t2, s2)) =>
-      (n, math.min(t1, t2), math.min(s1, s2))
+    val passes = Seq.fill(3)(timedPass())
+    val results = passes.transpose.map { samples =>
+      (samples.head._1, samples.map(_._2).min, samples.map(_._3).min)
     }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

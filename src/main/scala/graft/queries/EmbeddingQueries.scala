@@ -64,16 +64,10 @@ object EmbeddingQueries {
     * signature scheme) prunes the pair space; this exact form doubles as
     * its verification oracle.
     */
-  def q30(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", graft.functions.CosineSimilarity(s, col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= 0.45)
-      .select("vec_a", "vec_b", "cos")
+  def q30(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.embedNearDupBrute(
+      Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
       .orderBy("vec_a", "vec_b")
-  }
 
   val q30Sql: String =
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -95,18 +89,20 @@ object EmbeddingQueries {
   def q34(s: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(Tables.embeddings(s, dir), 0L, 10)
 
-  /** q36 — embedding near-dup via banded hyperplane LSH, exact-verified:
-    * q30's semantics without the all-pairs cross join (the q24↔q25
-    * pattern — q30 stays as the brute-force oracle). Exactness-tuned
-    * banding (4 bits × 64 bands) puts the per-pair miss probability below
-    * 1e-5 at τ=0.45, so it shares q30's SQL oracle; candidate generation
-    * shuffles (bucket, id) pairs only. See Dedup.embedNearDupLsh for the
-    * pruning-tuned high-threshold regime.
+  /** q36 — exact embedding near-dup via the ADAPTIVE plan
+    * (Dedup.embedNearDup): banded hyperplane LSH when the threshold's
+    * angular separation lets a banding scheme prune while keeping the
+    * per-pair miss probability below 1e-5, the fused all-pairs kernel
+    * otherwise. τ=0.45 sits in the non-separable regime (a random pair
+    * already collides in ~4 of 64 4-bit bands, so the candidate join
+    * carries MORE rows than the cross join — measured 4.6 s vs 1.7 s at
+    * sf0.1), so here the dispatcher picks the all-pairs kernel; at
+    * τ≥0.7 it picks banding (pinned by OperatorsSpec). Shares q30's SQL
+    * oracle either way — both plans are exact.
     */
   def q36(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.embedNearDupLsh(
-      Tables.embeddings(s, dir), "vec_id", "embedding", 0.45,
-      verifyInJoin = true) // near-noise threshold ⇒ dense candidates
+    graft.operators.Dedup.embedNearDup(
+      Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
       .orderBy("vec_a", "vec_b")
 
   /** q41 — embedding near-dup clustering: q36's exact-verified pairs →
@@ -117,8 +113,8 @@ object EmbeddingQueries {
     */
   def q41(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val pairs = graft.operators.Dedup.embedNearDupLsh(
-        emb, "vec_id", "embedding", 0.45, verifyInJoin = true)
+    val pairs = graft.operators.Dedup.embedNearDup(
+        emb, "vec_id", "embedding", 0.45)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     graft.operators.Dedup.connectedComponents(
         pairs, emb.select(col("vec_id").as("id")))

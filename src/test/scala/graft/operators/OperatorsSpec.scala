@@ -121,6 +121,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inJoin == brute)
   }
 
+  test("embedNearDup regime dispatch: brute below separation, banded above") {
+    // τ=0.45 is near the random-pair regime (sign-LSH collision prob for a
+    // random pair is 1/2; exactness-tuned banding there joins MORE rows
+    // than the cross join) → no banding scheme qualifies.
+    assert(Dedup.bandingFor(0.45).isEmpty)
+    assert(Dedup.bandingFor(0.6).isEmpty)
+    // Separable thresholds get a scheme that both keeps the 1e-5 miss
+    // bound and prunes ≥4× with a bounded explode factor.
+    for (t <- Seq(0.7, 0.8, 0.9, 0.95)) {
+      val Some((bits, bands)) = Dedup.bandingFor(t)
+      val p = 1.0 - math.acos(t) / math.Pi
+      val missProb = math.pow(1.0 - math.pow(p, bits), bands)
+      assert(missProb <= 1e-5, s"t=$t: miss $missProb")
+      assert(bands <= 512 && bands.toDouble / (1L << bits) <= 0.25,
+        s"t=$t: ($bits, $bands) does not prune")
+    }
+    // Both regimes are exact: adaptive == brute at a separable threshold
+    // (banded path) and at the noise threshold (all-pairs path).
+    val emb = Tables.embeddings(spark, dir)
+    for (t <- Seq(0.45, 0.7)) {
+      val adaptive = Dedup.embedNearDup(emb, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Dedup.embedNearDupBrute(emb, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(adaptive == brute)
+    }
+  }
+
   test("embedNearDupLsh (pruning-tuned) finds planted near-dups and prunes noise") {
     import graft.functions.Hashing
     // 200 deterministic random unit-ish vectors + 10 planted near-dups
