@@ -40,7 +40,9 @@ object Bench {
     "q27_knn_brute", "q28_embed_stats", "q29_ann_lsh",
     "q35_simhash_neardup", "q36_embed_neardup_lsh",
     "q31_set_ops", "q32_rollup", "q33_asof_join", "q38_dedup_clusters",
-    "q39_subqueries", "q40_sliding_window")
+    "q39_subqueries", "q40_sliding_window",
+    "q42_stratified_sample", "q43_corpus_stats", "q44_repetition_stats",
+    "q45_vocab_df")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

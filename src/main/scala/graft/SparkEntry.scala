@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EmbeddingQueries, EventQueries, RelationalQueries, TextQueries}
+import graft.queries.{CorpusQueries, EmbeddingQueries, EventQueries, RelationalQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ EmbeddingQueries.queries
+      TextQueries.queries ++ EmbeddingQueries.queries ++
+      CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -29,5 +30,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ EmbeddingQueries.oracles
+      TextQueries.oracles ++ EmbeddingQueries.oracles ++
+      CorpusQueries.oracles
 }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity (SURVEY §7.4 extension inventory):
+  * reproducible sampling + split assignment, corpus-shape statistics,
+  * repetition diagnostics, and vocabulary construction. Like TextQueries,
+  * every computation is deliberately SQL-expressible so the DuckDB oracle
+  * replays it exactly.
+  */
+object CorpusQueries {
+
+  /** Deterministic content-keyed hash bucket in [0, 256): the first two
+    * hex chars of md5(key || salt), compared as lowercase hex strings —
+    * identical in Spark and DuckDB, so sampling decisions are
+    * reproducible across engines, runs, AND cluster sizes (no RNG, no
+    * partition dependence — the property that matters when a 100 TB
+    * corpus is resampled incrementally).
+    */
+  private def hashBucket(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 2)
+
+  /** q42 — stratified reproducible sampling + train/val/test split
+    * assignment: per-stratum keep rates (en 16/256, other langs 32/256)
+    * via one hash, split via an independent hash (salts differ, so the
+    * two decisions are uncorrelated). Entirely map-side at scale — no
+    * shuffle before the oracle-determinism sort; rerunning on a grown
+    * corpus never reassigns an existing doc.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val keep = hashBucket(col("doc_id"), ":sample")
+    val split = hashBucket(col("doc_id"), ":split")
+    Tables.documents(s, dir)
+      .filter(keep < when(col("lang") === "en", lit("10")).otherwise(lit("20")))
+      .select(col("doc_id"), col("lang"),
+        when(split < "0a", lit("test"))
+          .when(split < "14", lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  val q42Sql: String =
+    """SELECT doc_id, lang,
+      | CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 2) < '0a' THEN 'test'
+      |      WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 2) < '14' THEN 'val'
+      |      ELSE 'train' END AS split
+      |FROM documents
+      |WHERE substr(md5(doc_id::VARCHAR || ':sample'), 1, 2)
+      |      < CASE WHEN lang = 'en' THEN '10' ELSE '20' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** q43 — corpus shape statistics per language: exact discrete
+    * percentiles (ANSI `percentile_disc`) of document length and token
+    * count. Discrete (not interpolated) so every statistic is an actual
+    * corpus value and integer-exact across engines. One shuffle on lang;
+    * partial aggregation keeps the per-partition state at one
+    * sorted-run per (lang, metric).
+    */
+  def q43(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("len"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY len)")
+          .cast("long").as("p25_len"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY len)")
+          .cast("long").as("p50_len"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY len)")
+          .cast("long").as("p75_len"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY len)")
+          .cast("long").as("p99_len"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ntok)")
+          .cast("long").as("p50_tokens"))
+      .orderBy("lang")
+
+  val q43Sql: String =
+    """WITH t AS (
+      | SELECT lang, length(text) AS len,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS ntok
+      | FROM documents)
+      |SELECT lang, COUNT(*) AS n,
+      | CAST(quantile_disc(len, 0.25) AS BIGINT) AS p25_len,
+      | CAST(quantile_disc(len, 0.5) AS BIGINT) AS p50_len,
+      | CAST(quantile_disc(len, 0.75) AS BIGINT) AS p75_len,
+      | CAST(quantile_disc(len, 0.99) AS BIGINT) AS p99_len,
+      | CAST(quantile_disc(ntok, 0.5) AS BIGINT) AS p50_tokens
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q44 — repetition diagnostics per document (the Gopher-style "mostly
+    * repeated content" signal): token count, distinct-token count, and
+    * the highest single-token frequency. The max-frequency path is
+    * explode → two keyed aggregations — both keyed by doc_id, so at
+    * scale it is one shuffle of (doc_id, token) pairs with map-side
+    * partial counts, then a doc-keyed rollup.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+    val maxFreq = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("f"))
+      .groupBy("doc_id").agg(max("f").as("max_token_freq"))
+    toks.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_tokens"))
+      .join(maxFreq, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q44Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |f AS (
+      | SELECT doc_id, tok, COUNT(*) AS f
+      | FROM (SELECT doc_id, unnest(w) AS tok FROM w) GROUP BY doc_id, tok),
+      |m AS (SELECT doc_id, MAX(f) AS max_token_freq FROM f GROUP BY doc_id)
+      |SELECT w.doc_id, len(w.w) AS n_tokens,
+      | len(list_distinct(w.w)) AS n_distinct_tokens, m.max_token_freq
+      |FROM w JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q45 — vocabulary construction: top-50 terms by document frequency
+    * (ties broken by term, a total order ⇒ deterministic LIMIT). The
+    * per-doc `array_distinct` bounds each doc's contribution to its
+    * distinct terms; the groupBy partial-aggregates map-side so only
+    * (term, partial df) pairs shuffle, and the top-k is
+    * TakeOrderedAndProject — no global sort.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(50)
+
+  val q45Sql: String =
+    """SELECT term, COUNT(*) AS df
+      |FROM (SELECT doc_id, unnest(list_distinct(
+      |        string_split_regex(lower(trim(text)), '\s+'))) AS term
+      |      FROM documents)
+      |GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_stratified_sample" -> (q42 _),
+    "q43_corpus_stats" -> (q43 _),
+    "q44_repetition_stats" -> (q44 _),
+    "q45_vocab_df" -> (q45 _))
+
+  val oracles: Map[String, String] = Map(
+    "q42_stratified_sample" -> q42Sql,
+    "q43_corpus_stats" -> q43Sql,
+    "q44_repetition_stats" -> q44Sql,
+    "q45_vocab_df" -> q45Sql)
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-preparation operators (q42–q45). The DuckDB oracle gate pins
+  * exact values; these tests pin the operator PROPERTIES that the oracle
+  * can't see — determinism across runs, stratification direction, and
+  * ranking shape.
+  */
+class CorpusQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q42 sampling is deterministic, stratified, and fully split") {
+    val a = CorpusQueries.q42(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val b = CorpusQueries.q42(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(a.nonEmpty && a.sameElements(b)) // content-keyed, no RNG
+    assert(a.forall(r => Set("train", "val", "test").contains(r._3)))
+    // per-stratum rates: en keeps 16/256, others 32/256 — so the en
+    // sample fraction must be below the non-en fraction.
+    val total = graft.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val enRate = kept.getOrElse("en", 0.0) / total("en")
+    val otherRate = (kept - "en").values.sum /
+      (total - "en").values.sum.toDouble
+    assert(enRate < otherRate,
+      s"en rate $enRate should be below non-en rate $otherRate")
+  }
+
+  test("q45 vocabulary is df-descending with deterministic ties") {
+    val rows = CorpusQueries.q45(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.forall(_._2 <= nDocs)) // df counts docs, not occurrences
+    rows.sliding(2).foreach { case Array((t1, d1), (t2, d2)) =>
+      assert(d1 > d2 || (d1 == d2 && t1 < t2))
+    case _ => }
+  }
+
+  test("q44 repetition bounds: distinct <= total, max freq consistent") {
+    val rows = CorpusQueries.q44(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, d, f) =>
+      assert(d <= n && f >= 1 && f <= n - d + 1)
+    }
+  }
+}
