@@ -6,10 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query inventory (operator coverage mapping lives beside each query):
-  *  - q01–q15 relational  (SURVEY §2.1–§2.7)  → RelationalQueries
-  *  - q16–q18 events      (SURVEY §2.9 batch) → EventQueries
-  *  - q19–q26 text/dedup  (SURVEY §7.4)       → TextQueries
-  *  - q27–q29 embeddings  (SURVEY §7.4)       → EmbeddingQueries
+  *  - q01–q15 relational   (SURVEY §2.1–§2.7)  → RelationalQueries
+  *  - q16–q18, q40 events  (SURVEY §2.9 batch) → EventQueries
+  *  - q19–q26, q35, q37–q38 text/dedup (§7.4)  → TextQueries
+  *  - q27–q34, q36, q41 embeddings     (§7.4)  → EmbeddingQueries
+  *  - q42–q45 corpus prep              (§7.4)  → CorpusQueries
   */
 object SparkEntry {
 

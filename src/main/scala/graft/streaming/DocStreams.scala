@@ -123,7 +123,12 @@ object DocStreams {
     * estimate. Recall is governed by the hyperplane banding exactly as
     * in `Dedup.embedNearDupLsh` (math in Hashing.hyperplaneBandBuckets);
     * pairs sharing several bands emit once per shared band — dedup
-    * downstream with `dropDuplicates("vec_a","vec_b")`.
+    * downstream with `dropDuplicates("vec_a","vec_b")`. Pick
+    * (bitsPerBand, bands) with `Dedup.bandingFor(threshold)` when the
+    * threshold is separable (≳0.7); below that no banding prunes
+    * (see Dedup.embedNearDup) and streaming exactness would need a
+    * single all-pairs bucket whose state is the whole corpus — prefer
+    * periodic batch sweeps there.
     */
   def streamingEmbedNearDup(vectors: DataFrame, idCol: String, embCol: String,
                             threshold: Double, bitsPerBand: Int = 4,
