@@ -291,33 +291,43 @@ object Dedup {
     * cluster" assignment (transitive closure of pairwise matches; a pair
     * list alone under-merges A~B, B~C into two clusters).
     *
-    * Each round is one shuffle of the (symmetrized) edge list joined to
-    * current labels + a min-aggregate; rounds needed = component
-    * diameter, which for near-dup clusters is small (dups of one source
-    * form near-cliques). Lineage is cut with localCheckpoint each round —
-    * an iterative plan would otherwise grow unboundedly. For graphs with
-    * adversarially long chains, alternating large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce") halves the
-    * round count; not needed at near-dup topology.
+    * Each round is ONE shuffle join (edge list against current labels)
+    * unioned with the labels themselves into a single min-aggregate — a
+    * vertex with no neighbors keeps its label through the union branch,
+    * so no second left join is needed. Convergence costs a scalar
+    * aggregate, not a join: labels are monotonically non-increasing, so
+    * the label sum (exact, DECIMAL(38,0) — no overflow) strictly
+    * decreases while any vertex changes and is stable exactly at the
+    * fixpoint. Rounds needed = component diameter, which for near-dup
+    * clusters is small (dups of one source form near-cliques). Lineage
+    * is cut with localCheckpoint each round — an iterative plan would
+    * otherwise grow unboundedly. For graphs with adversarially long
+    * chains, alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce") halves the round count; not
+    * needed at near-dup topology.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
+          .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       var labels = vertices.select(col("id"), col("id").as("label"))
         .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-          .groupBy(col("src")).agg(min("label").as("nbr_min"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(labels("id"),
-            least(labels("label"), coalesce(col("nbr_min"), labels("label")))
-              .as("label"))
+      var prevSum = labelSum(labels)
+      var converged = false
+      while (!converged) {
+        val next = sym.join(labels, sym("dst") === labels("id"))
+          .select(sym("src").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min("label").as("label"))
           .localCheckpoint()
-        changed = next.as("n").join(labels.as("o"), "id")
-          .filter(col("n.label") < col("o.label")).count()
+        val curSum = labelSum(next)
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
         labels = next
       }
       labels
