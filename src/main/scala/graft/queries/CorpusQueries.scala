@@ -143,15 +143,66 @@ object CorpusQueries {
       |      FROM documents)
       |GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin
 
+  /** q46 — leakage-safe (group-aware) split assignment: the split hash is
+    * keyed on the near-dup CLUSTER id (q38's transitive components), not
+    * the doc id, so near-duplicate documents always land in the same
+    * split — the standard guard against train/test contamination through
+    * paraphrase-level duplicates. Singleton docs have cluster_id ==
+    * doc_id and therefore get exactly the split q42 would assign them
+    * (same salt). Composition of two verified operators; the extra cost
+    * over q42 is the dedup-cluster pass itself.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val split = hashBucket(col("cluster_id"), ":split")
+    graft.operators.Dedup.dedupClusters(
+        Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
+      .select(col("doc_id"), col("cluster_id"),
+        when(split < "0a", lit("test"))
+          .when(split < "14", lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  val q46Sql: String =
+    """WITH RECURSIVE t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)),
+      |p AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM t a, t b
+      | WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7),
+      |e AS (
+      | SELECT doc_a AS a, doc_b AS b FROM p
+      | UNION SELECT doc_b, doc_a FROM p
+      | UNION SELECT doc_id, doc_id FROM documents),
+      |reach(a, b) AS (
+      | SELECT a, b FROM e
+      | UNION
+      | SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |c AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT doc_id, cluster_id,
+      | CASE WHEN substr(md5(cluster_id::VARCHAR || ':split'), 1, 2) < '0a' THEN 'test'
+      |      WHEN substr(md5(cluster_id::VARCHAR || ':split'), 1, 2) < '14' THEN 'val'
+      |      ELSE 'train' END AS split
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
     "q44_repetition_stats" -> (q44 _),
-    "q45_vocab_df" -> (q45 _))
+    "q45_vocab_df" -> (q45 _),
+    "q46_leakage_safe_split" -> (q46 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
     "q43_corpus_stats" -> q43Sql,
     "q44_repetition_stats" -> q44Sql,
-    "q45_vocab_df" -> q45Sql)
+    "q45_vocab_df" -> q45Sql,
+    "q46_leakage_safe_split" -> q46Sql)
 }

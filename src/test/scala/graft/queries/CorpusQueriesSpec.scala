@@ -43,6 +43,24 @@ class CorpusQueriesSpec extends AnyFunSuite {
     case _ => }
   }
 
+  test("q46 puts every member of a near-dup cluster in one split") {
+    val rows = CorpusQueries.q46(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // one split per cluster — the leakage guarantee
+    rows.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._3).distinct.length == 1)
+    }
+    // singletons (cluster_id == doc_id) get exactly their q42 split
+    val q42Splits = CorpusQueries.q42(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val singletons = rows.filter(r => r._1 == r._2)
+    assert(singletons.nonEmpty)
+    singletons.foreach { case (id, _, split) =>
+      q42Splits.get(id).foreach(s => assert(s == split))
+    }
+  }
+
   test("q44 repetition bounds: distinct <= total, max freq consistent") {
     val rows = CorpusQueries.q44(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
