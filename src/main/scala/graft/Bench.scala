@@ -42,7 +42,7 @@ object Bench {
     "q31_set_ops", "q32_rollup", "q33_asof_join", "q38_dedup_clusters",
     "q39_subqueries", "q40_sliding_window",
     "q42_stratified_sample", "q43_corpus_stats", "q44_repetition_stats",
-    "q45_vocab_df")
+    "q45_vocab_df", "q47_decontaminate", "q48_pack_offsets")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q16–q18, q40 events  (SURVEY §2.9 batch) → EventQueries
   *  - q19–q26, q35, q37–q38 text/dedup (§7.4)  → TextQueries
   *  - q27–q34, q36, q41 embeddings     (§7.4)  → EmbeddingQueries
-  *  - q42–q45 corpus prep              (§7.4)  → CorpusQueries
+  *  - q42–q48 corpus prep              (§7.4)  → CorpusQueries
   */
 object SparkEntry {
 

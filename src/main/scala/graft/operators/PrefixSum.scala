@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed exact prefix sum (global running total in a total order).
+  *
+  * `Window.orderBy(...)` with no partition key plans a SINGLE-task sort —
+  * the one shape that cannot scale past one executor core no matter the
+  * cluster size. This operator is the classic two-pass parallel scan
+  * instead:
+  *
+  *  1. range-partition on the order key and sort within partitions (one
+  *     shuffle — the same work a global sort does, but kept parallel);
+  *  2. pass 1: per-partition value totals (numPartitions longs to the
+  *     driver — not data-sized);
+  *  3. pass 2: each partition streams its rows adding `base(pid) +
+  *     running`, where base = exclusive scan of the totals.
+  *
+  * This is genuine per-partition imperative logic, so it is one of the
+  * few places the RDD API is the right tool (SURVEY §7.4 note); the
+  * partitioned rows are persisted between the two passes so both read
+  * the same materialization.
+  *
+  * Used by the concat-and-chunk packing query (q48) — LLM pretraining
+  * assigns every document a global token offset exactly this way.
+  */
+object PrefixSum {
+
+  /** Append `outCol` = inclusive running total of `valueCol` (cast to
+    * long) in ascending `orderCol` order.
+    */
+  def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
+                       outCol: String, numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val rdd = df.repartitionByRange(numPartitions, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getAs[Number](vIdx).longValue())
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val bases = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bases.value(pid)
+      it.map { r =>
+        run += r.getAs[Number](vIdx).longValue()
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(out, df.schema.add(outCol, LongType, nullable = false))
+  }
+}

@@ -192,17 +192,98 @@ object CorpusQueries {
       |      ELSE 'train' END AS split
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q47 — benchmark decontamination: flag training documents sharing any
+    * 5-gram with the held-out evaluation set (source = 'src0' stands in
+    * for the benchmark corpus), reporting how many distinct grams
+    * collide — the n-gram overlap check run before LLM training to keep
+    * eval data out of the training set. Scale shape: the benchmark gram
+    * set is small (eval sets are) → broadcast hash join, so training
+    * grams are filtered map-side and only colliding (doc, gram) pairs
+    * reach the count-distinct shuffle.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val gramUdf = udf { text: String =>
+      graft.functions.Hashing.shingleSet(text, 5)
+    }
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(gramUdf(col("text"))).as("gram"))
+    val benchGrams = grams.filter(col("source") === "src0")
+      .select("gram").distinct()
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val q47Sql: String =
+    """WITH g AS (
+      | SELECT doc_id, source, unnest(CASE WHEN len(w) >= 5
+      |   THEN list_distinct(list_transform(range(1, len(w) - 3),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+      |   ELSE [array_to_string(w, ' ')] END) AS gram
+      | FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w
+      |       FROM documents)),
+      |b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+      |SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+      |FROM g JOIN b USING (gram) WHERE g.source <> 'src0'
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q48 — concat-and-chunk packing offsets: LLM pretraining concatenates
+    * the corpus in a fixed order and cuts fixed-size context windows, so
+    * every document needs its GLOBAL token offset — an exact prefix sum
+    * in doc_id order. A bare `Window.orderBy` would plan a single-task
+    * sort; [[graft.operators.PrefixSum]] runs the two-pass parallel scan
+    * (range partition → per-partition totals → broadcast bases) instead.
+    * Output: per doc, its token span and the first/last 2048-token chunk
+    * it lands in (documents may straddle a boundary — that is the
+    * standard packing semantics).
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 2048
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum
+      .withRunningTotal(toks, "doc_id", "n_tokens", "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        floor((col("cum") - col("n_tokens")) / chunk).cast("long").as("first_chunk"),
+        floor((col("cum") - 1) / chunk).cast("long").as("last_chunk"))
+      .orderBy("doc_id")
+  }
+
+  val q48Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      | FROM t)
+      |SELECT doc_id, n_tokens,
+      | CAST(cum - n_tokens AS BIGINT) AS start_offset,
+      | CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS first_chunk,
+      | CAST(floor((cum - 1) / 2048) AS BIGINT) AS last_chunk
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
     "q44_repetition_stats" -> (q44 _),
     "q45_vocab_df" -> (q45 _),
-    "q46_leakage_safe_split" -> (q46 _))
+    "q46_leakage_safe_split" -> (q46 _),
+    "q47_decontaminate" -> (q47 _),
+    "q48_pack_offsets" -> (q48 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
     "q43_corpus_stats" -> q43Sql,
     "q44_repetition_stats" -> q44Sql,
     "q45_vocab_df" -> q45Sql,
-    "q46_leakage_safe_split" -> q46Sql)
+    "q46_leakage_safe_split" -> q46Sql,
+    "q47_decontaminate" -> q47Sql,
+    "q48_pack_offsets" -> q48Sql)
 }

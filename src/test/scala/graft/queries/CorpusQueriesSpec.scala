@@ -61,6 +61,36 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("PrefixSum matches a single-partition window over any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 7 + 1)).toDF("id", "v")
+    val expected = df.withColumn("cum",
+        sum("v").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (parts <- Seq(1, 3, 32, 100)) {
+      val got = graft.operators.PrefixSum
+        .withRunningTotal(df, "id", "v", "cum", parts)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == expected, s"numPartitions=$parts")
+    }
+  }
+
+  test("q48 chunks tile the corpus: offsets contiguous, chunk ids consistent") {
+    val rows = CorpusQueries.q48(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((_, n1, s1, _, _), (_, _, s2, _, _)) => assert(s2 == s1 + n1)
+      case _ =>
+    }
+    rows.foreach { case (_, n, s, first, last) =>
+      assert(first == s / 2048 && last == (s + n - 1) / 2048 && first <= last)
+    }
+  }
+
   test("q44 repetition bounds: distinct <= total, max freq consistent") {
     val rows = CorpusQueries.q44(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
