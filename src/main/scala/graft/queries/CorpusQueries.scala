@@ -269,6 +269,44 @@ object CorpusQueries {
       | CAST(floor((cum - 1) / 2048) AS BIGINT) AS last_chunk
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q49 — data-mixing weights: per-source document/token counts, each
+    * source's token share, and the per-source sampling weight that would
+    * equalize token contributions (uniform mixing target) — the numbers a
+    * pretraining pipeline computes before weighted interleaving. One
+    * keyed aggregation (partial map-side) + a broadcast of the one-row
+    * grand total; ratios are IEEE double divisions of exact longs, so
+    * the oracle matches bit-for-bit.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val grand = perSource.agg(
+      sum("n_tokens").as("total"), count(lit(1)).as("k"))
+    perSource.crossJoin(broadcast(grand))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total").cast("double"))
+          .as("token_share"),
+        (col("total").cast("double") /
+          (col("k") * col("n_tokens").cast("double"))).as("weight"))
+      .orderBy("source")
+  }
+
+  val q49Sql: String =
+    """WITH t AS (
+      | SELECT source,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS nt
+      | FROM documents),
+      |a AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |      FROM t GROUP BY source),
+      |g AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS k FROM a)
+      |SELECT source, n_docs, n_tokens,
+      | CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+      | CAST(total AS DOUBLE) / (k * CAST(n_tokens AS DOUBLE)) AS weight
+      |FROM a, g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -276,7 +314,8 @@ object CorpusQueries {
     "q45_vocab_df" -> (q45 _),
     "q46_leakage_safe_split" -> (q46 _),
     "q47_decontaminate" -> (q47 _),
-    "q48_pack_offsets" -> (q48 _))
+    "q48_pack_offsets" -> (q48 _),
+    "q49_mixing_weights" -> (q49 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -285,5 +324,6 @@ object CorpusQueries {
     "q45_vocab_df" -> q45Sql,
     "q46_leakage_safe_split" -> q46Sql,
     "q47_decontaminate" -> q47Sql,
-    "q48_pack_offsets" -> q48Sql)
+    "q48_pack_offsets" -> q48Sql,
+    "q49_mixing_weights" -> q49Sql)
 }

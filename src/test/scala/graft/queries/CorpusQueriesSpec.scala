@@ -91,6 +91,18 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q49 mixing weights: shares sum to 1, weights equalize tokens") {
+    val rows = CorpusQueries.q49(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    val k = rows.length
+    // weight_i * share_i == 1/k: weighted sampling equalizes token mass
+    rows.foreach { case (_, _, share, w) =>
+      assert(math.abs(w * share - 1.0 / k) < 1e-12)
+    }
+  }
+
   test("q44 repetition bounds: distinct <= total, max freq consistent") {
     val rows = CorpusQueries.q44(spark, dir).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
