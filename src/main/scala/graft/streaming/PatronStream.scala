@@ -104,8 +104,12 @@ object PatronStream {
             if (!delRows.isEmpty) AvroSink.write(
               PatronPipeline.processDeletedPatrons(delRows, deps), sink,
               schemaJson = schemaJson)
+            // one file per batch, not one per shuffle partition: the key
+            // set is bounded by the batch size, and an append-only state
+            // dir otherwise accumulates numPartitions small files per
+            // micro-batch — the classic small-files leak on long runs
             best.select("patron_id_plaintext")
-              .write.mode("append").parquet(seenPath)
+              .coalesce(1).write.mode("append").parquet(seenPath)
           } finally best.unpersist()
         }
       }
