@@ -295,10 +295,14 @@ object Dedup {
     * unioned with the labels themselves into a single min-aggregate — a
     * vertex with no neighbors keeps its label through the union branch,
     * so no second left join is needed. Convergence costs a scalar
-    * aggregate, not a join: labels are monotonically non-increasing, so
-    * the label sum (exact, DECIMAL(38,0) — no overflow) strictly
-    * decreases while any vertex changes and is stable exactly at the
-    * fixpoint. Rounds needed = component diameter, which for near-dup
+    * aggregate, not a join, when ids are numeric: labels are
+    * monotonically non-increasing, so the label sum (exact,
+    * DECIMAL(38,0) — no overflow) strictly decreases while any vertex
+    * changes and is stable exactly at the fixpoint. Non-numeric ids
+    * (string doc ids) would cast to NULL and make the sum check lie
+    * (both rounds sum to 0 → premature exit), so they fall back to a
+    * join-based changed-label count — one extra join per round, same
+    * answer. Rounds needed = component diameter, which for near-dup
     * clusters is small (dups of one source form near-cliques). Lineage
     * is cut with localCheckpoint each round — an iterative plan would
     * otherwise grow unboundedly. For graphs with adversarially long
@@ -307,7 +311,9 @@ object Dedup {
     * needed at near-dup topology.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.types.{DecimalType, NumericType}
+    val numericIds =
+      vertices.schema("id").dataType.isInstanceOf[NumericType]
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -315,9 +321,14 @@ object Dedup {
       def labelSum(df: DataFrame): java.math.BigDecimal =
         Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
           .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+      def anyChanged(cur: DataFrame, nxt: DataFrame): Boolean =
+        !nxt.select(col("id"), col("label").as("__next_label"))
+          .join(cur.select(col("id"), col("label").as("__cur_label")), "id")
+          .filter(col("__next_label") =!= col("__cur_label"))
+          .isEmpty
       var labels = vertices.select(col("id"), col("id").as("label"))
         .localCheckpoint()
-      var prevSum = labelSum(labels)
+      var prevSum = if (numericIds) labelSum(labels) else null
       var converged = false
       while (!converged) {
         val next = sym.join(labels, sym("dst") === labels("id"))
@@ -325,9 +336,11 @@ object Dedup {
           .union(labels)
           .groupBy("id").agg(min("label").as("label"))
           .localCheckpoint()
-        val curSum = labelSum(next)
-        converged = curSum.compareTo(prevSum) == 0
-        prevSum = curSum
+        if (numericIds) {
+          val curSum = labelSum(next)
+          converged = curSum.compareTo(prevSum) == 0
+          prevSum = curSum
+        } else converged = !anyChanged(labels, next)
         labels = next
       }
       labels

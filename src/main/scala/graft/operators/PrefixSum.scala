@@ -31,28 +31,43 @@ import org.apache.spark.storage.StorageLevel
 object PrefixSum {
 
   /** Append `outCol` = inclusive running total of `valueCol` (cast to
-    * long) in ascending `orderCol` order.
+    * long; a NULL value cell counts as 0) in ascending `orderCol` order.
+    *
+    * The result is eagerly materialized (`localCheckpoint`) so the
+    * intermediate partitioned RDD — consumed by both scan passes — can be
+    * unpersisted before returning; without that, every invocation would
+    * pin a cached copy of the full input for the session lifetime. The
+    * checkpoint also means callers re-reading the result (q48 is consumed
+    * by its oracle comparison AND the bench loop) never re-trigger the
+    * two-pass scan.
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
                        outCol: String, numPartitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
     val vIdx = df.schema.fieldIndex(valueCol)
+    def longAt(r: Row): Long = {
+      val v = r.get(vIdx)
+      if (v == null) 0L else v.asInstanceOf[Number].longValue()
+    }
     val rdd = df.repartitionByRange(numPartitions, col(orderCol))
       .sortWithinPartitions(orderCol)
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getAs[Number](vIdx).longValue())
-      Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val bases = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = bases.value(pid)
-      it.map { r =>
-        run += r.getAs[Number](vIdx).longValue()
-        Row.fromSeq(r.toSeq :+ run)
+    try {
+      val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += longAt(r))
+        Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val bases = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = bases.value(pid)
+        it.map { r =>
+          run += longAt(r)
+          Row.fromSeq(r.toSeq :+ run)
+        }
       }
-    }
-    spark.createDataFrame(out, df.schema.add(outCol, LongType, nullable = false))
+      spark.createDataFrame(out, df.schema.add(outCol, LongType, nullable = false))
+        .localCheckpoint()
+    } finally rdd.unpersist(blocking = false)
   }
 }

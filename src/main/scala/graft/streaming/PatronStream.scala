@@ -46,7 +46,8 @@ object PatronStream {
   def runAll(newStream: DataFrame, updatedStream: DataFrame,
              deletedStream: DataFrame, deps: PatronPipeline.Deps,
              checkpointDir: String, sink: AvroSink.RecordSink,
-             schemaJson: String = Schemas.patronInfoAvroJson): StreamingQuery = {
+             schemaJson: String = Schemas.patronInfoAvroJson,
+             runId: String = java.util.UUID.randomUUID().toString): StreamingQuery = {
     def tag(df: DataFrame, rank: Int) =
       PatronPipeline.withCanonicalId(df).withColumn("__mode_rank", lit(rank))
     val unioned = tag(newStream, 0)
@@ -57,8 +58,12 @@ object PatronStream {
     // is a left-anti join, not a driver-side set). Stream-level
     // dropDuplicates can't express mode priority — it would keep an
     // arbitrary mode's row when one patron lands in two modes in the same
-    // micro-batch.
-    val seenPath = s"$checkpointDir/seen_keys"
+    // micro-batch. The set is RUN-scoped (a fresh subdir per `runId`),
+    // matching the reference's `processed_ids` lifetime
+    // (lib/pipeline_controller.py:74): the poller watermark persists in
+    // the checkpoint across runs, but a patron re-updated in a LATER run
+    // is re-emitted. Stale run subdirs are bounded by run count, not data.
+    val seenPath = s"$checkpointDir/seen_keys/run_$runId"
     unioned.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -137,18 +142,27 @@ object PatronStream {
   def runMode(stream: DataFrame, mode: PipelineMode, deps: PatronPipeline.Deps,
               checkpointDir: String, sink: AvroSink.RecordSink,
               batchSize: Long = Long.MaxValue,
-              schemaJson: String = Schemas.patronInfoAvroJson): StreamingQuery = {
+              schemaJson: String = Schemas.patronInfoAvroJson,
+              runId: String = java.util.UUID.randomUUID().toString): StreamingQuery = {
     // Cross-batch suppression is PATRON-keyed (suppressSeenPatrons), not
     // per-address: the polling source never splits a watermark group
     // across pages, so all of a patron's address rows land in one
     // micro-batch, and any later delivery of the same patron — identical,
     // partially changed, or fully changed address set — is suppressed
-    // entirely, exactly like the reference's run-scoped processed_ids.
+    // entirely, exactly like the reference's processed_ids. Suppression is
+    // RUN-scoped (`runId`): each runMode invocation is one drain (one
+    // reference poller run), and a patron re-updated in a LATER run is
+    // re-emitted — the reference resets processed_ids per run while its
+    // S3 watermark persists (lib/pipeline_controller.py:74). NOTE:
+    // upgrading from the boolean-state version changes the
+    // flatMapGroupsWithState state schema — existing checkpoints written
+    // by dropDuplicates-era or boolean-state builds must be restarted
+    // fresh (state store schemas are not migratable).
     val canonical = PatronPipeline.withCanonicalId(stream)
     val deduped =
       if (mode == PipelineMode.DeletedPatrons)
         canonical.dropDuplicates("patron_id_plaintext")
-      else suppressSeenPatrons(canonical)
+      else suppressSeenPatrons(canonical, runId)
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -171,26 +185,36 @@ object PatronStream {
 
   /** Patron-keyed cross-batch suppression — the reference's run-scoped
     * `processed_ids` set (lib/pipeline_controller.py:74,165-174), expressed
-    * as streaming state: the FIRST micro-batch that delivers a patron
-    * passes ALL of that patron's address rows through (the downstream
-    * ordered keep-first then picks the top-priority address,
-    * helpers/query_helper.py:30); every later delivery of the same patron
-    * is suppressed wholesale. A per-address `dropDuplicates` key cannot
-    * express this: novel (patron, display_order, type_id) rows of an
-    * already-emitted patron would leak through, and the batch-level
-    * keep-first could then emit a non-top-priority address. State is one
-    * boolean per patron id — the same asymptotic footprint as
-    * `dropDuplicates`' key set.
+    * as streaming state: within one run, the FIRST micro-batch that
+    * delivers a patron passes ALL of that patron's address rows through
+    * (the downstream ordered keep-first then picks the top-priority
+    * address, helpers/query_helper.py:30); every later delivery of the
+    * same patron IN THE SAME RUN is suppressed wholesale. A per-address
+    * `dropDuplicates` key cannot express this: novel (patron,
+    * display_order, type_id) rows of an already-emitted patron would leak
+    * through, and the batch-level keep-first could then emit a
+    * non-top-priority address.
+    *
+    * State holds the `runId` that last emitted the patron, NOT a plain
+    * seen-bit: the reference resets `processed_ids` at every poller run
+    * while the S3 watermark persists, so a patron updated again in a
+    * later run must be RE-emitted. A boolean under NoTimeout would
+    * suppress it for the checkpoint's whole lifetime — silent data loss
+    * relative to the reference. Comparing the stored runId to the current
+    * one reproduces the run-scoped lifetime exactly while the state store
+    * itself stays checkpoint-persistent (which is what keeps the SOURCE
+    * watermark durable). Footprint is one string per patron id — same
+    * asymptotics as `dropDuplicates`' key set.
     */
-  private def suppressSeenPatrons(df: DataFrame): DataFrame = {
+  private def suppressSeenPatrons(df: DataFrame, runId: String): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val idx = df.schema.fieldIndex("patron_id_plaintext")
     implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
     df.groupByKey(_.getString(idx))(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else { state.update(true); rows })(Encoders.scalaBoolean, rowEnc)
+        (_: String, rows: Iterator[Row], state: GroupState[String]) =>
+          if (state.exists && state.get == runId) Iterator.empty
+          else { state.update(runId); rows })(Encoders.STRING, rowEnc)
   }
 }

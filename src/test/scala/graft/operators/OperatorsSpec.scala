@@ -67,6 +67,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents: string vertex ids use the join-based check and still converge") {
+    import spark.implicits._
+    // Chain a-b-c needs TWO min-label rounds (a-c is not an edge). String
+    // labels cast to NULL under the decimal-sum convergence shortcut, which
+    // would read "stable" after round one and leave c under-merged at b —
+    // the join-based changed-count fallback must carry it to the fixpoint.
+    val edges = Seq(("b", "a"), ("b", "c"), ("f", "e")).toDF("src", "dst")
+    val vertices = Seq("a", "b", "c", "d", "e", "f").toDF("id")
+    val got = Dedup.connectedComponents(edges, vertices)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "e", "f" -> "e"))
+  }
+
   test("dedupClusters agrees with union-find over the brute-force pairs") {
     val pairs = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -78,6 +78,15 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("PrefixSum counts NULL value cells as zero") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("id", "v")
+    val got = graft.operators.PrefixSum
+      .withRunningTotal(df, "id", "v", "cum", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
+  }
+
   test("q48 chunks tile the corpus: offsets contiguous, chunk ids consistent") {
     val rows = CorpusQueries.q48(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -24,7 +24,7 @@ class StreamingSpec extends AnyFunSuite {
     Timestamp.from(ZonedDateTime.of(y, m, d, h, 59, 59, 0, et).toInstant)
   private def dt(y: Int, m: Int, d: Int): Date = Date.valueOf(LocalDate.of(y, m, d))
 
-  test("patron stream: checkpointed micro-batches with cross-batch dedup (ST1-ST5)") {
+  test("patron stream: checkpointed micro-batches with run-scoped dedup (ST1-ST5)") {
     val dir = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
     val srcDir = s"$dir/src"
     val ckpt = s"$dir/ckpt"
@@ -33,12 +33,17 @@ class StreamingSpec extends AnyFunSuite {
     def sierraRows(rows: Seq[Row]) =
       spark.createDataFrame(rows.asJava, Schemas.sierraActive)
 
-    // Batch 1: patrons 123 + duplicate 456; Batch 2 (same run): 456 again
-    // (boundary re-delivery, must be deduped by state) + new 999.
+    // Run 1, batch 1: patron 123. Batch 2 (same run): 123 AGAIN with a
+    // novel higher-priority (display_order=0) address — within one run the
+    // patron-keyed state must suppress the re-delivery wholesale
+    // (reference processed_ids semantics; a per-address dedup key would
+    // leak the novel row) — plus new 456.
     sierraRows(Seq(
       Row(123L, 4, 5, "lib1", "c", "r", "11111", "1 ave", dt(2021, 1, 1),
         null, ts(2021, 1, 3), ts(2020, 12, 31), 1, 1))).write.parquet(s"$srcDir/b1")
     sierraRows(Seq(
+      Row(123L, 4, 5, "lib1", "c", "r", "55555", "5 st", dt(2021, 1, 1),
+        null, ts(2021, 1, 3), ts(2020, 12, 31), 0, 1),
       Row(456L, 5, 6, "lib2", "c", "r", "22222", "2 ave", dt(2021, 2, 1),
         null, ts(2021, 2, 3), ts(2020, 12, 30), 1, 1))).write.parquet(s"$srcDir/b2")
 
@@ -58,16 +63,20 @@ class StreamingSpec extends AnyFunSuite {
     val q = PatronStream.runMode(stream, PipelineMode.NewPatrons, deps,
       ckpt, new StreamSinkLog)
     q.awaitTermination(60000)
-    val firstRun = StreamSinkLog.records
-    assert(firstRun.map(r => AvroSink.decode(r).get("geoid").toString).sorted
-      == Seq("g1", "g2"))
+    val firstRun = StreamSinkLog.records.map(AvroSink.decode(_))
+      .map(r => (r.get("geoid").toString, r.get("postal_code").toString)).sorted
+    // 123 emitted once, from its FIRST delivery (postal 11111; the novel
+    // display_order=0 55555 row in batch 2 is suppressed with the patron).
+    assert(firstRun == Seq(("g1", "11111"), ("g2", "22222")))
 
-    // Second run of the same checkpointed query: re-deliver 456 with a
-    // PARTIALLY CHANGED address set — one unchanged row plus a novel
-    // higher-priority (display_order=0) address. Patron-keyed state must
-    // suppress the patron wholesale (reference processed_ids semantics); a
-    // per-address dedup key would leak the novel row and emit it. Plus new
-    // 999 → only 999 is emitted.
+    // Second RUN over the same checkpoint: the source watermark persists
+    // (b1/b2 are not re-read) but suppression is run-scoped, like the
+    // reference's processed_ids which reset every poller run
+    // (lib/pipeline_controller.py:74). Re-deliver 456 with one unchanged
+    // row plus a novel display_order=0 address: 456 must be RE-emitted —
+    // through the ordered keep-first, so the new top-priority address
+    // (44444) wins — alongside new 999. A checkpoint-lifetime seen-bit
+    // would silently drop 456's update forever.
     sierraRows(Seq(
       Row(456L, 5, 6, "lib2", "c", "r", "22222", "2 ave", dt(2021, 2, 1),
         null, ts(2021, 2, 3), ts(2020, 12, 30), 1, 1),
@@ -80,8 +89,9 @@ class StreamingSpec extends AnyFunSuite {
       spark.readStream.schema(Schemas.sierraActive).parquet(s"$srcDir/*"),
       PipelineMode.NewPatrons, deps, ckpt, new StreamSinkLog)
     q2.awaitTermination(60000)
-    assert(StreamSinkLog.records.map(r => AvroSink.decode(r).get("geoid").toString)
-      == Seq("g9"))
+    val secondRun = StreamSinkLog.records.map(AvroSink.decode(_))
+      .map(r => (r.get("geoid").toString, r.get("postal_code").toString)).sorted
+    assert(secondRun == Seq(("g2", "44444"), ("g9", "33333")))
   }
 
   test("tumbling rollup on a stream matches the batch plan (ST7)") {
