@@ -309,6 +309,14 @@ object Dedup {
     * chains, alternating large-star/small-star (Kiveris et al.,
     * "Connected Components in MapReduce") halves the round count; not
     * needed at near-dup topology.
+    *
+    * Only EDGE-TOUCHED vertices enter the iteration: a vertex with no
+    * edges trivially keeps label = id, so the loop's join/agg runs over
+    * |endpoints(E)| rows, not |V|, and untouched vertices are restored
+    * by one final left join with `coalesce(label, id)`. At corpus scale
+    * this is the difference between iterating over billions of docs and
+    * iterating over the few-percent that have a near-dup candidate at
+    * all — the final join broadcasts the (small) label table.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, NumericType}
@@ -326,7 +334,8 @@ object Dedup {
           .join(cur.select(col("id"), col("label").as("__cur_label")), "id")
           .filter(col("__next_label") =!= col("__cur_label"))
           .isEmpty
-      var labels = vertices.select(col("id"), col("id").as("label"))
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
         .localCheckpoint()
       var prevSum = if (numericIds) labelSum(labels) else null
       var converged = false
@@ -343,7 +352,9 @@ object Dedup {
         } else converged = !anyChanged(labels, next)
         labels = next
       }
-      labels
+      vertices.select(col("id"))
+        .join(labels.select(col("id"), col("label").as("__cc_label")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__cc_label"), col("id")).as("label"))
     } finally sym.unpersist()
   }
 
