@@ -42,7 +42,9 @@ object Bench {
     "q31_set_ops", "q32_rollup", "q33_asof_join", "q38_dedup_clusters",
     "q39_subqueries", "q40_sliding_window",
     "q42_stratified_sample", "q43_corpus_stats", "q44_repetition_stats",
-    "q45_vocab_df", "q47_decontaminate", "q48_pack_offsets")
+    "q45_vocab_df", "q47_decontaminate", "q48_pack_offsets",
+    "q50_segment_dedup", "q51_unigram_logprob", "q52_filter_funnel",
+    "q53_topk_per_group", "q54_global_shuffle")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

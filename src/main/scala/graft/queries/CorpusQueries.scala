@@ -307,6 +307,200 @@ object CorpusQueries {
       | CAST(total AS DOUBLE) / (k * CAST(n_tokens AS DOUBLE)) AS weight
       |FROM a, g ORDER BY source""".stripMargin
 
+  /** q50 — segment-level exact dedup (the flat-text analog of C4's line
+    * dedup): each document is cut into NON-OVERLAPPING 8-token segments
+    * (a corpus with newlines would segment on them instead) and segments
+    * occurring in ≥2 distinct documents are reported with their document
+    * and occurrence counts. Segmentation is a map-only `transform`/
+    * `slice` over the token array (no explode-then-window); the only
+    * shuffle is the segment-keyed aggregation with map-side partial
+    * counts — the same one-shuffle hash-groupBy shape as exact doc dedup
+    * (q19), so it holds at corpus scale where the dup-segment table is
+    * the small output.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $k.0) as int) - 1),
+           |          i -> array_join(slice(w, i * $k + 1, $k), ' '))""".stripMargin))
+        .as("segment"))
+      .groupBy("segment")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("segment")
+  }
+
+  val q50Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, unnest(list_transform(
+      |   range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+      |   i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '))) AS segment
+      | FROM w)
+      |SELECT segment, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+      |FROM s GROUP BY segment HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY segment""".stripMargin
+
+  /** q51 — unigram log-probability scoring: fit the corpus unigram model
+    * (token → count / total) and score each document by its mean
+    * negative log-likelihood — the classic cheap perplexity proxy used to
+    * rank web documents for quality before training. The vocabulary
+    * aggregate is one shuffle with map-side combine; scoring joins tokens
+    * to the vocabulary BROADCAST (a unigram table is tiny relative to any
+    * corpus), so the scoring pass itself is map-side + one doc-keyed
+    * aggregation. Scores are rounded to 4 decimals so partial-aggregation
+    * summation order (engine-dependent in the last ulp) can't flip the
+    * oracle hash.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("total"))
+    toks.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("c").cast("double") / col("total").cast("double"))), 4)
+        .as("avg_neg_logp"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q51Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |v AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |g AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM v)
+      |SELECT doc_id,
+      | round(avg(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))), 4) AS avg_neg_logp,
+      | COUNT(*) AS n_tokens
+      |FROM toks JOIN v USING (tok), g
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q52 — quality-filter funnel: the FineWeb/C4-style cascade of cheap
+    * document filters, reported as one row per stage with rows-in /
+    * rows-kept / rows-dropped. Stages are CUMULATIVE (a doc reaches
+    * stage k only if it passed 1..k-1) — the number an operator actually
+    * reads when deciding which filter is eating the corpus. All four
+    * predicates are per-row expressions, so the whole funnel is one
+    * map-side pass + a single-row aggregate; at 100 TB it costs one scan.
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val doc = Tables.documents(s, dir)
+      .select(col("n_chars"), TextFns.tokens(col("text")).as("w"))
+      .select(col("n_chars").cast("long").as("nc"),
+        size(col("w")).cast("long").as("nt"),
+        size(array_distinct(col("w"))).cast("long").as("nd"))
+    val p1 = col("nc") >= 100
+    val p2 = p1 && col("nt") >= 25
+    val meanLen = col("nc").cast("double") / col("nt").cast("double")
+    val p3 = p2 && meanLen >= 3.0 && meanLen <= 12.0
+    val p4 = p3 && col("nd").cast("double") / col("nt").cast("double") >= 0.4
+    doc.agg(count(lit(1)).as("n0"),
+        sum(p1.cast("long")).as("k1"), sum(p2.cast("long")).as("k2"),
+        sum(p3.cast("long")).as("k3"), sum(p4.cast("long")).as("k4"))
+      .selectExpr(
+        """stack(4,
+          | 1, 'min_chars',      n0, k1,
+          | 2, 'min_tokens',     k1, k2,
+          | 3, 'mean_token_len', k2, k3,
+          | 4, 'distinct_ratio', k3, k4) AS (stage, filter_name, n_in, n_kept)""".stripMargin)
+      .select(col("stage").cast("long").as("stage"), col("filter_name"),
+        col("n_in"), col("n_kept"), (col("n_in") - col("n_kept")).as("n_dropped"))
+      .orderBy("stage")
+  }
+
+  val q52Sql: String =
+    """WITH d AS (
+      | SELECT CAST(n_chars AS BIGINT) AS nc,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS nt,
+      |  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS nd
+      | FROM documents),
+      |f AS (
+      | SELECT nc >= 100 AS p1,
+      |  nc >= 100 AND nt >= 25 AS p2,
+      |  nc >= 100 AND nt >= 25
+      |   AND CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) BETWEEN 3.0 AND 12.0 AS p3,
+      |  nc >= 100 AND nt >= 25
+      |   AND CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) BETWEEN 3.0 AND 12.0
+      |   AND CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) >= 0.4 AS p4
+      | FROM d),
+      |a AS (
+      | SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+      |  CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+      |  CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+      |  CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+      |  CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+      | FROM f)
+      |SELECT * FROM (
+      | SELECT CAST(1 AS BIGINT) AS stage, 'min_chars' AS filter_name,
+      |        n0 AS n_in, k1 AS n_kept, n0 - k1 AS n_dropped FROM a
+      | UNION ALL SELECT 2, 'min_tokens', k1, k2, k1 - k2 FROM a
+      | UNION ALL SELECT 3, 'mean_token_len', k2, k3, k2 - k3 FROM a
+      | UNION ALL SELECT 4, 'distinct_ratio', k3, k4, k3 - k4 FROM a)
+      |ORDER BY stage""".stripMargin
+
+  /** q53 — top-k per group via ranked window: the 3 longest documents
+    * per language (`row_number` over a per-lang ordering, ties broken by
+    * doc_id — a total order, so the answer is deterministic). The window
+    * partitions by lang, so Spark plans one hash-partitioned sort per
+    * group — no global sort, no single-task window (contrast q48's
+    * scaladoc) — and at scale each language's partition sorts
+    * independently. The generic "best N examples per stratum" selection
+    * every curation pipeline runs.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("lang", "rank")
+  }
+
+  val q53Sql: String =
+    """SELECT lang, doc_id, n_chars, rank FROM (
+      | SELECT lang, doc_id, n_chars,
+      |  CAST(row_number() OVER (PARTITION BY lang
+      |                          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      | FROM documents)
+      |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+
+  /** q54 — deterministic global shuffle: training order as a reproducible
+    * pseudo-random permutation. Each doc's shuffle key is
+    * md5(doc_id || epoch salt) — content-keyed like q42, so the
+    * permutation is identical across engines, runs, and cluster sizes,
+    * and re-keying the salt gives an independent order per epoch. The
+    * global position is an exact prefix-count in key order via
+    * [[graft.operators.PrefixSum]] (two-pass parallel scan), NOT a bare
+    * `Window.orderBy` — the difference between a permutation that one
+    * task computes and one that 1000 executors compute.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefixSum.withRunningTotal(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(concat(col("doc_id").cast("string"), lit(":shuffle:epoch0")))
+              .as("shuffle_key"))
+          .withColumn("__one", lit(1L)),
+        "shuffle_key", "__one", "position")
+      .select(col("doc_id"), col("shuffle_key"), col("position"))
+      .orderBy("doc_id")
+
+  val q54Sql: String =
+    """SELECT doc_id,
+      | md5(doc_id::VARCHAR || ':shuffle:epoch0') AS shuffle_key,
+      | CAST(row_number() OVER (
+      |   ORDER BY md5(doc_id::VARCHAR || ':shuffle:epoch0')) AS BIGINT) AS position
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -315,7 +509,12 @@ object CorpusQueries {
     "q46_leakage_safe_split" -> (q46 _),
     "q47_decontaminate" -> (q47 _),
     "q48_pack_offsets" -> (q48 _),
-    "q49_mixing_weights" -> (q49 _))
+    "q49_mixing_weights" -> (q49 _),
+    "q50_segment_dedup" -> (q50 _),
+    "q51_unigram_logprob" -> (q51 _),
+    "q52_filter_funnel" -> (q52 _),
+    "q53_topk_per_group" -> (q53 _),
+    "q54_global_shuffle" -> (q54 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -325,5 +524,10 @@ object CorpusQueries {
     "q46_leakage_safe_split" -> q46Sql,
     "q47_decontaminate" -> q47Sql,
     "q48_pack_offsets" -> q48Sql,
-    "q49_mixing_weights" -> q49Sql)
+    "q49_mixing_weights" -> q49Sql,
+    "q50_segment_dedup" -> q50Sql,
+    "q51_unigram_logprob" -> q51Sql,
+    "q52_filter_funnel" -> q52Sql,
+    "q53_topk_per_group" -> q53Sql,
+    "q54_global_shuffle" -> q54Sql)
 }

@@ -78,6 +78,85 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q50 segments tile each doc and dup counts are consistent") {
+    val docs = graft.Tables.documents(spark, dir)
+    val rows = CorpusQueries.q50(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every reported segment is seen in >=2 docs, and occurrences >= docs
+    rows.foreach { case (_, nDocs, nOcc) =>
+      assert(nDocs >= 2 && nOcc >= nDocs)
+    }
+    // a doc duplicated verbatim must surface all its full segments
+    import org.apache.spark.sql.functions._
+    val txt = docs.select("text").head().getString(0)
+    val toks = txt.trim.toLowerCase.split("\\s+")
+    val twice = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, txt, "en", "s", txt.length.toLong),
+        org.apache.spark.sql.Row(2L, txt, "en", "s", txt.length.toLong)),
+      docs.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("q50").toFile.getAbsolutePath
+    twice.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dups = CorpusQueries.q50(spark, tmp).collect()
+    assert(dups.length == math.ceil(toks.length / 8.0).toInt)
+    assert(dups.forall(r => r.getLong(1) == 2 && r.getLong(2) == 2))
+  }
+
+  test("q51 scores: uniform-corpus doc scores ln(V), rarer tokens score higher") {
+    val rows = CorpusQueries.q51(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0)) // -ln p > 0 for p < 1
+    // total tokens reported == corpus token count
+    import org.apache.spark.sql.functions._
+    val totalToks = graft.Tables.documents(spark, dir)
+      .select(sum(size(graft.functions.TextFns.tokens(col("text")))))
+      .head().getLong(0)
+    assert(rows.map(_._3).sum == totalToks)
+  }
+
+  test("q52 funnel counts are monotone and conserve rows") {
+    val rows = CorpusQueries.q52(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    rows.foreach { case (_, _, nIn, nKept, nDropped) =>
+      assert(nKept <= nIn && nDropped == nIn - nKept)
+    }
+    // each stage's input is the previous stage's survivors
+    rows.sliding(2).foreach {
+      case Array((_, _, _, k1, _), (_, _, in2, _, _)) => assert(in2 == k1)
+      case _ =>
+    }
+    assert(rows.head._3 == graft.Tables.documents(spark, dir).count())
+  }
+
+  test("q53 emits at most 3 per lang, ordered by length desc with id ties") {
+    val rows = CorpusQueries.q53(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.length <= 3 && sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array((_, id1, n1, _), (_, id2, n2, _)) =>
+          assert(n1 > n2 || (n1 == n2 && id1 < id2))
+        case _ =>
+      }
+    }
+  }
+
+  test("q54 is a permutation, deterministic, and epoch salts decorrelate") {
+    val a = CorpusQueries.q54(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b = CorpusQueries.q54(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.nonEmpty && a.sameElements(b)) // content-keyed, no RNG
+    val n = a.length
+    assert(a.map(_._3).sorted.toSeq == (1L to n).toSeq) // exact permutation
+    // position order == shuffle_key order
+    assert(a.sortBy(_._3).map(_._2).toSeq == a.map(_._2).sorted.toSeq)
+  }
+
   test("PrefixSum counts NULL value cells as zero") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("id", "v")
