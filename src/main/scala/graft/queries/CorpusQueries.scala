@@ -501,6 +501,87 @@ object CorpusQueries {
       |   ORDER BY md5(doc_id::VARCHAR || ':shuffle:epoch0')) AS BIGINT) AS position
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q55 — sketch aggregates: per-source approximate distinct-token count
+    * (HyperLogLog++) and approximate median document length, alongside
+    * their exact counterparts. At 100 TB the sketches are the point —
+    * HLL state is a few KB per group and merges map-side, where exact
+    * `COUNT(DISTINCT)` must shuffle every distinct value; the exact
+    * columns exist here so the error bound is measurable (pinned by
+    * CorpusQueriesSpec). No SQL oracle: sketch internals are
+    * engine-specific (rows-only gate, like q26/q29/q34).
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tokStats = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok")).as("approx_distinct"))
+    val lenStats = docs.groupBy("source")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").as("exact_p50_chars"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+          .cast("long").as("approx_p50_chars"))
+    tokStats.join(lenStats, "source").orderBy("source")
+  }
+
+  /** q57 — pivot (crosstab): document counts as lang rows × source
+    * columns, the reshape every corpus report runs. Pivot values are
+    * EXPLICIT (`src0..src3`), so the schema is static, the plan is one
+    * hash aggregation with map-side partials over conditional counts —
+    * no second pass to discover column values — and absent combinations
+    * are 0, not NULL. The oracle is the conditional-aggregation
+    * rewriting, which is exactly how Catalyst lowers pivot.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    Tables.documents(s, dir)
+      .groupBy("lang").pivot("source", srcs).agg(count(lit(1)))
+      .select(col("lang") +:
+        srcs.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy("lang")
+  }
+
+  val q57Sql: String =
+    """SELECT lang,
+      | CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+      | CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+      | CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+      | CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q58 — CUBE aggregation: doc and token counts over every subset of
+    * (lang, source) in ONE pass — Spark expands grouping sets inside the
+    * aggregate, so the corpus is scanned once, not 4×. Total rows are
+    * labeled 'ALL' via `grouping()` (NOT by coalescing the key — a
+    * genuine NULL key must stay distinguishable from the rollup row;
+    * the q32 lesson).
+    */
+  def q58(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .cube(col("lang"), col("source"))
+      .agg(grouping(col("lang")).as("__gl"), grouping(col("source")).as("__gs"),
+        count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .select(
+        when(col("__gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+        when(col("__gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("lang", "source")
+
+  val q58Sql: String =
+    """WITH t AS (
+      | SELECT lang, source,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS nt
+      | FROM documents)
+      |SELECT
+      | CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+      | CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+      | COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |FROM t GROUP BY CUBE (lang, source) ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -514,7 +595,10 @@ object CorpusQueries {
     "q51_unigram_logprob" -> (q51 _),
     "q52_filter_funnel" -> (q52 _),
     "q53_topk_per_group" -> (q53 _),
-    "q54_global_shuffle" -> (q54 _))
+    "q54_global_shuffle" -> (q54 _),
+    "q55_sketches" -> (q55 _),
+    "q57_pivot" -> (q57 _),
+    "q58_cube" -> (q58 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -529,5 +613,7 @@ object CorpusQueries {
     "q51_unigram_logprob" -> q51Sql,
     "q52_filter_funnel" -> q52Sql,
     "q53_topk_per_group" -> q53Sql,
-    "q54_global_shuffle" -> q54Sql)
+    "q54_global_shuffle" -> q54Sql,
+    "q57_pivot" -> q57Sql,
+    "q58_cube" -> q58Sql)
 }

@@ -143,17 +143,47 @@ object EventQueries {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** q56 — per-entity lag/lead navigation: for every event, the
+    * microsecond gap since the same user's previous event and the type of
+    * their next one — the feature-engineering primitive behind
+    * time-since-last-action and next-action-prediction labels. One
+    * shuffle on user_id, then both offsets come out of a single sorted
+    * window pass (Spark plans one Window operator for lag AND lead over
+    * the same frame). The ordering (ts, event_id) is total, so NULL
+    * boundaries and values are deterministic.
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select("user_id", "event_id", "gap_us", "next_type")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q56Sql: String =
+    """SELECT user_id, event_id,
+      | epoch_us(ts) - lag(epoch_us(ts))
+      |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us,
+      | lead(event_type)
+      |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
     "q18_json_extract" -> (q18 _),
     "q33_asof_join" -> (q33 _),
-    "q40_sliding_window" -> (q40 _))
+    "q40_sliding_window" -> (q40 _),
+    "q56_event_deltas" -> (q56 _))
 
   val oracles: Map[String, String] = Map(
     "q16_hourly_rollup" -> q16Sql,
     "q17_sessionization" -> q17Sql,
     "q18_json_extract" -> q18Sql,
     "q33_asof_join" -> q33Sql,
-    "q40_sliding_window" -> q40Sql)
+    "q40_sliding_window" -> q40Sql,
+    "q56_event_deltas" -> q56Sql)
 }

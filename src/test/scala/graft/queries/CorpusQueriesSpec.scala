@@ -157,6 +157,35 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(a.sortBy(_._3).map(_._2).toSeq == a.map(_._2).sorted.toSeq)
   }
 
+  test("q55 sketches stay within HLL/quantile error bounds of the exact values") {
+    val rows = CorpusQueries.q55(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nTok, exactD, approxD, exactP50, approxP50) =>
+      assert(exactD <= nTok)
+      // HLL++ default rsd is 5%; tiny cardinalities are near-exact
+      assert(math.abs(approxD - exactD) <= math.max(1L, (exactD * 0.1).toLong),
+        s"$src: approx $approxD vs exact $exactD")
+      // percentile_approx at accuracy 10000 over small groups is exact
+      assert(math.abs(approxP50 - exactP50) <= math.max(1L, (exactP50 * 0.05).toLong),
+        s"$src: approx p50 $approxP50 vs exact $exactP50")
+    }
+  }
+
+  test("q58 cube totals are consistent across grouping levels") {
+    val rows = CorpusQueries.q58(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val grand = rows(("ALL", "ALL"))
+    val byLang = rows.filter { case ((l, s), _) => l != "ALL" && s == "ALL" }
+    val bySource = rows.filter { case ((l, s), _) => l == "ALL" && s != "ALL" }
+    val fine = rows.filter { case ((l, s), _) => l != "ALL" && s != "ALL" }
+    for (slice <- Seq(byLang, bySource, fine)) {
+      assert(slice.values.map(_._1).sum == grand._1)
+      assert(slice.values.map(_._2).sum == grand._2)
+    }
+  }
+
   test("PrefixSum counts NULL value cells as zero") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("id", "v")
