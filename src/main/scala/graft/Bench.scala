@@ -45,7 +45,8 @@ object Bench {
     "q45_vocab_df", "q47_decontaminate", "q48_pack_offsets",
     "q50_segment_dedup", "q51_unigram_logprob", "q52_filter_funnel",
     "q53_topk_per_group", "q54_global_shuffle",
-    "q55_sketches", "q56_event_deltas", "q57_pivot", "q58_cube")
+    "q55_sketches", "q56_event_deltas", "q57_pivot", "q58_cube",
+    "q59_bm25")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

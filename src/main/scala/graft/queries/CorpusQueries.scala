@@ -582,6 +582,60 @@ object CorpusQueries {
       | COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
       |FROM t GROUP BY CUBE (lang, source) ORDER BY lang, source""".stripMargin
 
+  /** q59 — BM25 retrieval scoring against a fixed query-term set: the
+    * ranking primitive behind retrieval-based data curation (find the
+    * corpus documents most relevant to a target domain). Classic
+    * Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75, idf =
+    * ln((N−df+0.5)/(df+0.5)+1)). Plan shape at scale: corpus stats
+    * (N, avgdl) are a one-row broadcast; per-term document frequencies
+    * are a broadcast (query terms are few); the token explode is
+    * filtered to query terms BEFORE the tf aggregation, so only
+    * matching (doc, term) pairs ever shuffle. Scores rounded to 4
+    * decimals (summation-order guard), ranked with a doc_id tiebreak so
+    * the output order is total.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "scan", "merge")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).cast("double").as("dft"))
+    tf.join(broadcast(dft), "tok").crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n") - col("dft") + 0.5) / (col("dft") + 0.5) + 1))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("bm25"),
+        count(lit(1)).as("n_matched_terms"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+  }
+
+  val q59Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      | SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      | FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+      | WHERE tok IN ('spark', 'scan', 'merge') GROUP BY doc_id, tok),
+      |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dft
+      |        FROM tf GROUP BY tok)
+      |SELECT tf.doc_id,
+      | round(SUM(ln((n - dft + 0.5) / (dft + 0.5) + 1) * tf * 2.2
+      |   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
+      | COUNT(*) AS n_matched_terms
+      |FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), s
+      |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -598,7 +652,8 @@ object CorpusQueries {
     "q54_global_shuffle" -> (q54 _),
     "q55_sketches" -> (q55 _),
     "q57_pivot" -> (q57 _),
-    "q58_cube" -> (q58 _))
+    "q58_cube" -> (q58 _),
+    "q59_bm25" -> (q59 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -615,5 +670,6 @@ object CorpusQueries {
     "q53_topk_per_group" -> q53Sql,
     "q54_global_shuffle" -> q54Sql,
     "q57_pivot" -> q57Sql,
-    "q58_cube" -> q58Sql)
+    "q58_cube" -> q58Sql,
+    "q59_bm25" -> q59Sql)
 }

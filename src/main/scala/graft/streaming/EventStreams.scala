@@ -50,4 +50,48 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** Streaming time-since-last-event per user — the incremental form of
+    * the batch lag window (q56): state is ONE timestamp per user
+    * (`mapGroupsWithState`), each arriving event emits its gap to the
+    * user's previous event and updates the state. Events inside one
+    * micro-batch are processed in (ts, event_id) order, so a batch
+    * containing several of a user's events produces exactly the batch
+    * window's gaps; across micro-batches the state carries the last
+    * timestamp forward. lead-style columns are NOT expressible
+    * incrementally (the next event hasn't arrived) — the streaming
+    * surface is deliberately the lag half only. State footprint: 16
+    * bytes per active user, no watermark eviction needed for the
+    * bounded test universe; production would add
+    * `GroupStateTimeout.ProcessingTimeTimeout` to expire idle users.
+    */
+  def streamingDeltas(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("gap_us", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    val uIdx = events.schema.fieldIndex("user_id")
+    val eIdx = events.schema.fieldIndex("event_id")
+    val tIdx = events.schema.fieldIndex("ts")
+    events
+      .groupByKey(_.getLong(uIdx))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Row], state: GroupState[Long]) => {
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.getTimestamp(tIdx).getTime, r.getLong(eIdx)))
+          var prev = if (state.exists) Some(state.get) else None
+          val out = sorted.map { r =>
+            val us = r.getTimestamp(tIdx).getTime * 1000L +
+              (r.getTimestamp(tIdx).getNanos / 1000L) % 1000L
+            val gap = prev.map(us - _)
+            prev = Some(us)
+            Row(user, r.getLong(eIdx), gap.map(Long.box).orNull)
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })(Encoders.scalaLong, enc)
+  }
 }

@@ -131,6 +131,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streamingDeltas across micro-batches matches the batch lag window (q56)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-deltas").toFile.getAbsolutePath
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // split at the median ts: every user's file-1 events precede their
+    // file-2 events, so cross-batch state must bridge the boundary
+    val cut = events
+      .select(expr(
+        "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(ts)) as long)"))
+      .head().getLong(0)
+    events.filter(unix_micros(col("ts")) <= cut).write.parquet(s"$dir/b1")
+    events.filter(unix_micros(col("ts")) > cut).write.parquet(s"$dir/b2")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingDeltas(stream).writeStream
+      .outputMode("append").format("memory").queryName("deltas_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("deltas_out").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+
+    val batch = graft.queries.EventQueries.q56(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(streamed.size == batch.size && streamed == batch)
+    assert(streamed.values.exists(_.isDefined)) // real gaps, not all-first
+  }
+
   test("session_window rollup agrees with the gaps-and-islands batch query") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val sessions = EventStreams.sessionRollup(events)
