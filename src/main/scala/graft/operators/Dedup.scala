@@ -317,8 +317,70 @@ object Dedup {
     * this is the difference between iterating over billions of docs and
     * iterating over the few-percent that have a near-dup candidate at
     * all — the final join broadcasts the (small) label table.
+    *
+    * ADAPTIVE dispatch (the broadcast-join principle applied to graph
+    * iteration): when the verified-pair list is small — `edges.count()
+    * <= localEdgeThreshold`, ≲32 MB collected at the 1M default — the
+    * transitive closure is solved with a driver-side union-find and
+    * broadcast back, because each distributed round costs a fixed
+    * number of Spark jobs (join + checkpoint + convergence probe) that
+    * dwarf millisecond-scale work. Above the threshold the iterative
+    * min-label path runs. Both paths are exact; OperatorsSpec pins them
+    * against each other. The count itself is cheap: the edge list is
+    * persisted (it is consumed again by whichever path wins).
     */
-  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+                          localEdgeThreshold: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (e.count() <= localEdgeThreshold) ccLocal(e, vertices)
+      else ccDistributed(e, vertices)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Driver-side union-find for the small-graph regime (path compression
+    * + union-by-min, so every root IS its component's minimum id — the
+    * same label the distributed path converges to).
+    */
+  private def ccLocal(e: DataFrame, vertices: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, NumericType, StructField, StructType}
+    import scala.collection.mutable
+    val idType = vertices.schema("id").dataType
+    val lt: (Any, Any) => Boolean = idType match {
+      case LongType => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case _: NumericType => (a, b) =>
+        new java.math.BigDecimal(a.toString)
+          .compareTo(new java.math.BigDecimal(b.toString)) < 0
+      case _ => (a, b) => a.toString < b.toString
+    }
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    e.collect().foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = vertices.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", idType), StructField("__cc_label", idType)))
+    val labelRows = new java.util.ArrayList[Row]()
+    parent.keys.foreach(k => labelRows.add(Row(k, find(k))))
+    val labels = spark.createDataFrame(labelRows, schema)
+    vertices.select(col("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cc_label"), col("id")).as("label"))
+  }
+
+  /** Distributed min-label propagation for the large-graph regime. */
+  private def ccDistributed(edges: DataFrame, vertices: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, NumericType}
     val numericIds =
       vertices.schema("id").dataType.isInstanceOf[NumericType]

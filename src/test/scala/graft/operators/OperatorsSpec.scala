@@ -56,18 +56,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the planted near-dups are simhash-close too
   }
 
-  test("connectedComponents: transitive chains merge, singletons stay") {
+  test("connectedComponents: transitive chains merge, singletons stay (both paths)") {
     import spark.implicits._
     // chain 1-2-3 (1-3 is NOT an edge — only transitivity links them),
     // pair 5-6, isolated 4
     val edges = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("src", "dst")
     val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
-    val got = Dedup.connectedComponents(edges, vertices)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    // threshold default → driver union-find; 0 → distributed min-label
+    for (threshold <- Seq(1000000L, 0L)) {
+      val got = Dedup.connectedComponents(edges, vertices, threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L),
+        s"localEdgeThreshold=$threshold")
+    }
   }
 
-  test("connectedComponents: string vertex ids use the join-based check and still converge") {
+  test("connectedComponents: string vertex ids converge on both paths") {
     import spark.implicits._
     // Chain a-b-c needs TWO min-label rounds (a-c is not an edge). String
     // labels cast to NULL under the decimal-sum convergence shortcut, which
@@ -75,10 +79,12 @@ class OperatorsSpec extends AnyFunSuite {
     // the join-based changed-count fallback must carry it to the fixpoint.
     val edges = Seq(("b", "a"), ("b", "c"), ("f", "e")).toDF("src", "dst")
     val vertices = Seq("a", "b", "c", "d", "e", "f").toDF("id")
-    val got = Dedup.connectedComponents(edges, vertices)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
-      "d" -> "d", "e" -> "e", "f" -> "e"))
+    for (threshold <- Seq(1000000L, 0L)) {
+      val got = Dedup.connectedComponents(edges, vertices, threshold)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+        "d" -> "d", "e" -> "e", "f" -> "e"), s"localEdgeThreshold=$threshold")
+    }
   }
 
   test("dedupClusters agrees with union-find over the brute-force pairs") {
