@@ -636,6 +636,36 @@ object CorpusQueries {
       |FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), s
       |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id""".stripMargin
 
+  /** q61 — exact-k per-stratum sampling: exactly 20 documents per
+    * language, chosen by ranking on a content-keyed hash — the
+    * deterministic, engine-reproducible replacement for a per-group
+    * reservoir sample (same guarantee: every doc equally likely under
+    * the hash's uniformity, same k; none of the RNG/partition-order
+    * nondeterminism). Complements q42, whose rate-based filter gives
+    * BINOMIAL per-stratum counts. `row_number` over a lang-partitioned
+    * window — per-group sorts, no global sort; at scale the window's
+    * shuffle is the one hash partition on lang.
+    */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":reservoir"))),
+        col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .orderBy("lang", "rank")
+  }
+
+  val q61Sql: String =
+    """SELECT lang, doc_id, rank FROM (
+      | SELECT lang, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5(doc_id::VARCHAR || ':reservoir'), doc_id) AS BIGINT) AS rank
+      | FROM documents)
+      |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -653,7 +683,8 @@ object CorpusQueries {
     "q55_sketches" -> (q55 _),
     "q57_pivot" -> (q57 _),
     "q58_cube" -> (q58 _),
-    "q59_bm25" -> (q59 _))
+    "q59_bm25" -> (q59 _),
+    "q61_exact_k_sample" -> (q61 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -671,5 +702,6 @@ object CorpusQueries {
     "q54_global_shuffle" -> q54Sql,
     "q57_pivot" -> q57Sql,
     "q58_cube" -> q58Sql,
-    "q59_bm25" -> q59Sql)
+    "q59_bm25" -> q59Sql,
+    "q61_exact_k_sample" -> q61Sql)
 }

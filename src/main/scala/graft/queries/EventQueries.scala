@@ -171,13 +171,80 @@ object EventQueries {
       |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** Per-user session spans (gaps-and-islands, q17's island assignment
+    * kept as [start, end] intervals instead of collapsed to counts) —
+    * the interval side of the range join below. One shuffle on user_id;
+    * both windows share the same (ts, event_id) frame so Spark plans a
+    * single sort.
+    */
+  def sessionSpans(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > gapMin * 60000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("session_n_events"))
+  }
+
+  /** q60 — interval (range) join: assign each purchase event to the
+    * session span containing it — "which browsing session did this
+    * conversion happen in", the canonical point-in-interval lookup.
+    * Uses [[graft.operators.RangeJoin.intervalJoin]]: both sides bin to
+    * 30 min, intervals explode across covered bins, and the join is an
+    * ordinary co-partitioned hash equi-join on (user_id, bin) + exact
+    * containment filter — never a broadcast-nested-loop inequality join
+    * (the plan Spark would pick unaided, which dies at scale). The
+    * oracle replays it as DuckDB's native inequality join.
+    */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.operators.RangeJoin.intervalJoin(
+        purchases, sessionSpans(events), "user_id",
+        "ts", "session_start", "session_end")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        col("session_n_events"))
+      .orderBy("event_id")
+  }
+
+  val q60Sql: String =
+    """WITH o AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |f AS (
+      | SELECT user_id, event_id, event_type, us,
+      |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |           > 30 * 60000000 THEN 1 ELSE 0 END AS new_session
+      | FROM o),
+      |g AS (
+      | SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      | FROM f),
+      |s AS (
+      | SELECT user_id, session_seq, MIN(us) AS start_us, MAX(us) AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS session_n_events
+      | FROM g GROUP BY user_id, session_seq)
+      |SELECT p.event_id, p.user_id, s.start_us AS session_start_us,
+      | s.session_n_events
+      |FROM (SELECT * FROM o WHERE event_type = 'purchase') p
+      |JOIN s ON p.user_id = s.user_id AND p.us BETWEEN s.start_us AND s.end_us
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
     "q18_json_extract" -> (q18 _),
     "q33_asof_join" -> (q33 _),
     "q40_sliding_window" -> (q40 _),
-    "q56_event_deltas" -> (q56 _))
+    "q56_event_deltas" -> (q56 _),
+    "q60_interval_join" -> (q60 _))
 
   val oracles: Map[String, String] = Map(
     "q16_hourly_rollup" -> q16Sql,
@@ -185,5 +252,6 @@ object EventQueries {
     "q18_json_extract" -> q18Sql,
     "q33_asof_join" -> q33Sql,
     "q40_sliding_window" -> q40Sql,
-    "q56_event_deltas" -> q56Sql)
+    "q56_event_deltas" -> q56Sql,
+    "q60_interval_join" -> q60Sql)
 }

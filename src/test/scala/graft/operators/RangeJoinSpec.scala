@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Bucketed interval join vs the brute-force inequality join it
+  * replaces: identical pairs on adversarial data (boundary hits,
+  * intervals spanning many bins, nested/overlapping intervals,
+  * degenerate end < start).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  private val pointSchema = StructType(Seq(
+    StructField("k", LongType), StructField("pid", LongType),
+    StructField("ts", TimestampType)))
+  private val ivSchema = StructType(Seq(
+    StructField("k", LongType), StructField("iid", LongType),
+    StructField("lo", TimestampType), StructField("hi", TimestampType)))
+
+  test("matches brute-force inequality join on adversarial fixtures") {
+    val hour = 3600L * 1000000L
+    val points = Seq(
+      Row(1L, 1L, ts(0L)),             // exact interval start
+      Row(1L, 2L, ts(2 * hour)),       // exact interval end
+      Row(1L, 3L, ts(hour)),           // interior; in two overlapping intervals
+      Row(1L, 4L, ts(10 * hour)),      // in no interval
+      Row(2L, 5L, ts(hour)),           // same time, other key
+      Row(2L, 6L, ts(50 * hour)))      // inside a many-bin interval
+    val intervals = Seq(
+      Row(1L, 10L, ts(0L), ts(2 * hour)),        // [0, 2h]
+      Row(1L, 11L, ts(hour / 2), ts(3 * hour)),  // overlaps 10
+      Row(2L, 12L, ts(hour), ts(hour)),          // degenerate single point
+      Row(2L, 13L, ts(0L), ts(100 * hour)),      // spans 200 bins at 30min
+      Row(2L, 14L, ts(5 * hour), ts(4 * hour)))  // end < start: dropped
+    val p = spark.createDataFrame(points.asJava, pointSchema)
+    val iv = spark.createDataFrame(intervals.asJava, ivSchema)
+
+    val got = RangeJoin.intervalJoin(p, iv, "k", "ts", "lo", "hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = p.as("p").join(iv.as("i"),
+        col("p.k") === col("i.k") &&
+          unix_micros(col("p.ts")).between(
+            unix_micros(col("i.lo")), unix_micros(col("i.hi"))) &&
+          unix_micros(col("i.hi")) >= unix_micros(col("i.lo")))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(brute == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L),
+      (5L, 12L), (5L, 13L), (6L, 13L)))
+  }
+
+  test("no duplicate pairs when an interval spans many bins") {
+    val minute = 60L * 1000000L
+    val p = spark.createDataFrame(Seq(Row(1L, 1L, ts(90 * minute))).asJava, pointSchema)
+    val iv = spark.createDataFrame(
+      Seq(Row(1L, 10L, ts(0L), ts(600 * minute))).asJava, ivSchema)
+    val rows = RangeJoin.intervalJoin(p, iv, "k", "ts", "lo", "hi", binWidthSec = 60L)
+      .collect()
+    assert(rows.length == 1)
+  }
+}
