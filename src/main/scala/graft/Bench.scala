@@ -46,7 +46,8 @@ object Bench {
     "q50_segment_dedup", "q51_unigram_logprob", "q52_filter_funnel",
     "q53_topk_per_group", "q54_global_shuffle",
     "q55_sketches", "q56_event_deltas", "q57_pivot", "q58_cube",
-    "q59_bm25", "q60_interval_join", "q61_exact_k_sample")
+    "q59_bm25", "q60_interval_join", "q61_exact_k_sample",
+    "q62_running_total")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

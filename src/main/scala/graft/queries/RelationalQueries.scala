@@ -443,7 +443,36 @@ object RelationalQueries {
     s.sql(q39Sql)
   }
 
+  /** q62 — per-group running total: cumulative customer spend in order
+    * date order (SURVEY §2.5 window family, the frame-aggregate
+    * complement to q53's ranking and q48's GLOBAL prefix sum — here the
+    * window HAS a partition key, so Spark plans a hash-partitioned
+    * per-group sort, which scales; only the partitionless form needs
+    * PrefixSum's two-pass rewrite). Decimal-sum pattern for the running
+    * double aggregate (see class Scaladoc).
+    */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("cum_spend"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  val q62Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+      |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_running_total" -> (q62 _),
     "q39_subqueries" -> (q39 _),
     "q31_set_ops" -> (q31 _),
     "q32_rollup" -> (q32 _),
@@ -464,6 +493,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q62_running_total" -> q62Sql,
     "q39_subqueries" -> q39Sql,
     "q31_set_ops" -> q31Sql,
     "q32_rollup" -> q32Sql,

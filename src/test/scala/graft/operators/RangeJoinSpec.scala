@@ -56,6 +56,40 @@ class RangeJoinSpec extends AnyFunSuite {
       (5L, 12L), (5L, 13L), (6L, 13L)))
   }
 
+  test("randomized: bucketed join equals the plain-Scala reference at several bin widths") {
+    import org.scalacheck.Gen
+    val us = Gen.choose(0L, 4L * 3600L * 1000000L) // 0..4h
+    val pointGen = Gen.zip(Gen.choose(1L, 3L), us)
+    val ivGen = Gen.zip(Gen.choose(1L, 3L), us, us)
+    val caseGen = Gen.zip(
+      Gen.listOfN(40, pointGen), Gen.listOfN(20, ivGen),
+      Gen.oneOf(60L, 600L, 1800L, 7200L))
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    for (_ <- 1 to 6) {
+      caseGen(params, seed).foreach { case (pts, ivs, binSec) =>
+        val points = pts.zipWithIndex.map { case ((k, t), i) => Row(k, i.toLong, ts(t)) }
+        val intervals = ivs.zipWithIndex.map { case ((k, a, b), i) =>
+          Row(k, i.toLong, ts(a), ts(b))
+        }
+        val p = spark.createDataFrame(points.asJava, pointSchema)
+        val iv = spark.createDataFrame(intervals.asJava, ivSchema)
+        val got = RangeJoin.intervalJoin(p, iv, "k", "ts", "lo", "hi", binSec)
+          .select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // plain-Scala reference at ms precision (ts() truncates to ms)
+        val expected = (for {
+          ((pk, pt), pi) <- pts.zipWithIndex
+          ((ik, lo, hi), ii) <- ivs.zipWithIndex
+          if pk == ik && lo / 1000 <= hi / 1000 &&
+            pt / 1000 >= lo / 1000 && pt / 1000 <= hi / 1000
+        } yield (pi.toLong, ii.toLong)).toSet
+        assert(got == expected, s"binWidthSec=$binSec")
+      }
+      seed = seed.next
+    }
+  }
+
   test("no duplicate pairs when an interval spans many bins") {
     val minute = 60L * 1000000L
     val p = spark.createDataFrame(Seq(Row(1L, 1L, ts(90 * minute))).asJava, pointSchema)
@@ -64,5 +98,33 @@ class RangeJoinSpec extends AnyFunSuite {
     val rows = RangeJoin.intervalJoin(p, iv, "k", "ts", "lo", "hi", binWidthSec = 60L)
       .collect()
     assert(rows.length == 1)
+  }
+
+  test("stream-static: streamed points joined to static intervals match the batch join") {
+    val hour = 3600L * 1000000L
+    val points = Seq(
+      Row(1L, 1L, ts(hour)), Row(1L, 2L, ts(5 * hour)), Row(2L, 3L, ts(hour)))
+    val intervals = Seq(
+      Row(1L, 10L, ts(0L), ts(2 * hour)), Row(2L, 11L, ts(0L), ts(2 * hour)))
+    val p = spark.createDataFrame(points.asJava, pointSchema)
+    val iv = spark.createDataFrame(intervals.asJava, ivSchema)
+    val dir = java.nio.file.Files.createTempDirectory("rj-stream").toFile.getAbsolutePath
+    p.write.parquet(s"$dir/pts")
+
+    // the interval side is static (dimension-table shape): the bucketed
+    // rewrite is an ordinary stream-static equi-join — fully supported,
+    // no state, no watermark needed
+    val stream = spark.readStream.schema(p.schema).parquet(s"$dir/pts")
+    val q = RangeJoin.intervalJoin(stream, iv, "k", "ts", "lo", "hi")
+      .select("pid", "iid")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rj_stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rj_stream_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = RangeJoin.intervalJoin(p, iv, "k", "ts", "lo", "hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch == Set((1L, 10L), (3L, 11L)))
   }
 }
