@@ -30,9 +30,16 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  /** Exact Jaccard over two distinct-element string arrays, with the
+    * intersection size computed by the codegen'd
+    * [[graft.functions.SetOverlap]] (one hash-probe loop, no
+    * intermediate array — `size(array_intersect)` allocates the whole
+    * intersection just to measure it, per candidate pair).
+    */
+  private def jaccard(spark: org.apache.spark.sql.SparkSession,
+                      a: Column, b: Column): Column = {
+    val inter = graft.functions.SetOverlap(spark, a, b).cast("double")
+    inter / ((size(a) + size(b)).cast("double") - inter)
   }
 
   /** Docs annotated with their distinct k-shingle set (single-pass JVM
@@ -53,7 +60,7 @@ object Dedup {
     val b = t.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccard(docs.sparkSession, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -95,7 +102,7 @@ object Dedup {
     val shA = t.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val shB = t.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccard(docs.sparkSession, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
