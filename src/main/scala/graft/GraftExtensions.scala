@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, HammingDistance}
+import graft.functions.{CosineSimilarity, HammingDistance, SetOverlap}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,6 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"${HammingDistance.functionName} takes exactly 2 arguments")
         HammingDistance(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier(SetOverlap.functionName),
+      new ExpressionInfo(classOf[SetOverlap].getName,
+        SetOverlap.functionName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"${SetOverlap.functionName} takes exactly 2 arguments")
+        SetOverlap(exprs(0), exprs(1))
       }))
   }
 }

@@ -39,6 +39,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_hamming_distance(cast(5 as bigint), cast(6 as bigint)) AS h")
         .head().getInt(0)
       assert(ham == 2) // 0b101 vs 0b110
+      val overlap = spark.sql(
+        "SELECT graft_set_overlap(array('a','b','c'), array('b','c','d')) AS o")
+        .head().getLong(0)
+      assert(overlap == 2L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

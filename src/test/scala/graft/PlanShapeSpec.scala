@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins — the properties PLANS.md documents, asserted
+  * so a regression (a filter that stops pushing down, a top-k that
+  * becomes a global sort, a pivot that grows an Expand) fails the suite
+  * instead of only degrading the bench. These matter at 100 TB far more
+  * than at test scale: each assertion is the difference between an
+  * operator that scales and one that doesn't.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: the date filter reaches the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_shipdate"))
+  }
+
+  test("q03/q27: top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
+    assert(plan("q27_knn_brute").contains("TakeOrderedAndProject"))
+  }
+
+  test("q47: the benchmark gram set joins broadcast, not shuffled") {
+    assert(plan("q47_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("q57: explicit pivot values stay a plain aggregate (no Expand)") {
+    val p = plan("q57_pivot")
+    assert(!p.contains("Expand"))
+  }
+
+  test("q58: CUBE is one scan through an Expand, not a union of scans") {
+    val p = plan("q58_cube")
+    assert(p.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("q60: the interval join is a hash equi-join, not a nested loop") {
+    val p = plan("q60_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q54: the global shuffle position never plans a partitionless Window") {
+    // a single-task Window.orderBy would appear as Window with an empty
+    // partition spec over a singlePartition exchange
+    val p = plan("q54_global_shuffle")
+    assert(!p.contains("Window"))
+  }
+}
