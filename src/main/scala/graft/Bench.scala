@@ -47,7 +47,7 @@ object Bench {
     "q53_topk_per_group", "q54_global_shuffle",
     "q55_sketches", "q56_event_deltas", "q57_pivot", "q58_cube",
     "q59_bm25", "q60_interval_join", "q61_exact_k_sample",
-    "q62_running_total")
+    "q62_running_total", "q63_chunking", "q64_label_cohesion")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

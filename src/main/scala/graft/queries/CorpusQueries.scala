@@ -674,6 +674,44 @@ object CorpusQueries {
       | FROM documents)
       |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
 
+  /** q63 — overlapping context-window chunking: cut each document into
+    * 64-token windows advancing by 48 (16-token overlap) — how a corpus
+    * is actually fed to a context-bounded model when documents must not
+    * be truncated at hard boundaries. Entirely map-side (`transform` +
+    * `slice` + `posexplode`, no shuffle before the determinism sort);
+    * emits the chunk hash rather than the text so the output stays
+    * narrow. Complements q48, which packs WITHOUT overlap via the global
+    * prefix sum.
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val (k, stride) = (64, 48)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $stride.0) as int) - 1),
+           |          i -> slice(w, i * $stride + 1, $k))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q63Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, unnest(list_transform(
+      |   range(0, CAST(ceil(len(w) / 48.0) AS INT)),
+      |   i -> {'chunk_idx': CAST(i AS BIGINT),
+      |         'n_chunk_tokens': CAST(least(64, len(w) - i * 48) AS BIGINT),
+      |         'chunk_hash': md5(array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' '))}),
+      |   recursive := true)
+      | FROM w)
+      |SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -692,7 +730,8 @@ object CorpusQueries {
     "q57_pivot" -> (q57 _),
     "q58_cube" -> (q58 _),
     "q59_bm25" -> (q59 _),
-    "q61_exact_k_sample" -> (q61 _))
+    "q61_exact_k_sample" -> (q61 _),
+    "q63_chunking" -> (q63 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -711,5 +750,6 @@ object CorpusQueries {
     "q57_pivot" -> q57Sql,
     "q58_cube" -> q58Sql,
     "q59_bm25" -> q59Sql,
-    "q61_exact_k_sample" -> q61Sql)
+    "q61_exact_k_sample" -> q61Sql,
+    "q63_chunking" -> q63Sql)
 }

@@ -143,7 +143,54 @@ object EmbeddingQueries {
       |SELECT a AS vec_id, MIN(b) AS cluster_id
       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
 
+  /** q64 — per-label centroid cohesion: each vector's cosine to its
+    * label's mean vector — the cluster-quality diagnostic run before
+    * trusting embedding labels (low cohesion = mislabeled or noisy
+    * groups). Scale shape: centroids are a (label, dim) aggregation
+    * with map-side partials (never a `collect_list` of whole vectors),
+    * the finished centroid table is broadcast, and the per-vector
+    * cosine runs map-side via `zip_with`/`aggregate` HOFs — double
+    * accumulation left-to-right, rounded to 4 decimals because the
+    * centroid AVERAGE is summation-order-dependent across engines.
+    */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val dims = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"), col("v").cast("double").as("v"))
+    val cent = dims.groupBy("label", "dim").agg(avg("v").as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
+        .as("ce"))
+    e.withColumn("e", expr("transform(embedding, x -> cast(x as double))"))
+      .join(broadcast(cent), "label")
+      .withColumn("dot",
+        expr("aggregate(zip_with(e, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("na",
+        expr("sqrt(aggregate(transform(e, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nb",
+        expr("sqrt(aggregate(transform(ce, x -> x * x), 0D, (a, x) -> a + x))"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos_to_centroid"))
+      .orderBy("vec_id")
+  }
+
+  val q64Sql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |d AS (SELECT label, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM v),
+      |c AS (SELECT label, dim, AVG(val) AS cv FROM d GROUP BY label, dim),
+      |cent AS (SELECT label, list(cv ORDER BY dim) AS ce FROM c GROUP BY label)
+      |SELECT v.vec_id, v.label,
+      | round(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * cent.ce[i]))
+      |  / (sqrt(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * v.e[i])))
+      |     * sqrt(list_sum(list_transform(range(1, len(cent.ce) + 1),
+      |         i -> cent.ce[i] * cent.ce[i])))), 4) AS cos_to_centroid
+      |FROM v JOIN cent USING (label) ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_label_cohesion" -> (q64 _),
     "q41_embed_clusters" -> (q41 _),
     "q27_knn_brute" -> (q27 _),
     "q28_embed_stats" -> (q28 _),
@@ -153,6 +200,7 @@ object EmbeddingQueries {
     "q36_embed_neardup_lsh" -> (q36 _))
 
   val oracles: Map[String, String] = Map(
+    "q64_label_cohesion" -> q64Sql,
     "q41_embed_clusters" -> q41Sql,
     "q27_knn_brute" -> q27Sql,
     "q28_embed_stats" -> q28Sql,

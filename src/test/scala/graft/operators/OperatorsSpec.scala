@@ -87,6 +87,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 cohesion: cosines bounded, singleton labels score 1") {
+    val rows = graft.queries.EmbeddingQueries
+      .q64(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, c) => assert(c >= -1.0001 && c <= 1.0001) }
+    // a label with exactly one vector has that vector AS its centroid
+    val labelSizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val singletons = rows.filter(r => labelSizes(r._2) == 1)
+    singletons.foreach { case (_, _, c) => assert(math.abs(c - 1.0) < 1e-3) }
+  }
+
   test("dedupClusters agrees with union-find over the brute-force pairs") {
     val pairs = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

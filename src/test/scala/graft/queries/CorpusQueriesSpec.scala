@@ -186,6 +186,27 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 chunks tile with the configured overlap") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusQueries.q63(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val nTokens = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (docId, chunks) =>
+      val n = nTokens(docId)
+      val sorted = chunks.sortBy(_._2)
+      // indices are 0..k-1 with k = ceil(n/48); chunk i starts at i*48
+      // and holds min(64, n - i*48) tokens; the last chunk ends at n
+      assert(sorted.length == math.ceil(n / 48.0).toInt)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong))
+      sorted.foreach { case (_, i, len) => assert(len == math.min(64L, n - i * 48)) }
+      val (_, lastIdx, lastLen) = sorted.last
+      assert(lastIdx * 48 + lastLen == n)
+    }
+  }
+
   test("PrefixSum counts NULL value cells as zero") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L))).toDF("id", "v")
