@@ -32,6 +32,32 @@ object DocStreams {
   final case class BucketVec(bucket: Long, vecId: Long, emb: Array[Float])
   final case class EmbedNearDup(vec_a: Long, vec_b: Long, cos: Double)
 
+  /** Streaming segment-level exact dedup — the incremental form of the
+    * batch q50: documents are cut into non-overlapping `k`-token
+    * segments map-side, and a segment already seen anywhere in the
+    * stream is dropped. State is one key per distinct segment hash,
+    * BOUNDED by the event-time watermark via
+    * `dropDuplicatesWithinWatermark` — the engine evicts keys older
+    * than the delay, so an endless crawl stream dedups within a sliding
+    * horizon instead of accumulating corpus-sized state (the same
+    * scope-for-state trade as [[streamingNearDupCandidates]]'s TTL).
+    * Output: one row per first-seen (segment_hash, doc_id) with the
+    * event time that carried it.
+    */
+  def streamingSegmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                            tsCol: String, k: Int = 8,
+                            watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__w", org.apache.spark.sql.functions.split(
+        lower(trim(col(textCol))), "\\s+"))
+      .select(col(idCol).as("doc_id"), col(tsCol).as("event_ts"),
+        explode(expr(
+          s"""transform(sequence(0, cast(ceil(size(__w) / $k.0) as int) - 1),
+             |          i -> md5(array_join(slice(__w, i * $k + 1, $k), ' ')))"""
+            .stripMargin)).as("segment_hash"))
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("segment_hash")
+
   /** `stateTtl`: evict a bucket's occupants after this much processing
     * time without new arrivals. None = keep forever (drain-style runs,
     * e.g. Trigger.AvailableNow over a bounded backlog); endless streams

@@ -14,6 +14,44 @@ class DocStreamsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("streaming segment dedup drops a segment re-seen in a later micro-batch") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // doc 1: segments A(8 toks) + B(4-tok tail). doc 2 (later batch):
+    // repeats segment A verbatim as its first 8 tokens, then novel C.
+    val segA = "a b c d e f g h"
+    val tail = "x y z w"
+    val segC = "p q r s t u v n"
+    val tmp = Files.createTempDirectory("segdedup").toFile.getAbsolutePath
+    spark.createDataFrame(
+      Seq(Row(1L, s"$segA $tail", t(0))).asJava, schema)
+      .write.parquet(s"$tmp/src/b1")
+    spark.createDataFrame(
+      Seq(Row(2L, s"$segA $segC", t(1))).asJava, schema)
+      .write.parquet(s"$tmp/src/b2")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingSegmentDedup(stream, "doc_id", "text", "ts")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("segdedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("segdedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    // doc 1 contributes A and tail; doc 2's repeat of A is DROPPED
+    // (cross-batch state), its novel segment C survives.
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Set((1L, h(segA)), (1L, h(tail)), (2L, h(segC))))
+  }
+
   test("near-dup pair spanning micro-batches is detected via bucket state") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val brutePairs = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
