@@ -237,6 +237,47 @@ object EventQueries {
       |JOIN s ON p.user_id = s.user_id AND p.us BETWEEN s.start_us AND s.end_us
       |ORDER BY event_id""".stripMargin
 
+  /** q65 — time-bounded attribution join: every (click, purchase) pair
+    * of the same user where the purchase lands within one hour of the
+    * click — the pattern behind conversion attribution and any
+    * "A followed by B within T" correlation. The batch form derives
+    * [click, click+1h] intervals and reuses
+    * [[graft.operators.RangeJoin.intervalJoin]] (co-partitioned hash
+    * equi-join on (user, bin), never a nested-loop inequality join);
+    * [[graft.streaming.EventStreams.streamingAttribution]] is the same
+    * semantics as a watermarked STREAM-STREAM join, where the engine
+    * evicts click state once the purchase-side watermark passes the
+    * horizon.
+    */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("click_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    graft.operators.RangeJoin.intervalJoin(
+        purchases, clicks, "user_id", "purchase_ts", "click_ts", "click_end")
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delay_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val q65Sql: String =
+    """WITH c AS (
+      | SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      | FROM events WHERE event_type = 'click'),
+      |p AS (
+      | SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+      | FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, c.click_id, p.pus - c.cus AS delay_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      | AND p.pus >= c.cus AND p.pus <= c.cus + 3600000000
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
@@ -244,7 +285,8 @@ object EventQueries {
     "q33_asof_join" -> (q33 _),
     "q40_sliding_window" -> (q40 _),
     "q56_event_deltas" -> (q56 _),
-    "q60_interval_join" -> (q60 _))
+    "q60_interval_join" -> (q60 _),
+    "q65_attribution_join" -> (q65 _))
 
   val oracles: Map[String, String] = Map(
     "q16_hourly_rollup" -> q16Sql,
@@ -253,5 +295,6 @@ object EventQueries {
     "q33_asof_join" -> q33Sql,
     "q40_sliding_window" -> q40Sql,
     "q56_event_deltas" -> q56Sql,
-    "q60_interval_join" -> q60Sql)
+    "q60_interval_join" -> q60Sql,
+    "q65_attribution_join" -> q65Sql)
 }

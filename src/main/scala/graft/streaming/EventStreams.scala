@@ -51,6 +51,37 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Watermarked STREAM-STREAM attribution join — the streaming form of
+    * the batch q65: purchases joined to same-user clicks at most
+    * `horizon` older, with BOTH sides streaming. The time-range
+    * condition lets the engine bound state: buffered clicks are evicted
+    * once the purchase-side watermark passes `click_ts + horizon`, so
+    * state holds one horizon's worth of clicks per user, not the
+    * stream's history — the canonical Structured Streaming
+    * stream-stream inner join (the one streaming operator class a
+    * hand-rolled micro-batch loop like the reference's cannot express
+    * at all, because it needs cross-batch buffering of BOTH inputs).
+    */
+  def streamingAttribution(clicks: DataFrame, purchases: DataFrame,
+                           horizon: String = "1 hour",
+                           watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c, expr(
+        s"""p_user_id = user_id
+           |AND purchase_ts >= click_ts
+           |AND purchase_ts <= click_ts + INTERVAL $horizon""".stripMargin))
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delay_us"))
+  }
+
   /** Streaming time-since-last-event per user — the incremental form of
     * the batch lag window (q56): state is ONE timestamp per user
     * (`mapGroupsWithState`), each arriving event emits its gap to the

@@ -160,6 +160,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(_.isDefined)) // real gaps, not all-first
   }
 
+  test("stream-stream attribution join matches the batch interval join (q65)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-attrib").toFile.getAbsolutePath
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // split at the median ts so click→purchase pairs straddle the
+    // boundary: the join only finds them if click state survives
+    // across micro-batches
+    val cut = events
+      .select(expr(
+        "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(ts)) as long)"))
+      .head().getLong(0)
+    events.filter(unix_micros(col("ts")) <= cut).write.parquet(s"$dir/src/b1")
+    events.filter(unix_micros(col("ts")) > cut).write.parquet(s"$dir/src/b2")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src/*")
+    val out = EventStreams.streamingAttribution(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("attrib_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attrib_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = graft.queries.EventQueries.q65(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // real cross-batch pairs exist (click before the cut, purchase after)
+    assert(batch.exists { case (_, _, d) => d > 0 })
+  }
+
   test("session_window rollup agrees with the gaps-and-islands batch query") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val sessions = EventStreams.sessionRollup(events)
