@@ -47,7 +47,9 @@ object Bench {
     "q53_topk_per_group", "q54_global_shuffle",
     "q55_sketches", "q56_event_deltas", "q57_pivot", "q58_cube",
     "q59_bm25", "q60_interval_join", "q61_exact_k_sample",
-    "q62_running_total", "q63_chunking", "q64_label_cohesion")
+    "q62_running_total", "q63_chunking", "q64_label_cohesion",
+    "q65_attribution_join", "q66_bloom_decontaminate", "q67_funnel",
+    "q68_weighted_sample", "q69_cohort_retention", "q70_bpe_pair_counts")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

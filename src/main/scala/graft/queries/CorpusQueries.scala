@@ -712,6 +712,110 @@ object CorpusQueries {
       |SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_hash
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q66 — Bloom-prefiltered decontamination: same semantics (and same
+    * oracle) as q47, but the training-side gram stream is first screened
+    * by a Bloom filter built over the benchmark grams, and only survivors
+    * reach the exact verify join. Why this is the 100 TB form of q47:
+    * the broadcast in q47 ships every bench gram STRING to every executor
+    * and probes a hash map per gram; here the shipped state is ~10 bits
+    * per gram (1.2 MB per million grams at 1% fpp) and the per-gram probe
+    * is a few hash bits — and because false positives are re-checked by
+    * the join, the output is still exact, so the Bloom pass only DROPS
+    * work (~99% of training grams never reach the join probe). When the
+    * bench set outgrows broadcast entirely, the verify join degrades
+    * gracefully to a shuffled join whose left side is just the Bloom
+    * survivors instead of the whole corpus. (Spark's own
+    * `stat.bloomFilter` builds the sketch with a distributed merge —
+    * no driver-side gram collection.)
+    */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val gramUdf = udf { text: String =>
+      graft.functions.Hashing.shingleSet(text, 5)
+    }
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(gramUdf(col("text"))).as("gram"))
+    val benchGrams = grams.filter(col("source") === "src0")
+      .select("gram").distinct()
+    val bloom = benchGrams.stat.bloomFilter("gram", 1L << 20, 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf { g: String => bloomBc.value.mightContainString(g) }
+    grams.filter(col("source") =!= "src0")
+      .filter(mightContain(col("gram")))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** q68 — deterministic weighted sampling without replacement (k=100,
+    * weight = n_chars) via **priority sampling** (Duffield–Lund–Thorup):
+    * priority_i = w_i / u_i with u_i a content-keyed uniform, take the
+    * top-k priorities. Inclusion probability is proportional to weight
+    * (the PPS guarantee) yet the computation is ONE multiply and ONE
+    * divide — both exactly-rounded IEEE ops, so Spark and DuckDB agree
+    * bit-for-bit. (The textbook exponential-race form ranks by ln(u)/w;
+    * `ln` is not guaranteed identically rounded across libm
+    * implementations, which would make the sample engine-dependent —
+    * priority sampling sidesteps the transcendental entirely.) u_i is
+    * derived from md5 like every sampling decision in this file: no RNG,
+    * no partition-order dependence, stable under corpus growth. Plan
+    * shape: map-only priority computation + `TakeOrderedAndProject` —
+    * the corpus is never shuffled, each task ships only its local top-k.
+    */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val v = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":wsample"))), 1, 6),
+      16, 10).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars").cast("double") * lit(16777216.0) / (v + 1L))
+          .as("priority"))
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(100)
+  }
+
+  val q68Sql: String =
+    """SELECT doc_id, n_chars,
+      | CAST(n_chars AS DOUBLE) * 16777216.0
+      |   / (('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 6))::BIGINT + 1)
+      |   AS priority
+      |FROM documents
+      |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
+
+  /** q70 — adjacent-token pair frequencies (the counting core of one BPE
+    * merge round, and the bigram table behind collocation mining): top-30
+    * pairs by corpus count. The pair list is built map-side with a
+    * `transform` over the token array — NO explode-then-self-join and no
+    * window `lag` (either would shuffle the full token stream once more);
+    * the only shuffle is the pair-keyed count with map-side partials, and
+    * the top-k is `TakeOrderedAndProject` (count desc, pair asc tiebreak
+    * makes the cut deterministic). At corpus scale this is the exact
+    * shape of the hash-groupBy dedup (q19): one shuffle whose width is
+    * the distinct-pair table, not the corpus.
+    */
+  def q70(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(TextFns.tokens(col("text")).as("w"))
+      .select(explode(expr(
+        """CASE WHEN size(w) >= 2
+          |     THEN transform(sequence(0, size(w) - 2),
+          |                    i -> concat(w[i], ' ', w[i + 1]))
+          |     ELSE array() END""".stripMargin)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(30)
+
+  val q70Sql: String =
+    """WITH w AS (
+      | SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |p AS (
+      | SELECT unnest(list_transform(range(1, len(w)),
+      |                              i -> w[i] || ' ' || w[i + 1])) AS pair
+      | FROM w)
+      |SELECT pair, COUNT(*) AS n FROM p
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -731,7 +835,10 @@ object CorpusQueries {
     "q58_cube" -> (q58 _),
     "q59_bm25" -> (q59 _),
     "q61_exact_k_sample" -> (q61 _),
-    "q63_chunking" -> (q63 _))
+    "q63_chunking" -> (q63 _),
+    "q66_bloom_decontaminate" -> (q66 _),
+    "q68_weighted_sample" -> (q68 _),
+    "q70_bpe_pair_counts" -> (q70 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -751,5 +858,8 @@ object CorpusQueries {
     "q58_cube" -> q58Sql,
     "q59_bm25" -> q59Sql,
     "q61_exact_k_sample" -> q61Sql,
-    "q63_chunking" -> q63Sql)
+    "q63_chunking" -> q63Sql,
+    "q66_bloom_decontaminate" -> q47Sql,
+    "q68_weighted_sample" -> q68Sql,
+    "q70_bpe_pair_counts" -> q70Sql)
 }

@@ -278,6 +278,100 @@ object EventQueries {
       | AND p.pus >= c.cus AND p.pus <= c.cus + 3600000000
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** q67 — ordered funnel analysis: how many users complete
+    * view → click → purchase IN ORDER (each step strictly after the
+    * previous one's earliest completion), with the median completion
+    * time per step. The implementation is the scalable chained-agg
+    * shape: step N's user set is `events ⋈ stepN−1` filtered to
+    * later timestamps and re-aggregated to a min — every intermediate
+    * is a (user, timestamp) pair, aggregations shrink monotonically
+    * down the funnel, and each join is a co-partitioned hash join on
+    * user_id (broadcastable once the funnel narrows). No per-user
+    * event-list collection, no window over the full event stream —
+    * the two shapes that die on power-law users at 100 TB.
+    */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    def step(df: DataFrame, tCol: String, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+        expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $tCol)")
+          .cast("long").as("p50_us"))
+        .select(lit(name).as("step"), col("n_users"), col("p50_us"))
+    step(view, "t1", "1_view")
+      .unionByName(step(click, "t2", "2_click"))
+      .unionByName(step(purchase, "t3", "3_purchase"))
+      .orderBy("step")
+  }
+
+  val q67Sql: String =
+    """WITH v AS (
+      | SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      | WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      | SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      | FROM events e JOIN v ON e.user_id = v.user_id
+      | WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      | GROUP BY e.user_id),
+      |p AS (
+      | SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      | FROM events e JOIN c ON e.user_id = c.user_id
+      | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      | GROUP BY e.user_id)
+      |SELECT * FROM (
+      | SELECT '1_view' AS step, COUNT(*) AS n_users,
+      |        CAST(quantile_disc(t1, 0.5) AS BIGINT) AS p50_us FROM v
+      | UNION ALL
+      | SELECT '2_click', COUNT(*), CAST(quantile_disc(t2, 0.5) AS BIGINT) FROM c
+      | UNION ALL
+      | SELECT '3_purchase', COUNT(*), CAST(quantile_disc(t3, 0.5) AS BIGINT) FROM p)
+      |ORDER BY step""".stripMargin
+
+  /** q69 — weekly cohort retention: users grouped by the week of their
+    * first event; for each (cohort week, week offset) the count of users
+    * active that week — the retention matrix behind every engagement
+    * dashboard. Plan: one user-keyed aggregation for first-touch, a
+    * co-partitioned join back (both sides hash on user_id — AQE turns it
+    * broadcast when the user dimension is small), a distinct on the
+    * narrow (user, cohort, offset) triple, then a tiny rollup. The
+    * event table itself is never shuffled twice: both heavy steps key
+    * on user_id and reuse the same partitioning.
+    */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q69Sql: String =
+    """WITH e AS (
+      | SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
+      |a AS (
+      | SELECT DISTINCT e.user_id, f.cohort,
+      |  date_diff('day', f.cohort, e.wk) // 7 AS week_offset
+      | FROM e JOIN f USING (user_id))
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      | CAST(week_offset AS BIGINT) AS week_offset, COUNT(*) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
@@ -286,7 +380,9 @@ object EventQueries {
     "q40_sliding_window" -> (q40 _),
     "q56_event_deltas" -> (q56 _),
     "q60_interval_join" -> (q60 _),
-    "q65_attribution_join" -> (q65 _))
+    "q65_attribution_join" -> (q65 _),
+    "q67_funnel" -> (q67 _),
+    "q69_cohort_retention" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
     "q16_hourly_rollup" -> q16Sql,
@@ -296,5 +392,7 @@ object EventQueries {
     "q40_sliding_window" -> q40Sql,
     "q56_event_deltas" -> q56Sql,
     "q60_interval_join" -> q60Sql,
-    "q65_attribution_join" -> q65Sql)
+    "q65_attribution_join" -> q65Sql,
+    "q67_funnel" -> q67Sql,
+    "q69_cohort_retention" -> q69Sql)
 }

@@ -82,6 +82,60 @@ object EventStreams {
           .as("delay_us"))
   }
 
+  /** Streaming ordered-funnel progression — the incremental form of the
+    * batch q67: per user, a 3-slot state machine (earliest view, earliest
+    * later click, earliest later purchase) advanced by each arriving
+    * event; a row `(user_id, step, t_us)` is emitted exactly when a step
+    * first completes. Within a micro-batch events are processed in
+    * (ts, event_id) order; across batches the state carries the
+    * partially-completed funnel, so the emitted steps equal the batch
+    * query's per-user (t1, t2, t3) when events arrive time-ordered
+    * (the same in-order-arrival contract as [[streamingDeltas]]).
+    * State footprint: three longs per user — independent of event
+    * volume, the property that matters when the event stream is the
+    * 100 TB side. Production would add a state timeout for users whose
+    * funnels never complete.
+    */
+  def streamingFunnel(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("step", StringType),
+      StructField("t_us", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    type FunnelState = (Option[Long], Option[Long], Option[Long])
+    val uIdx = events.schema.fieldIndex("user_id")
+    val eIdx = events.schema.fieldIndex("event_id")
+    val tIdx = events.schema.fieldIndex("ts")
+    val kIdx = events.schema.fieldIndex("event_type")
+    events
+      .groupByKey(_.getLong(uIdx))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Row], state: GroupState[FunnelState]) => {
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.getTimestamp(tIdx).getTime, r.getLong(eIdx)))
+          var (t1, t2, t3) =
+            if (state.exists) state.get else (None: Option[Long], None: Option[Long], None: Option[Long])
+          val out = Seq.newBuilder[Row]
+          sorted.foreach { r =>
+            val us = r.getTimestamp(tIdx).getTime * 1000L +
+              (r.getTimestamp(tIdx).getNanos / 1000L) % 1000L
+            r.getString(kIdx) match {
+              case "view" if t1.isEmpty =>
+                t1 = Some(us); out += Row(user, "1_view", us)
+              case "click" if t2.isEmpty && t1.exists(us > _) =>
+                t2 = Some(us); out += Row(user, "2_click", us)
+              case "purchase" if t3.isEmpty && t2.exists(us > _) =>
+                t3 = Some(us); out += Row(user, "3_purchase", us)
+              case _ => ()
+            }
+          }
+          state.update((t1, t2, t3))
+          out.result().iterator
+        })(Encoders.product[(Option[Long], Option[Long], Option[Long])], enc)
+  }
+
   /** Streaming time-since-last-event per user — the incremental form of
     * the batch lag window (q56): state is ONE timestamp per user
     * (`mapGroupsWithState`), each arriving event emits its gap to the

@@ -249,4 +249,39 @@ class CorpusQueriesSpec extends AnyFunSuite {
       assert(d <= n && f >= 1 && f <= n - d + 1)
     }
   }
+
+  test("q66 bloom prefilter is transparent: result identical to q47") {
+    val bloom = CorpusQueries.q66(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = CorpusQueries.q47(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom == exact) // false positives must die in the verify join
+  }
+
+  test("q68 priority sample: k rows, deterministic, priority >= weight") {
+    val a = CorpusQueries.q68(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = CorpusQueries.q68(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.length == 100 && a.sameElements(b)) // content-keyed, no RNG
+    // priority = w/u with u in (0,1] → never below the weight itself
+    a.foreach { case (_, w, p) => assert(p >= w.toDouble) }
+    // ordering is (priority desc, doc_id asc)
+    assert(a.sliding(2).forall { case Array(x, y) =>
+      x._3 > y._3 || (x._3 == y._3 && x._1 < y._1) })
+  }
+
+  test("q70 top pairs match a brute-force recomputation") {
+    val got = CorpusQueries.q70(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val brute = graft.Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+      .flatMap { t =>
+        val w = t.trim.toLowerCase.split("\\s+")
+        w.iterator.zip(w.iterator.drop(1)).map { case (x, y) => s"$x $y" }
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(30)
+    assert(got.length == 30 && got.sameElements(brute))
+  }
 }

@@ -194,6 +194,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists { case (_, _, d) => d > 0 })
   }
 
+  test("streamingFunnel across micro-batches matches the batch funnel state machine") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-funnel").toFile.getAbsolutePath
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+    // independent oracle: fold the same ordered state machine per user
+    // over the collected fixture (test-scale only)
+    val expected = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .flatMap { case (user, rows) =>
+        var (t1, t2, t3) = (Option.empty[Long], Option.empty[Long], Option.empty[Long])
+        val out = Seq.newBuilder[(Long, String, Long)]
+        rows.sortBy(r => (r._3, r._2)).foreach { case (_, _, us, kind) =>
+          kind match {
+            case "view" if t1.isEmpty =>
+              t1 = Some(us); out += ((user, "1_view", us))
+            case "click" if t2.isEmpty && t1.exists(us > _) =>
+              t2 = Some(us); out += ((user, "2_click", us))
+            case "purchase" if t3.isEmpty && t2.exists(us > _) =>
+              t3 = Some(us); out += ((user, "3_purchase", us))
+            case _ => ()
+          }
+        }
+        out.result()
+      }.toSet
+
+    // split at the median CLICK-step time: roughly half the funnels then
+    // complete after the cut, so their (t1, t2) state must bridge the
+    // micro-batch boundary for the purchase step to ever fire
+    val clickTimes = expected.collect { case (_, "2_click", us) => us }.toSeq.sorted
+    val cut = clickTimes(clickTimes.size / 2)
+    events.filter(unix_micros(col("ts")) <= cut).write.parquet(s"$dir/b1")
+    events.filter(unix_micros(col("ts")) > cut).write.parquet(s"$dir/b2")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingFunnel(stream).writeStream
+      .outputMode("append").format("memory").queryName("funnel_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == expected && expected.nonEmpty)
+    // some user starts its funnel at or before the cut and finishes after
+    // it → the state machine genuinely carried state across batches
+    assert(expected.exists { case (u, "1_view", us) =>
+      us <= cut && expected.exists { case (`u`, "3_purchase", p) => p > cut; case _ => false }
+      case _ => false
+    })
+  }
+
   test("session_window rollup agrees with the gaps-and-islands batch query") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val sessions = EventStreams.sessionRollup(events)
