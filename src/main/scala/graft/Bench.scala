@@ -49,7 +49,8 @@ object Bench {
     "q59_bm25", "q60_interval_join", "q61_exact_k_sample",
     "q62_running_total", "q63_chunking", "q64_label_cohesion",
     "q65_attribution_join", "q66_bloom_decontaminate", "q67_funnel",
-    "q68_weighted_sample", "q69_cohort_retention", "q70_bpe_pair_counts")
+    "q68_weighted_sample", "q69_cohort_retention", "q70_bpe_pair_counts",
+    "q71_heavy_hitters")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

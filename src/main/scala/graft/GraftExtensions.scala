@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, HammingDistance, SetOverlap}
+import graft.functions.{CosineSimilarity, HammingDistance, MisraGries, SetOverlap}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,6 +43,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"${SetOverlap.functionName} takes exactly 2 arguments")
         SetOverlap(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier(MisraGries.functionName),
+      new ExpressionInfo(classOf[MisraGries].getName,
+        MisraGries.functionName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"${MisraGries.functionName} takes exactly 2 arguments")
+        require(exprs(1).foldable,
+          s"${MisraGries.functionName} width must be a literal")
+        MisraGries(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue)
+          .toAggregateExpression()
       }))
   }
 }

@@ -309,13 +309,14 @@ object Dedup {
     * (string doc ids) would cast to NULL and make the sum check lie
     * (both rounds sum to 0 → premature exit), so they fall back to a
     * join-based changed-label count — one extra join per round, same
-    * answer. Rounds needed = component diameter, which for near-dup
-    * clusters is small (dups of one source form near-cliques). Lineage
-    * is cut with localCheckpoint each round — an iterative plan would
-    * otherwise grow unboundedly. For graphs with adversarially long
-    * chains, alternating large-star/small-star (Kiveris et al.,
-    * "Connected Components in MapReduce") halves the round count; not
-    * needed at near-dup topology.
+    * answer. From round 3 on, each round composes the neighbor-min with
+    * a POINTER-JUMPING shortcut (label ← label of label), so rounds
+    * needed are O(log diameter), not diameter — near-dup clusters are
+    * near-cliques that converge in ≤3 rounds and never pay for the
+    * extra join, while a pathological chain component (diameter ~n)
+    * is kept from turning into ~n shuffle rounds. Lineage is cut with
+    * localCheckpoint each round — an iterative plan would otherwise
+    * grow unboundedly.
     *
     * Only EDGE-TOUCHED vertices enter the iteration: a vertex with no
     * edges trivially keeps label = id, so the loop's join/agg runs over
@@ -408,12 +409,36 @@ object Dedup {
         .localCheckpoint()
       var prevSum = if (numericIds) labelSum(labels) else null
       var converged = false
+      var round = 0
       while (!converged) {
-        val next = sym.join(labels, sym("dst") === labels("id"))
+        round += 1
+        val neighborMin = sym.join(labels, sym("dst") === labels("id"))
           .select(sym("src").as("id"), col("label"))
           .union(labels)
           .groupBy("id").agg(min("label").as("label"))
-          .localCheckpoint()
+        // Pointer-jumping shortcut: label(v) ← min(label(v),
+        // label(label(v))). A label is always the id of a vertex in the
+        // same component (propagated values are neighbor labels), so the
+        // self-join is well-defined; composing it with the neighbor-min
+        // doubles the distance a minimum travels per round, turning
+        // rounds-needed from the component DIAMETER into its log — the
+        // defense against adversarially-deep chain components that
+        // plain min-label propagation lacks (Kiveris et al.'s
+        // large-star/small-star serves the same purpose; shortcutting
+        // composes with the existing loop instead of replacing it).
+        // ADAPTIVE: rounds 1-2 skip the extra join — near-dup graphs
+        // are near-cliques that converge by then, so the common case
+        // pays nothing; a graph still unconverged at round 3 is deep,
+        // and from there the doubling takes over.
+        val next = (if (round < 3) neighborMin else {
+          val l2 = neighborMin
+            .select(col("id").as("__lid"), col("label").as("__llabel"))
+          neighborMin
+            .join(l2, neighborMin("label") === l2("__lid"), "left")
+            .select(neighborMin("id"),
+              least(col("label"), coalesce(col("__llabel"), col("label")))
+                .as("label"))
+        }).localCheckpoint()
         if (numericIds) {
           val curSum = labelSum(next)
           converged = curSum.compareTo(prevSum) == 0

@@ -816,6 +816,48 @@ object CorpusQueries {
       |SELECT pair, COUNT(*) AS n FROM p
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
 
+  /** q71 — exact corpus heavy hitters via sketch-then-recount: tokens
+    * whose global count is ≥ 1/200 of the token stream, found by (1) a
+    * one-pass [[graft.functions.MisraGries]] candidate sketch (native
+    * `TypedImperativeAggregate` — bounded `width` state per task,
+    * map-side partials, merge on the reduce side) and (2) an exact
+    * recount of ONLY the candidates. MG's deterministic guarantee —
+    * any token with count > n/width survives the sketch — with
+    * width=1000 ≫ 200 makes step 1 a sound filter, so the final output
+    * is EXACT and oracle-checkable even though the sketch itself is
+    * partition-order-dependent. At 100 TB this is the difference
+    * between shuffling the full (token, count) universe (unbounded —
+    * web-scale vocab is billions of keys) and shuffling only tokens
+    * that already passed a broadcast membership test: the same
+    * prefilter-then-verify shape as q66's Bloom pass, applied to an
+    * aggregation instead of a join.
+    */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+    val sketch = toks
+      .agg(graft.functions.MisraGries(s, col("tok"), 1000).as("mg"))
+      .head().getMap[String, Long](0)
+    val candidates = sketch.keys.toSeq.sorted
+    val grand = toks.agg(count(lit(1)).as("n"))
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok").as("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(grand))
+      .filter(col("n_occurrences") * 200 >= col("n"))
+      .select(col("token"), col("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("token"))
+  }
+
+  val q71Sql: String =
+    """WITH t AS (
+      | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM t)
+      |SELECT tok AS token, COUNT(*) AS n_occurrences
+      |FROM t, n GROUP BY tok, n.n HAVING COUNT(*) * 200 >= n.n
+      |ORDER BY n_occurrences DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -838,7 +880,8 @@ object CorpusQueries {
     "q63_chunking" -> (q63 _),
     "q66_bloom_decontaminate" -> (q66 _),
     "q68_weighted_sample" -> (q68 _),
-    "q70_bpe_pair_counts" -> (q70 _))
+    "q70_bpe_pair_counts" -> (q70 _),
+    "q71_heavy_hitters" -> (q71 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -861,5 +904,6 @@ object CorpusQueries {
     "q63_chunking" -> q63Sql,
     "q66_bloom_decontaminate" -> q47Sql,
     "q68_weighted_sample" -> q68Sql,
-    "q70_bpe_pair_counts" -> q70Sql)
+    "q70_bpe_pair_counts" -> q70Sql,
+    "q71_heavy_hitters" -> q71Sql)
 }

@@ -53,4 +53,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q54_global_shuffle")
     assert(!p.contains("Window"))
   }
+
+  test("q68: weighted sampling is top-k over a map-only scan (no shuffle)") {
+    val p = plan("q68_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q70: pair counting is one pair-keyed shuffle plus top-k — no self-join") {
+    val p = plan("q70_bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
+  test("q66: the verify join broadcasts the bench grams, not the corpus") {
+    val p = plan("q66_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q67: every funnel join is a hash equi-join (no nested loop)") {
+    val p = plan("q67_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }
