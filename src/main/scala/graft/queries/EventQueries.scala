@@ -338,19 +338,20 @@ object EventQueries {
   /** q69 — weekly cohort retention: users grouped by the week of their
     * first event; for each (cohort week, week offset) the count of users
     * active that week — the retention matrix behind every engagement
-    * dashboard. Plan: one user-keyed aggregation for first-touch, a
-    * co-partitioned join back (both sides hash on user_id — AQE turns it
-    * broadcast when the user dimension is small), a distinct on the
-    * narrow (user, cohort, offset) triple, then a tiny rollup. The
-    * event table itself is never shuffled twice: both heavy steps key
-    * on user_id and reuse the same partitioning.
+    * dashboard. Plan: the first-touch week comes from a per-user
+    * `min() OVER (PARTITION BY user_id)` window rather than an
+    * aggregate-plus-join-back, so the event table is scanned ONCE and
+    * shuffled once (an unframed partition-min needs no sort — Spark
+    * plans a hash-partitioned window without ordering); then a distinct
+    * on the narrow (user, cohort, offset) triple piggybacks on the same
+    * partitioning, and the final rollup is tiny.
     */
   def q69(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, dir)
       .select(col("user_id"),
         date_trunc("week", col("ts")).cast("date").as("wk"))
-    val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
-    ev.join(first, "user_id")
+      .withColumn("cohort", min("wk").over(w))
       .select(col("user_id"), col("cohort"),
         (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
       .distinct()

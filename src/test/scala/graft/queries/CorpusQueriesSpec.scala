@@ -271,6 +271,38 @@ class CorpusQueriesSpec extends AnyFunSuite {
       x._3 > y._3 || (x._3 == y._3 && x._1 < y._1) })
   }
 
+  test("leakage audit: q46 splits never separate a near-dup pair; q42 splits do") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.operators.Dedup.minhashLsh(
+        graft.Tables.documents(spark, dir), "doc_id", "text", 3, 0.7)
+      .select(col("doc_a"), col("doc_b"))
+    def crossSplit(splits: org.apache.spark.sql.DataFrame): Long =
+      pairs
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb")).count()
+    // cluster-keyed split: one split per near-dup component, by construction
+    assert(crossSplit(CorpusQueries.q46(spark, dir)) == 0L)
+    // doc-keyed split (q42, inner-joined to ignore its sampling filter):
+    // near-dup pairs DO straddle splits — the leakage q46 exists to stop.
+    // (If the fixture ever stops producing a straddling pair, the q42 arm
+    // proves nothing — guard that the pair set itself is non-trivial.)
+    assert(pairs.count() > 0)
+    val naive = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(CorpusQueries.q42(spark, dir).select("doc_id", "split"), "doc_id")
+    // q42 samples docs away entirely; rebuild an unsampled doc-keyed split
+    // with the same hash rule so every pair endpoint has a split.
+    val split = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2)
+    val docKeyed = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(split < "0a", lit("test"))
+          .when(split < "14", lit("val"))
+          .otherwise(lit("train")).as("split"))
+    assert(crossSplit(docKeyed) > 0L, "expected doc-keyed splits to leak")
+    assert(naive.count() <= docKeyed.count())
+  }
+
   test("q70 top pairs match a brute-force recomputation") {
     val got = CorpusQueries.q70(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
