@@ -50,7 +50,8 @@ object Bench {
     "q62_running_total", "q63_chunking", "q64_label_cohesion",
     "q65_attribution_join", "q66_bloom_decontaminate", "q67_funnel",
     "q68_weighted_sample", "q69_cohort_retention", "q70_bpe_pair_counts",
-    "q71_heavy_hitters")
+    "q71_heavy_hitters", "q72_temperature_mixing", "q73_source_dup_matrix",
+    "q74_hybrid_rerank")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

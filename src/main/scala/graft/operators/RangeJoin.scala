@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Bucketed interval (range) join — assign point rows to the intervals
   * containing them. Spark has no native range-join operator; the naive
@@ -43,4 +44,32 @@ object RangeJoin {
         unix_micros(col(startCol)), unix_micros(col(endCol))))
       .drop("__bin")
   }
+
+  /** Streaming interval join against a SLOWLY-GROWING interval table:
+    * each micro-batch of points joins the intervals AS OF that batch,
+    * because `loadIntervals` is re-invoked inside `foreachBatch` — a
+    * fresh DataFrame re-lists the dimension source every trigger
+    * (a plain stream-static join would freeze the interval side's file
+    * listing at query start and silently miss every interval added
+    * while the stream runs — the dimension-refresh gap this wrapper
+    * exists to close). This is the standard slowly-changing-dimension
+    * pattern for streams: points are exactly-once via the checkpoint;
+    * the interval side is read-committed per batch. State is ZERO —
+    * unlike a stream-stream join there is no buffering, the trade
+    * being that a point arriving before its interval is NOT retro-
+    * matched (that semantics needs the watermarked stream-stream form,
+    * `EventStreams.streamingAttribution`).
+    */
+  def streamingIntervalJoinRefreshed(
+      points: DataFrame, loadIntervals: () => DataFrame, key: String,
+      tsCol: String, startCol: String, endCol: String,
+      checkpoint: String, sink: DataFrame => Unit,
+      binWidthSec: Long = 1800L): StreamingQuery =
+    points.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(intervalJoin(batch.toDF(), loadIntervals(), key,
+          tsCol, startCol, endCol, binWidthSec))
+      }
+      .start()
 }

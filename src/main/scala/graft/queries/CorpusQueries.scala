@@ -858,6 +858,86 @@ object CorpusQueries {
       |FROM t, n GROUP BY tok, n.n HAVING COUNT(*) * 200 >= n.n
       |ORDER BY n_occurrences DESC, token""".stripMargin
 
+  /** q72 — temperature-scaled mixing weights (α = 0.5): the standard
+    * smoothing for multilingual/multi-source pretraining — raw token
+    * shares are flattened by share^α before renormalizing, boosting
+    * low-resource sources without letting any source dominate. α is
+    * fixed at 0.5 because `sqrt` is an exactly-rounded IEEE op (a
+    * general `pow` is not guaranteed identically rounded across libm
+    * implementations — same reasoning as q68's priority sampling); the
+    * one remaining engine-order sensitivity, the 20-element
+    * normalizer sum, is absorbed by rounding to 10 decimals. Same
+    * one-keyed-agg + one-row-broadcast plan shape as q49.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("f", sqrt(col("n_tokens").cast("double")))
+    val z = perSource.agg(sum("f").as("z"))
+    perSource.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("f") / col("z"), 10).as("weight_t05"))
+      .orderBy("source")
+  }
+
+  val q72Sql: String =
+    """WITH t AS (
+      | SELECT source,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS nt
+      | FROM documents),
+      |a AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |      FROM t GROUP BY source),
+      |f AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS f FROM a),
+      |z AS (SELECT SUM(f) AS z FROM f)
+      |SELECT source, n_tokens, round(f / z, 10) AS weight_t05
+      |FROM f, z ORDER BY source""".stripMargin
+
+  /** q73 — cross-source contamination matrix: near-dup pair counts
+    * between every pair of sources — "which feeds are copying which",
+    * the diagnostic that decides whether a source earns its mixing
+    * weight or is just a mirror of another. Reuses the q25 LSH pair
+    * pipeline (banded candidates, exact verify); the source lookups are
+    * doc_id-keyed hash joins of the NARROW (doc_id, source) projection
+    * against the already-small verified-pair table, then a tiny
+    * symmetric (least, greatest) rollup. Nothing in this plan touches
+    * full text after the LSH stage.
+    */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 0.7)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q73Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)),
+      |p AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM t a, t b
+      | WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7)
+      |SELECT least(da.source, db.source) AS source_a,
+      | greatest(da.source, db.source) AS source_b,
+      | COUNT(*) AS n_pairs
+      |FROM p
+      |JOIN documents da ON p.doc_a = da.doc_id
+      |JOIN documents db ON p.doc_b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -881,7 +961,9 @@ object CorpusQueries {
     "q66_bloom_decontaminate" -> (q66 _),
     "q68_weighted_sample" -> (q68 _),
     "q70_bpe_pair_counts" -> (q70 _),
-    "q71_heavy_hitters" -> (q71 _))
+    "q71_heavy_hitters" -> (q71 _),
+    "q72_temperature_mixing" -> (q72 _),
+    "q73_source_dup_matrix" -> (q73 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -905,5 +987,7 @@ object CorpusQueries {
     "q66_bloom_decontaminate" -> q47Sql,
     "q68_weighted_sample" -> q68Sql,
     "q70_bpe_pair_counts" -> q70Sql,
-    "q71_heavy_hitters" -> q71Sql)
+    "q71_heavy_hitters" -> q71Sql,
+    "q72_temperature_mixing" -> q72Sql,
+    "q73_source_dup_matrix" -> q73Sql)
 }

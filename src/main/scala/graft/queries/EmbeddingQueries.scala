@@ -189,6 +189,84 @@ object EmbeddingQueries {
       |         i -> cent.ce[i] * cent.ce[i])))), 4) AS cos_to_centroid
       |FROM v JOIN cent USING (label) ORDER BY vec_id""".stripMargin
 
+  /** q74 — hybrid retrieval rerank: BM25 lexical score (q59's pipeline)
+    * fused with embedding cosine to a query centroid (label-0 vectors
+    * stand in for an embedded query) — the two-signal ranking behind
+    * retrieval-based data curation, where lexical match finds candidate
+    * documents and the dense score reorders them. Plan shape: both
+    * signals are independently cheap at scale (q59 broadcasts its term
+    * stats; the query centroid is a one-row broadcast and the cosine is
+    * a map-side HOF fold), the fusing join is doc_id-keyed over the
+    * already-small BM25 result, and the final top-20 is
+    * `TakeOrderedAndProject`. Lexical scores are max-normalized before
+    * fusing; every float step is rounded to 4 decimals where a
+    * summation order could differ between engines (q64's rule).
+    */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val bm = graft.queries.CorpusQueries.q59(s, dir).select(col("doc_id"), col("bm25"))
+    val maxb = bm.agg(max("bm25").as("max_bm25"))
+    val e = Tables.embeddings(s, dir)
+    val qc = e.filter(col("label") === 0)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim").agg(avg("v").as("cv"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
+        .as("qe"))
+    val cosined = e
+      .withColumn("e", expr("transform(embedding, x -> cast(x as double))"))
+      .crossJoin(broadcast(qc))
+      .withColumn("dot",
+        expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("na",
+        expr("sqrt(aggregate(transform(e, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nb",
+        expr("sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + x))"))
+      .select(col("vec_id").as("doc_id"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+    bm.join(cosined, "doc_id").crossJoin(broadcast(maxb))
+      .select(col("doc_id"), col("bm25"), col("cos"),
+        round(col("bm25") / col("max_bm25") + col("cos"), 4).as("hybrid"))
+      .orderBy(desc("hybrid"), asc("doc_id")).limit(20)
+  }
+
+  val q74Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      | SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      | FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+      | WHERE tok IN ('spark', 'scan', 'merge') GROUP BY doc_id, tok),
+      |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dft
+      |        FROM tf GROUP BY tok),
+      |bm AS (
+      | SELECT tf.doc_id,
+      |  round(SUM(ln((n - dft + 0.5) / (dft + 0.5) + 1) * tf * 2.2
+      |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+      | FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id), s
+      | GROUP BY tf.doc_id),
+      |mb AS (SELECT MAX(bm25) AS max_bm25 FROM bm),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |      FROM embeddings),
+      |v0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |       FROM embeddings WHERE label = 0),
+      |qd AS (SELECT generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM v0),
+      |qc AS (SELECT dim, AVG(val) AS cv FROM qd GROUP BY dim),
+      |qe AS (SELECT list(cv ORDER BY dim) AS qe FROM qc),
+      |cs AS (
+      | SELECT v.vec_id AS doc_id,
+      |  round(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * qe.qe[i]))
+      |   / (sqrt(list_sum(list_transform(range(1, len(v.e) + 1), i -> v.e[i] * v.e[i])))
+      |      * sqrt(list_sum(list_transform(range(1, len(qe.qe) + 1),
+      |          i -> qe.qe[i] * qe.qe[i])))), 4) AS cos
+      | FROM v, qe)
+      |SELECT bm.doc_id, bm.bm25, cs.cos,
+      | round(bm.bm25 / mb.max_bm25 + cs.cos, 4) AS hybrid
+      |FROM bm JOIN cs USING (doc_id), mb
+      |ORDER BY hybrid DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_label_cohesion" -> (q64 _),
     "q41_embed_clusters" -> (q41 _),
@@ -197,7 +275,8 @@ object EmbeddingQueries {
     "q29_ann_lsh" -> (q29 _),
     "q30_embed_neardup" -> (q30 _),
     "q34_ann_ivf" -> (q34 _),
-    "q36_embed_neardup_lsh" -> (q36 _))
+    "q36_embed_neardup_lsh" -> (q36 _),
+    "q74_hybrid_rerank" -> (q74 _))
 
   val oracles: Map[String, String] = Map(
     "q64_label_cohesion" -> q64Sql,
@@ -205,5 +284,6 @@ object EmbeddingQueries {
     "q27_knn_brute" -> q27Sql,
     "q28_embed_stats" -> q28Sql,
     "q30_embed_neardup" -> q30Sql,
-    "q36_embed_neardup_lsh" -> q30Sql)
+    "q36_embed_neardup_lsh" -> q30Sql,
+    "q74_hybrid_rerank" -> q74Sql)
 }

@@ -49,6 +49,28 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(sketch == exact)
   }
 
+  test("composes with streaming aggregation state across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mg-stream")
+      .toFile.getAbsolutePath
+    val toks = tokens
+    val n = toks.count()
+    // two files → two micro-batches; the sketch buffer must merge
+    // across them through the streaming state store
+    toks.limit((n / 2).toInt).write.parquet(s"$tmp/b1")
+    toks.exceptAll(toks.limit((n / 2).toInt)).write.parquet(s"$tmp/b2")
+    val stream = spark.readStream.schema(toks.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = stream.groupBy()
+      .agg(MisraGries(spark, col("tok"), 1000).as("mg"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mg_stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mg_stream_out")
+      .head().getMap[String, Long](0)
+    assert(streamed == exactCounts) // width > vocab → sketch is exact
+  }
+
   test("SQL surface via GraftExtensions registration") {
     tokens.createOrReplaceTempView("mg_toks")
     MisraGries.register(spark)

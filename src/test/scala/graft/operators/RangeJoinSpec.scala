@@ -127,4 +127,42 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch && batch == Set((1L, 10L), (3L, 11L)))
   }
+
+  test("refreshed interval join picks up intervals added between micro-batches") {
+    val hour = 3600L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("rj-refresh")
+      .toFile.getAbsolutePath
+    val ivDir = s"$dir/iv"
+    // interval table v1: only interval 10 on key 1
+    spark.createDataFrame(
+        Seq(Row(1L, 10L, ts(0L), ts(2 * hour))).asJava, ivSchema)
+      .write.parquet(s"$ivDir/v1")
+    // batch-1 points: pid 1 inside interval 10; pid 2 inside the SPAN of
+    // the not-yet-existing interval 20 — must match nothing yet
+    spark.createDataFrame(
+        Seq(Row(1L, 1L, ts(hour)), Row(2L, 2L, ts(hour))).asJava, pointSchema)
+      .write.parquet(s"$dir/pts/b1")
+
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = spark.readStream.schema(pointSchema).parquet(s"$dir/pts/*")
+    val q = RangeJoin.streamingIntervalJoinRefreshed(
+      stream, () => spark.read.parquet(s"$ivDir/*"), "k", "ts", "lo", "hi",
+      s"$dir/ckpt", joined => joined.select("pid", "iid").collect()
+        .foreach(r => out.add((r.getLong(0), r.getLong(1)))))
+    q.processAllAvailable()
+    assert(out.asScala.toSet == Set((1L, 10L)))
+
+    // the dimension grows: interval 20 appears; batch-2 point pid 3 in it
+    spark.createDataFrame(
+        Seq(Row(2L, 20L, ts(0L), ts(2 * hour))).asJava, ivSchema)
+      .write.parquet(s"$ivDir/v2")
+    spark.createDataFrame(
+        Seq(Row(2L, 3L, ts(hour))).asJava, pointSchema)
+      .write.parquet(s"$dir/pts/b2")
+    q.processAllAvailable()
+    q.stop()
+    // batch 2 joined against the refreshed table (a static-DF join frozen
+    // at start would still see only interval 10); pid 2 is not retro-matched
+    assert(out.asScala.toSet == Set((1L, 10L), (3L, 20L)))
+  }
 }

@@ -25,6 +25,39 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("adaptiveSaltedAggregate: hot keys detected and salted, result exact") {
+    import spark.implicits._
+    // one key owns ~90% of rows; the rest are a long light tail
+    val hot = (1 to 9000).map(i => ("hot", i.toLong))
+    val tail = (1 to 1000).map(i => (s"k${i % 200}", i.toLong))
+    val df = (hot ++ tail).toDF("k", "v")
+    val aggs = Seq(Skew.SaltedSum("v", "sv"), Skew.SaltedCount("n"),
+      Skew.SaltedMin("v", "mn"), Skew.SaltedMax("v", "mx"))
+    val adaptive = Skew.adaptiveSaltedAggregate(df, Seq("k"), salts = 8, aggs,
+      heavyFraction = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val plain = Skew.plainAggregate(df, Seq("k"), aggs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(adaptive == plain && plain.contains("hot") && plain.size == 201)
+  }
+
+  test("adaptiveSaltedAggregate with no hot keys falls back to the plain plan") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"k${i % 400}", i.toLong)).toDF("k", "v")
+    val aggs = Seq(Skew.SaltedCount("n"))
+    val adaptive = Skew.adaptiveSaltedAggregate(df, Seq("k"), salts = 8, aggs,
+      heavyFraction = 0.05)
+    // uniform 400-key data: nothing clears the 5% cutoff → single plain agg
+    // (no union in the plan), and values still match
+    assert(!adaptive.queryExecution.executedPlan.toString.contains("Union"))
+    val got = adaptive.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Skew.plainAggregate(df, Seq("k"), aggs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == plain)
+  }
+
   test("saltedJoin equals plain join") {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
