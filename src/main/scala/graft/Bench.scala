@@ -51,7 +51,8 @@ object Bench {
     "q65_attribution_join", "q66_bloom_decontaminate", "q67_funnel",
     "q68_weighted_sample", "q69_cohort_retention", "q70_bpe_pair_counts",
     "q71_heavy_hitters", "q72_temperature_mixing", "q73_source_dup_matrix",
-    "q74_hybrid_rerank")
+    "q74_hybrid_rerank", "q75_adaptive_filter", "q76_trailing_rate",
+    "q77_event_paths")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

@@ -57,5 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval().asInstanceOf[Number].intValue)
           .toAggregateExpression()
       }))
+    // auto-rewrite naive point-in-interval inequality joins to the
+    // bucketed hash-join form (see graft.plans.RangeJoinRewrite)
+    extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -938,6 +938,39 @@ object CorpusQueries {
       |JOIN documents db ON p.doc_b = db.doc_id
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  /** q75 — per-language adaptive band filtering: keep documents whose
+    * length sits inside their OWN language's [p05, p95] band — the
+    * data-driven form of fixed length cutoffs (a fixed global band
+    * over-trims compact-script languages and under-trims verbose ones).
+    * Plan: the per-language quantile table is a tiny aggregation
+    * (`percentile_disc` with map-side partials), broadcast back, and
+    * the filter itself is map-side — the corpus is never shuffled.
+    */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val bands = docs.groupBy("lang").agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").as("hi"))
+    docs.join(broadcast(bands), "lang")
+      .filter(col("n_chars").between(col("lo"), col("hi")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String =
+    """WITH b AS (
+      | SELECT lang,
+      |  CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS lo,
+      |  CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS hi
+      | FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN b USING (lang)
+      |WHERE d.n_chars BETWEEN b.lo AND b.hi
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -963,7 +996,8 @@ object CorpusQueries {
     "q70_bpe_pair_counts" -> (q70 _),
     "q71_heavy_hitters" -> (q71 _),
     "q72_temperature_mixing" -> (q72 _),
-    "q73_source_dup_matrix" -> (q73 _))
+    "q73_source_dup_matrix" -> (q73 _),
+    "q75_adaptive_filter" -> (q75 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -989,5 +1023,6 @@ object CorpusQueries {
     "q70_bpe_pair_counts" -> q70Sql,
     "q71_heavy_hitters" -> q71Sql,
     "q72_temperature_mixing" -> q72Sql,
-    "q73_source_dup_matrix" -> q73Sql)
+    "q73_source_dup_matrix" -> q73Sql,
+    "q75_adaptive_filter" -> q75Sql)
 }

@@ -373,6 +373,66 @@ object EventQueries {
       | CAST(week_offset AS BIGINT) AS week_offset, COUNT(*) AS n_users
       |FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q76 — trailing-window event rate: for every event, how many events
+    * the same user produced in the preceding hour (inclusive) — the
+    * rate-limiting / burst-detection primitive. A RANGE frame over
+    * event-time microseconds (not a ROWS frame: simultaneous events
+    * must count together regardless of tie order, which also makes the
+    * result deterministic under ties). One shuffle on user_id + one
+    * sorted pass; Spark evaluates the sliding frame incrementally, so
+    * cost is O(events), not O(events × window size).
+    */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .select("user_id", "event_id", "n_trailing_1h")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q76Sql: String =
+    """SELECT user_id, event_id,
+      | COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** q77 — top event paths: the most frequent ordered 3-step
+    * event-type sequences across users (path/sequence mining lite —
+    * "what do users actually do, in what order"). Both lead() offsets
+    * come out of ONE sorted window pass over the same (ts, event_id)
+    * frame (Spark plans a single Window operator), the path string is
+    * built map-side, and the count + top-10 is the q70 shape: one
+    * shuffle keyed by the small distinct-path space, then
+    * `TakeOrderedAndProject`.
+    */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(10)
+  }
+
+  val q77Sql: String =
+    """WITH p AS (
+      | SELECT event_type || '>' ||
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |  || '>' ||
+      |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |  AS path
+      | FROM events
+      | QUALIFY lead(event_type, 2) OVER
+      |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NOT NULL)
+      |SELECT path, COUNT(*) AS n FROM p
+      |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
@@ -383,7 +443,9 @@ object EventQueries {
     "q60_interval_join" -> (q60 _),
     "q65_attribution_join" -> (q65 _),
     "q67_funnel" -> (q67 _),
-    "q69_cohort_retention" -> (q69 _))
+    "q69_cohort_retention" -> (q69 _),
+    "q76_trailing_rate" -> (q76 _),
+    "q77_event_paths" -> (q77 _))
 
   val oracles: Map[String, String] = Map(
     "q16_hourly_rollup" -> q16Sql,
@@ -395,5 +457,7 @@ object EventQueries {
     "q60_interval_join" -> q60Sql,
     "q65_attribution_join" -> q65Sql,
     "q67_funnel" -> q67Sql,
-    "q69_cohort_retention" -> q69Sql)
+    "q69_cohort_retention" -> q69Sql,
+    "q76_trailing_rate" -> q76Sql,
+    "q77_event_paths" -> q77Sql)
 }

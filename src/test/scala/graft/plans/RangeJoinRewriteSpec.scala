@@ -1,0 +1,120 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** The RangeJoinRewrite optimizer rule: a naive inequality join written
+  * by a user must silently become the bucketed hash equi-join (same
+  * pairs as graft.operators.RangeJoin.intervalJoin, no nested-loop
+  * operator in the physical plan), and the rewrite must be inert when
+  * disabled or when the shape doesn't match.
+  */
+class RangeJoinRewriteSpec extends AnyFunSuite {
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val shared = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(spark)
+    finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  private val pointSchema = StructType(Seq(
+    StructField("k", LongType), StructField("pid", LongType),
+    StructField("ts", TimestampType)))
+  private val ivSchema = StructType(Seq(
+    StructField("k", LongType), StructField("iid", LongType),
+    StructField("lo", TimestampType), StructField("hi", TimestampType)))
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  private def fixtures(spark: SparkSession): (DataFrame, DataFrame) = {
+    val hour = 3600L * 1000000L
+    val points = (0 until 200).map { i =>
+      Row((i % 5).toLong, i.toLong, ts(i * hour / 4))
+    }
+    val intervals = (0 until 40).map { i =>
+      Row((i % 5).toLong, (1000 + i).toLong,
+        ts(i * hour), ts(i * hour + 3 * hour / 2))
+    } :+ Row(3L, 9999L, ts(10 * hour), ts(9 * hour)) // reversed span
+    (spark.createDataFrame(points.asJava, pointSchema),
+      spark.createDataFrame(intervals.asJava, ivSchema))
+  }
+
+  test("naive inequality join is rewritten to a hash join with identical pairs") {
+    withExtSession { spark =>
+      val (p, iv) = fixtures(spark)
+      val naive = p.join(iv,
+        p("k") === iv("k") && p("ts") >= iv("lo") && p("ts") <= iv("hi"))
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.linesIterator.take(12).mkString("\n"))
+      assert(plan.contains("__graft_bin")) // the rewrite, not some other plan
+
+      val got = naive.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reference = graft.operators.RangeJoin.intervalJoin(
+          p, iv, "k", "ts", "lo", "hi")
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == reference && got.nonEmpty)
+    }
+  }
+
+  test("residual predicates and swapped sides still rewrite correctly") {
+    withExtSession { spark =>
+      val (p, iv) = fixtures(spark)
+      // intervals on the LEFT, extra residual conjunct, mirrored bounds
+      val naive = iv.join(p,
+        iv("k") === p("k") && iv("lo") <= p("ts") && iv("hi") >= p("ts")
+          && p("pid") % 2 === 0)
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+      val got = naive.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reference = graft.operators.RangeJoin.intervalJoin(
+          p, iv, "k", "ts", "lo", "hi")
+        .filter(org.apache.spark.sql.functions.col("pid") % 2 === 0)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == reference && got.nonEmpty)
+    }
+  }
+
+  test("disabled flag leaves the naive plan untouched") {
+    withExtSession { spark =>
+      spark.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      try {
+        val (p, iv) = fixtures(spark)
+        val naive = p.join(iv,
+          p("k") === iv("k") && p("ts") >= iv("lo") && p("ts") <= iv("hi"))
+        val plan = naive.queryExecution.executedPlan.toString
+        assert(!plan.contains("__graft_bin"))
+      } finally spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+    }
+  }
+
+  test("plain equi-joins and non-timestamp ranges are not touched") {
+    withExtSession { spark =>
+      val (p, iv) = fixtures(spark)
+      val equi = p.join(iv, Seq("k"))
+      assert(!equi.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      val numeric = p.join(iv, p("k") === iv("k") && p("pid") >= iv("iid"))
+      assert(!numeric.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    }
+  }
+}
