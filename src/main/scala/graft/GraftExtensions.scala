@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, HammingDistance, MisraGries, SetOverlap}
+import graft.functions.{CosineSimilarity, HammingDistance, MisraGries, SetOverlap, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval().asInstanceOf[Number].intValue)
           .toAggregateExpression()
       }))
+    extensions.injectFunction((
+      FunctionIdentifier(TopKRows.functionName),
+      new ExpressionInfo(classOf[TopKRows].getName,
+        TopKRows.functionName),
+      (exprs: Seq[Expression]) => TopKRows.build(exprs)))
     // auto-rewrite naive point-in-interval inequality joins to the
     // bucketed hash-join form (see graft.plans.RangeJoinRewrite)
     extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

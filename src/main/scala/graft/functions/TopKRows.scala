@@ -1,0 +1,143 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Bounded per-group top-k as a native `TypedImperativeAggregate`:
+  * keeps the k SMALLEST values of its (orderable — atomic or struct)
+  * child per group in a size-k heap and returns them as an ascending
+  * array. Encode "top" orderings by key construction — e.g.
+  * `struct(-n_chars, doc_id)` ascending ≡ (n_chars DESC, doc_id ASC).
+  *
+  * Why this exists when `row_number().over(partitionBy(g).orderBy(...))`
+  * already expresses per-group top-k (q53): the window form must
+  * SHUFFLE AND SORT EVERY ROW — rank-then-filter cannot discard
+  * anything before the exchange. This aggregate rides Spark's partial
+  * aggregation instead: each map task keeps at most k values per group,
+  * so the exchange carries `k × groups × tasks` heap entries rather
+  * than the full table, and nothing is ever globally sorted. At 100 TB
+  * ("best 100 examples per language" over billions of docs) that is
+  * the difference between shuffling the corpus and shuffling a few
+  * thousand heap rows per task. The q53-parity query (q78) pins result
+  * equality; the bench's shuffle-bytes column shows the volume gap.
+  *
+  * State is bounded (k entries per group per task); values are copied
+  * on insert (Spark reuses input row buffers) and serialized via an
+  * UnsafeProjection of the child type, so any orderable child —
+  * including structs — round-trips through the state store.
+  */
+case class TopKRows(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[Any]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[Any] =
+    mutable.PriorityQueue.empty[Any](ordering) // max-heap → evict largest
+
+  override def update(buf: mutable.PriorityQueue[Any],
+                      input: InternalRow): mutable.PriorityQueue[Any] = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (buf.size < k) buf.enqueue(InternalRow.copyValue(v))
+      else if (ordering.lt(v, buf.head)) {
+        buf.dequeue(); buf.enqueue(InternalRow.copyValue(v))
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[Any],
+                     other: mutable.PriorityQueue[Any]): mutable.PriorityQueue[Any] = {
+    other.foreach { v =>
+      if (buf.size < k) buf.enqueue(v)
+      else if (ordering.lt(v, buf.head)) { buf.dequeue(); buf.enqueue(v) }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[Any]): Any =
+    new GenericArrayData(buf.toArray.sorted(ordering))
+
+  @transient private lazy val ser = UnsafeProjection.create(Array(child.dataType))
+
+  override def serialize(buf: mutable.PriorityQueue[Any]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach { v =>
+      val row = ser(InternalRow(v))
+      out.writeInt(row.getSizeInBytes)
+      out.write(row.getBytes)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[Any] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    (0 until n).foreach { _ =>
+      val size = in.readInt()
+      val rowBytes = new Array[Byte](size)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(1)
+      row.pointTo(rowBytes, size)
+      buf.enqueue(InternalRow.copyValue(row.get(0, child.dataType)))
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKRows =
+    copy(child = newChild)
+}
+
+object TopKRows {
+  val functionName = "graft_top_k"
+
+  private[graft] def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$functionName takes exactly 2 arguments (value, k)")
+    require(exprs(1).foldable, s"$functionName k must be a literal")
+    TopKRows(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue)
+      .toAggregateExpression()
+  }
+
+  /** Register in the session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      functionName, build, "built-in")
+
+  /** Column form (registers on the session as a side effect). */
+  def apply(spark: SparkSession, column: Column, k: Int): Column = {
+    register(spark)
+    call_function(functionName, column,
+      org.apache.spark.sql.functions.lit(k))
+  }
+}

@@ -971,6 +971,28 @@ object CorpusQueries {
       |WHERE d.n_chars BETWEEN b.lo AND b.hi
       |ORDER BY doc_id""".stripMargin
 
+  /** q78 — per-group top-k via the native bounded-heap aggregate
+    * ([[graft.functions.TopKRows]]): q53's EXACT semantics (top 3
+    * longest docs per language, doc_id ties) through a different — and
+    * at scale, far cheaper — plan. q53's window must shuffle and sort
+    * every row before rank-filtering; here each map task keeps a k-entry
+    * heap per language, the exchange carries only those heap rows, and
+    * no sort ever sees the full table. The sort direction is encoded in
+    * the heap key (`struct(-n_chars, doc_id)` ascending ≡ n_chars DESC,
+    * doc_id ASC). Same oracle as q53 pins result equality; the bench's
+    * shuffle-bytes column shows the volume gap.
+    */
+  def q78(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        struct((-col("n_chars")).as("nk"), col("doc_id").as("id")).as("key"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKRows(s, col("key"), 3).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("r0", "kv")))
+      .select(col("lang"), col("kv.id").as("doc_id"),
+        (-col("kv.nk")).as("n_chars"), (col("r0") + 1).cast("long").as("rank"))
+      .orderBy("lang", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -997,7 +1019,8 @@ object CorpusQueries {
     "q71_heavy_hitters" -> (q71 _),
     "q72_temperature_mixing" -> (q72 _),
     "q73_source_dup_matrix" -> (q73 _),
-    "q75_adaptive_filter" -> (q75 _))
+    "q75_adaptive_filter" -> (q75 _),
+    "q78_topk_native" -> (q78 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -1024,5 +1047,6 @@ object CorpusQueries {
     "q71_heavy_hitters" -> q71Sql,
     "q72_temperature_mixing" -> q72Sql,
     "q73_source_dup_matrix" -> q73Sql,
-    "q75_adaptive_filter" -> q75Sql)
+    "q75_adaptive_filter" -> q75Sql,
+    "q78_topk_native" -> q53Sql)
 }
