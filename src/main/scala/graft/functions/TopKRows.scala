@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   * ("best 100 examples per language" over billions of docs) that is
   * the difference between shuffling the corpus and shuffling a few
   * thousand heap rows per task. The q53-parity query (q78) pins result
-  * equality; the bench's shuffle-bytes column shows the volume gap.
+  * equality; TopKRowsSpec pins the plan shape (no Window, no
+  * pre-shuffle Sort — the byte gap itself needs rows-per-group ≫ k,
+  * beyond the bench table's size).
   *
   * State is bounded (k entries per group per task); values are copied
   * on insert (Spark reuses input row buffers) and serialized via an

@@ -465,6 +465,76 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Incremental corpus-delta dedup: reduce an INCOMING batch against an
+    * existing HISTORY corpus — the daily-crawl shape, where the corpus
+    * is petabytes but the delta is not. Returns the incoming docs that
+    * survive three tiers: (1) exact — content hash seen in history or
+    * in an earlier (lower-id) incoming row; (2) near-dup vs history —
+    * Jaccard ≥ threshold against any history doc; (3) near-dup within
+    * the batch — [[dedupClusters]] over the survivors, keeping each
+    * cluster's minimum id.
+    *
+    * The scale property that makes this incremental rather than a
+    * full-corpus re-dedup: history participates ONLY through (a) its
+    * content-hash set, an anti-join key table, and (b) its banded LSH
+    * index, which the candidate stage SEMI-JOINS down to the buckets
+    * the incoming batch actually hits — history shingle sets are then
+    * recomputed just for those candidate doc_ids. In production both
+    * are write-once index tables maintained alongside the corpus
+    * (exactly the shape [[graft.operators.Bucketing]] persists), so
+    * per-delta cost scales with the delta and its collision
+    * neighborhood, never with corpus size.
+    */
+  def dedupAgainst(history: DataFrame, incoming: DataFrame,
+                   idCol: String, textCol: String,
+                   k: Int, threshold: Double,
+                   numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    val spark = incoming.sparkSession
+    val bucketsUdf = udf { shingles: Seq[String] =>
+      Hashing.bandBuckets(
+        Hashing.minhashSignature(
+          shingles.map(Hashing.stringHash64).toArray, numPerms), bands)
+    }
+    // tier 1: exact content hash vs history + keep-first within batch
+    val histHashes = history.select(md5(col(textCol)).as("content_hash")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col(idCol))
+    val exactSurvivors = incoming
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(histHashes, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+    // tier 2: near-dup vs history — history's banded index pruned to the
+    // buckets incoming hits, shingles recomputed for candidates only
+    val incShingled = withShingles(exactSurvivors, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val incBanded = incShingled
+        .select(col("doc_id"), explode(bucketsUdf(col("shingles"))).as("bucket"))
+      val histShingled = withShingles(history, idCol, textCol, k)
+      val histBanded = histShingled
+        .select(col("doc_id").as("hist_id"),
+          explode(bucketsUdf(col("shingles"))).as("bucket"))
+        .join(incBanded.select("bucket").distinct(), Seq("bucket"), "left_semi")
+      val cand = incBanded.join(histBanded, "bucket")
+        .select(col("doc_id"), col("hist_id")).distinct()
+      val contaminated = cand
+        .join(incShingled, "doc_id")
+        .join(histShingled.select(col("doc_id").as("hist_id"),
+          col("shingles").as("sh_h")), "hist_id")
+        .filter(jaccard(spark, col("shingles"), col("sh_h")) >= threshold)
+        .select("doc_id").distinct()
+      val vsHistory = exactSurvivors
+        .join(contaminated.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+      // tier 3: near-dups inside the batch — keep each cluster's min id
+      val keepers = dedupClusters(vsHistory, idCol, textCol, k, threshold)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as(idCol))
+      vsHistory.join(keepers, Seq(idCol), "left_semi")
+    } finally incShingled.unpersist(blocking = false)
+  }
+
   /** SimHash per doc: 64-bit signature as a bit string. Near-dups have
     * small Hamming distance; bucketing on bit-prefixes gives an LSH analog.
     * JVM function per row for the same recompute reason as [[minhashLsh]].

@@ -979,8 +979,11 @@ object CorpusQueries {
     * heap per language, the exchange carries only those heap rows, and
     * no sort ever sees the full table. The sort direction is encoded in
     * the heap key (`struct(-n_chars, doc_id)` ascending ≡ n_chars DESC,
-    * doc_id ASC). Same oracle as q53 pins result equality; the bench's
-    * shuffle-bytes column shows the volume gap.
+    * doc_id ASC). Same oracle as q53 pins result equality; the plan
+    * difference (ObjectHashAggregate partials, no Window, no
+    * pre-shuffle Sort) is pinned by TopKRowsSpec — the shuffle-BYTES
+    * gap only materializes when rows-per-group ≫ k, far beyond the
+    * 5k-doc bench table.
     */
   def q78(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

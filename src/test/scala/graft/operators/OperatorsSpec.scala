@@ -108,6 +108,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(secs < 120.0, s"distributed CC took $secs s — shortcutting regressed?")
   }
 
+  test("dedupAgainst: exact/near history dups and batch-internal dups all removed") {
+    import spark.implicits._
+    def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val base = words(20, "w")                       // history doc 1
+    val nearBase = words(19, "w") + " zzz"          // ~0.89 Jaccard vs base
+    val other = words(20, "x")                      // history doc 2
+    val novelA = words(20, "a")
+    val novelB = words(20, "b")
+    val nearNovelA = words(19, "a") + " qqq"        // in-batch near-dup of novelA
+    val history = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),        // exact dup of history → dropped (tier 1)
+      (11L, nearBase),    // near-dup of history → dropped (tier 2)
+      (12L, novelA),      // novel → kept
+      (13L, nearNovelA),  // in-batch near-dup of 12 → dropped (tier 3)
+      (14L, novelB),      // novel → kept
+      (15L, novelB)       // exact in-batch dup of 14 → dropped (tier 1)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(history, incoming, "doc_id", "text",
+      k = 3, threshold = 0.6).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(12L, 14L))
+  }
+
   test("q64 cohesion: cosines bounded, singleton labels score 1") {
     val rows = graft.queries.EmbeddingQueries
       .q64(spark, "/root/testdata/sf0.001").collect()
