@@ -52,7 +52,8 @@ object Bench {
     "q68_weighted_sample", "q69_cohort_retention", "q70_bpe_pair_counts",
     "q71_heavy_hitters", "q72_temperature_mixing", "q73_source_dup_matrix",
     "q74_hybrid_rerank", "q75_adaptive_filter", "q76_trailing_rate",
-    "q77_event_paths", "q78_topk_native")
+    "q77_event_paths", "q78_topk_native", "q79_share_of_user",
+    "q80_group_zscore")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

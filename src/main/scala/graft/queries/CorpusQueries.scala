@@ -996,6 +996,40 @@ object CorpusQueries {
         (-col("kv.nk")).as("n_chars"), (col("r0") + 1).cast("long").as("rank"))
       .orderBy("lang", "rank")
 
+  /** q80 — per-group z-score normalization: each document's length
+    * standardized against its OWN language's mean/stddev — the
+    * group-wise feature normalization every scoring model wants before
+    * thresholds can be shared across languages (complements q75, which
+    * trims by group quantiles). Plan: a tiny per-language moment
+    * aggregation broadcast back; the normalization itself is map-side.
+    * stddev is summation-order-dependent in the last ulps, so the
+    * score is rounded to 4 decimals (q64's rule); groups with zero
+    * variance emit NULL (division by zero stddev is undefined, not 0).
+    */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val moments = docs.groupBy("lang").agg(
+      avg(col("n_chars").cast("double")).as("mu"),
+      stddev_samp(col("n_chars").cast("double")).as("sd"))
+    docs.join(broadcast(moments), "lang")
+      .select(col("doc_id"), col("lang"),
+        round((col("n_chars").cast("double") - col("mu")) /
+          when(col("sd") > 0, col("sd")), 4).as("len_z"))
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String =
+    """WITH m AS (
+      | SELECT lang, AVG(CAST(n_chars AS DOUBLE)) AS mu,
+      |  stddev_samp(CAST(n_chars AS DOUBLE)) AS sd
+      | FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang,
+      | round((CAST(d.n_chars AS DOUBLE) - m.mu)
+      |   / CASE WHEN m.sd > 0 THEN m.sd END, 4) AS len_z
+      |FROM documents d JOIN m USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -1023,7 +1057,8 @@ object CorpusQueries {
     "q72_temperature_mixing" -> (q72 _),
     "q73_source_dup_matrix" -> (q73 _),
     "q75_adaptive_filter" -> (q75 _),
-    "q78_topk_native" -> (q78 _))
+    "q78_topk_native" -> (q78 _),
+    "q80_group_zscore" -> (q80 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -1051,5 +1086,6 @@ object CorpusQueries {
     "q72_temperature_mixing" -> q72Sql,
     "q73_source_dup_matrix" -> q73Sql,
     "q75_adaptive_filter" -> q75Sql,
-    "q78_topk_native" -> q53Sql)
+    "q78_topk_native" -> q53Sql,
+    "q80_group_zscore" -> q80Sql)
 }

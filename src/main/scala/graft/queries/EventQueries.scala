@@ -433,6 +433,37 @@ object EventQueries {
       |SELECT path, COUNT(*) AS n FROM p
       |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** q79 — ratio-to-report: each (user, event_type)'s share of that
+    * user's total spend — the windowed percent-of-total every BI layer
+    * ships. Computed OVER THE AGGREGATE (a per-user window on the
+    * already-grouped table), so the window input is one row per
+    * (user, type), not per event — the cheap shape. Sums ride the
+    * decimal pattern (exact, order-free); the final share divides two
+    * exact doubles and is rounded (summation-order guard is unneeded
+    * for the values but keeps the oracle compare byte-stable).
+    */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("value").cast(dec6)).as("sv"))
+      .withColumn("share",
+        round(col("sv").cast("double") /
+          sum(col("sv")).over(w).cast("double"), 6))
+      .select(col("user_id"), col("event_type"),
+        col("sv").cast("double").as("sum_value"), col("share"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q79Sql: String =
+    """WITH a AS (
+      | SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      | FROM events GROUP BY user_id, event_type)
+      |SELECT user_id, event_type, CAST(sv AS DOUBLE) AS sum_value,
+      | round(CAST(sv AS DOUBLE)
+      |   / CAST(SUM(sv) OVER (PARTITION BY user_id) AS DOUBLE), 6) AS share
+      |FROM a ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
@@ -445,7 +476,8 @@ object EventQueries {
     "q67_funnel" -> (q67 _),
     "q69_cohort_retention" -> (q69 _),
     "q76_trailing_rate" -> (q76 _),
-    "q77_event_paths" -> (q77 _))
+    "q77_event_paths" -> (q77 _),
+    "q79_share_of_user" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
     "q16_hourly_rollup" -> q16Sql,
@@ -459,5 +491,6 @@ object EventQueries {
     "q67_funnel" -> q67Sql,
     "q69_cohort_retention" -> q69Sql,
     "q76_trailing_rate" -> q76Sql,
-    "q77_event_paths" -> q77Sql)
+    "q77_event_paths" -> q77Sql,
+    "q79_share_of_user" -> q79Sql)
 }

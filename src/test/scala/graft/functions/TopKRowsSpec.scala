@@ -42,6 +42,25 @@ class TopKRowsSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate")) // the typed-imperative path
   }
 
+  test("composes with streaming aggregation state across micro-batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tk-stream")
+      .toFile.getAbsolutePath
+    // global smallest-3 must combine values split across two micro-batches
+    Seq(50L, 9L, 40L).toDF("v").write.parquet(s"$tmp/b1")
+    Seq(7L, 60L, 21L).toDF("v").write.parquet(s"$tmp/b2")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("v BIGINT"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
+    val q = stream.groupBy()
+      .agg(TopKRows(spark, col("v"), 3).as("top"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tk_stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("tk_stream_out").head().getSeq[Long](0) == Seq(7L, 9L, 21L))
+  }
+
   test("SQL surface via registration") {
     TopKRows.register(spark)
     import spark.implicits._
