@@ -53,7 +53,7 @@ object Bench {
     "q71_heavy_hitters", "q72_temperature_mixing", "q73_source_dup_matrix",
     "q74_hybrid_rerank", "q75_adaptive_filter", "q76_trailing_rate",
     "q77_event_paths", "q78_topk_native", "q79_share_of_user",
-    "q80_group_zscore")
+    "q80_group_zscore", "q81_token_ids")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

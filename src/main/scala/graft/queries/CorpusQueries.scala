@@ -1030,6 +1030,53 @@ object CorpusQueries {
       |FROM documents d JOIN m USING (lang)
       |ORDER BY doc_id""".stripMargin
 
+  /** q81 — vocabulary application (token-id encoding): each document's
+    * first 16 tokens mapped to ids from the df-ranked vocabulary (q45's
+    * ordering; id = rank, OOV = 0) — the encode step between vocabulary
+    * construction and model input. Plan: the vocabulary is k-bounded
+    * (top-50), so its rank window sorts 50 rows and the id map
+    * BROADCASTS; the corpus side is a map-side slice + posexplode, one
+    * doc-keyed re-aggregation reassembles positions. Ids are emitted as
+    * a joined string (engine-portable row shape; an array cell would
+    * make the oracle compare order-fragile).
+    */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = q45(s, dir)
+      .withColumn("id",
+        row_number().over(Window.orderBy(desc("df"), asc("term"))).cast("long"))
+      .select("term", "id")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(slice(TextFns.tokens(col("text")), 1, 16))
+          .as(Seq("pos", "term")))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(array_join(expr(
+        """transform(array_sort(collect_list(struct(pos, coalesce(id, 0L) AS id))),
+          |          x -> cast(x.id as string))""".stripMargin), ",")
+        .as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  val q81Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |v AS (SELECT term, COUNT(*) AS df
+      |      FROM (SELECT doc_id, unnest(list_distinct(w)) AS term FROM w)
+      |      GROUP BY term ORDER BY df DESC, term LIMIT 50),
+      |vid AS (SELECT term,
+      |        CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS id
+      |        FROM v),
+      |t AS (SELECT doc_id, unnest(list_slice(w, 1, 16)) AS term,
+      |       generate_subscripts(list_slice(w, 1, 16), 1) AS pos FROM w)
+      |SELECT t.doc_id,
+      | string_agg(CAST(COALESCE(vid.id, 0) AS VARCHAR), ',' ORDER BY t.pos)
+      |   AS token_ids
+      |FROM t LEFT JOIN vid USING (term)
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -1058,7 +1105,8 @@ object CorpusQueries {
     "q73_source_dup_matrix" -> (q73 _),
     "q75_adaptive_filter" -> (q75 _),
     "q78_topk_native" -> (q78 _),
-    "q80_group_zscore" -> (q80 _))
+    "q80_group_zscore" -> (q80 _),
+    "q81_token_ids" -> (q81 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -1087,5 +1135,6 @@ object CorpusQueries {
     "q73_source_dup_matrix" -> q73Sql,
     "q75_adaptive_filter" -> q75Sql,
     "q78_topk_native" -> q53Sql,
-    "q80_group_zscore" -> q80Sql)
+    "q80_group_zscore" -> q80Sql,
+    "q81_token_ids" -> q81Sql)
 }
