@@ -76,4 +76,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q67_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q75/q80/q81: group-stat and vocab lookups broadcast, never shuffle the corpus side") {
+    Seq("q75_adaptive_filter", "q80_group_zscore", "q81_token_ids").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+  }
 }
