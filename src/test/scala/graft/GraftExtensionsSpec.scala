@@ -43,6 +43,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_set_overlap(array('a','b','c'), array('b','c','d')) AS o")
         .head().getLong(0)
       assert(overlap == 2L)
+      // the aggregate surfaces resolve through the extension too
+      val hh = spark.sql(
+        """SELECT graft_heavy_hitters(x, 16) AS m
+          |FROM VALUES ('a'), ('a'), ('b') AS t(x)""".stripMargin)
+        .head().getMap[String, Long](0)
+      assert(hh == Map("a" -> 2L, "b" -> 1L))
+      val tk = spark.sql(
+        """SELECT graft_top_k(x, 2) AS t
+          |FROM VALUES (5), (1), (9), (3) AS t(x)""".stripMargin)
+        .head().getSeq[Int](0)
+      assert(tk == Seq(1, 3))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -95,6 +95,35 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("naive q65-style attribution join on real events matches the operator") {
+    withExtSession { spark =>
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("click_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      // the naive form a user would write
+      val naive = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_end"))
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+      val got = naive.select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val reference = graft.queries.EventQueries
+        .q65(spark, "/root/testdata/sf0.001")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == reference && got.nonEmpty)
+    }
+  }
+
   test("disabled flag leaves the naive plan untouched") {
     withExtSession { spark =>
       spark.conf.set("spark.graft.rangeJoin.rewrite", "false")
