@@ -19,10 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `width − 1` counters of state, returning a `map<string,bigint>` of
   * candidate → estimated count.
   *
-  * Guarantees (the classic Frequent-algorithm bound, preserved under the
-  * mergeable-summaries merge of Agarwal et al., "Mergeable Summaries",
-  * PODS'12): for every key, `true − n/width ≤ estimate ≤ true`, so any
-  * key with true count > n/width is GUARANTEED to survive. That makes
+  * Guarantees (the Frequent-algorithm bound adjusted for the batch
+  * decrement below, preserved under the mergeable-summaries merge of
+  * Agarwal et al., "Mergeable Summaries", PODS'12): for every key,
+  * `true − n/(width−1) ≤ estimate ≤ true`, so any key with true count
+  * > n/(width−1) is GUARANTEED to survive. The (width−1) denominator —
+  * not the classic n/width — is the price of batch-decrementing by the
+  * buffer minimum m on a SINGLE arrival instead of running m unit
+  * rounds (each of which would need its own arrival): mass
+  * conservation gives Σm·(width−1) + 1 ≤ n per eviction event, hence
+  * total decrement Σm ≤ n/(width−1). Size widths against THIS bound
+  * (e.g. Skew.adaptiveSaltedAggregate uses ceil(2/f)+1). That makes
   * the sketch a sound candidate filter for exact heavy-hitter queries:
   * sketch → tiny candidate set → exact recount of candidates only
   * (see CorpusQueries.q71) — the two-pass shape that avoids ever
@@ -35,8 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * sketches built map-side, serialized once per partition, merged on the
   * reduce side. State is bounded by `width` regardless of input size;
   * overflow inside a partition batch-decrements by the current minimum
-  * count (equivalent to a run of unit decrements, same bound, amortized
-  * cheaper); merge sums counts and rescales by the `width`-th largest.
+  * count (NOT equivalent to unit-decrement rounds — it weakens the
+  * bound from n/width to n/(width−1), documented above, in exchange
+  * for amortized-cheaper eviction); merge sums counts and rescales by
+  * the `width`-th largest.
   *
   * Output is partition-layout-dependent in its ESTIMATES (like any
   * merge-order-dependent sketch — q55's HLL likewise), which is why q71
@@ -65,7 +74,7 @@ case class MisraGries(
         case None if buf.size < width - 1 => buf(k) = 1L
         case None =>
           // batch decrement by the minimum — one pass evicts every
-          // min-count key, the amortized form of repeated unit decrements
+          // min-count key; bound is n/(width-1), see class scaladoc
           val m = buf.valuesIterator.min
           buf.filterInPlace((_, c) => c > m)
           buf.mapValuesInPlace((_, c) => c - m)

@@ -30,6 +30,42 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
+  /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS fingerprinting algorithm): md5 every stride-1
+    * k-gram, then keep the MINIMUM hash in each sliding window of `w`
+    * consecutive k-gram hashes, distinct per document. Offset-invariant
+    * where fixed-boundary segmentation (q50's mod-k cut) is not: a
+    * verbatim passage duplicated at a shifted token offset produces the
+    * same k-gram hashes, and the winnowing theorem guarantees any
+    * shared run of ≥ w + k − 1 tokens selects at least one common
+    * fingerprint — fixed boundaries share NO segment unless the shift
+    * happens to be ≡ 0 (mod k). Documents shorter than w + k − 1 tokens
+    * fall back to one whole-document window (standard winnowing
+    * behavior), so no doc is silently unfingerprintable; docs under k
+    * tokens have no k-gram and are dropped.
+    *
+    * Scale shape: both the k-gram hashing and the window-min selection
+    * are per-row HOF transforms — map-only, no explode of the stride-1
+    * grams into rows, so the shuffle downstream (group by fingerprint)
+    * carries only the selected ~1/w fraction. md5 (not a 64-bit hash)
+    * keeps the selection reproducible in any engine for the oracle;
+    * min is over the hex string, identical under binary collation.
+    */
+  def winnowedSegments(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .withColumn("__h", expr(
+        s"""transform(sequence(0, size(__toks) - $k),
+           |          i -> md5(array_join(slice(__toks, i + 1, $k), ' ')))""".stripMargin))
+      .withColumn("__fp", array_distinct(expr(
+        s"""transform(sequence(0, greatest(size(__h) - $w, 0)),
+           |          j -> array_min(slice(__h, j + 1, $w)))""".stripMargin)))
+      .select(col(idCol), explode(col("__fp")).as("fingerprint"))
+  }
+
   /** Exact Jaccard over two distinct-element string arrays, with the
     * intersection size computed by the codegen'd
     * [[graft.functions.SetOverlap]] (one hash-probe loop, no

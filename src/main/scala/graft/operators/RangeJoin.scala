@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -33,12 +33,17 @@ object RangeJoin {
                    tsCol: String, startCol: String, endCol: String,
                    binWidthSec: Long = 1800L): DataFrame = {
     val binUs = binWidthSec * 1000000L
-    val p = points.withColumn("__bin", floor(unix_micros(col(tsCol)) / binUs))
+    // exact integer floor division (SQL `div` = IntegralDivide): double
+    // division skews bins past ~2^53 µs; pmod makes truncation a true
+    // floor for pre-epoch timestamps. Same binning as RangeJoinRewrite.
+    def bin(c: String): Column = {
+      val us = unix_micros(col(c))
+      call_function("div", us - pmod(us, lit(binUs)), lit(binUs))
+    }
+    val p = points.withColumn("__bin", bin(tsCol))
     val iv = intervals
       .filter(unix_micros(col(endCol)) >= unix_micros(col(startCol)))
-      .withColumn("__bin", explode(sequence(
-        floor(unix_micros(col(startCol)) / binUs),
-        floor(unix_micros(col(endCol)) / binUs))))
+      .withColumn("__bin", explode(sequence(bin(startCol), bin(endCol))))
     p.join(iv, Seq(key, "__bin"))
       .filter(unix_micros(col(tsCol)).between(
         unix_micros(col(startCol)), unix_micros(col(endCol))))

@@ -1042,6 +1042,10 @@ object CorpusQueries {
     */
   def q81(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // INVARIANT: vocab ids are 1-based (row_number starts at 1), so the
+    // OOV sentinel 0 in the coalesce below can never collide with a
+    // real term id. Pinned by BpeSpec's "q81 OOV sentinel" test; the
+    // subword path (q84) removes OOV entirely via byte fallback.
     val vocab = q45(s, dir)
       .withColumn("id",
         row_number().over(Window.orderBy(desc("df"), asc("term"))).cast("long"))
@@ -1077,6 +1081,124 @@ object CorpusQueries {
       |FROM t LEFT JOIN vid USING (term)
       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  /** q82 — offset-invariant exact-substring dedup via winnowing
+    * ([[graft.operators.Dedup.winnowedSegments]]): report every winnowed
+    * fingerprint shared by ≥2 documents. Closes q50's blind spot — q50's
+    * fixed mod-8 segment boundaries miss a verbatim passage duplicated
+    * at a shifted token offset (the most common dup shape in flat
+    * text), while any shared run of ≥ w+k−1 = 7 tokens is guaranteed a
+    * common fingerprint here (pinned by DedupSpec's shifted-dup
+    * property test). Same one-shuffle agg shape as q50: map-only
+    * fingerprint selection, one fingerprint-keyed aggregation.
+    */
+  def q82(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .winnowedSegments(Tables.documents(s, dir), "doc_id", "text", k = 4, w = 4)
+      .groupBy("fingerprint")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fingerprint")
+
+  val q82Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |h AS (
+      | SELECT doc_id, list_transform(range(0, len(w) - 4 + 1),
+      |        i -> md5(array_to_string(list_slice(w, i + 1, i + 4), ' '))) AS h
+      | FROM w WHERE len(w) >= 4),
+      |f AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |        range(0, greatest(len(h) - 4, 0) + 1),
+      |        j -> list_min(list_slice(h, j + 1, j + 4))))) AS fingerprint
+      | FROM h)
+      |SELECT fingerprint, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM f GROUP BY fingerprint HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY fingerprint""".stripMargin
+
+  /** One trained BPE model per sf dir (q83/q84/q85 share it): training
+    * reads the corpus once — a single word-count shuffle capped to the
+    * top 2048 words (count-desc/word-asc, deterministic) — and the
+    * driver-side merge loop is bounded by numMerges, the same
+    * bounded-driver-loop budget as IVF's centroid fit. Cached so a
+    * bench/verify run over all three queries trains once.
+    */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Bpe.Model]()
+  private[graft] def bpeModel(s: SparkSession, dir: String): graft.functions.Bpe.Model =
+    bpeModels.computeIfAbsent(dir, _ => {
+      val words = Tables.documents(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w")).limit(2048)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.functions.Bpe.train(words, numMerges = 200)
+    })
+
+  /** q83 — BPE tokenizer training ([[graft.functions.Bpe]]): the learned
+    * merge table, in merge order, with each merged symbol's vocabulary
+    * id. Fully deterministic (exact word counts, lexicographic
+    * tiebreaks, no RNG) but iterative — no single SQL oracle exists, so
+    * the driver records the rows-only check and BpeSpec pins the exact
+    * merge sequence against the hand-computed Sennrich-corpus golden
+    * plus round-trip and byte-fallback properties.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val m = bpeModel(s, dir)
+    import s.implicits._
+    m.merges.zipWithIndex.map { case ((l, r), i) =>
+      (i + 1L, l, r, l + r, m.vocab(l + r).toLong)
+    }.toDF("rank", "left", "right", "merged", "vocab_id").orderBy("rank")
+  }
+
+  /** q84 — subword encoding of every document with the q83 model:
+    * 1-based vocabulary ids (0 is the reserved OOV sentinel, though BPE
+    * with byte fallback never emits it — any unseen character
+    * decomposes into `<0xNN>` byte tokens, ids 1–256). The model ships
+    * to executors once as a broadcast; encoding is map-only (a Scala
+    * UDF is justified here — there is no builtin subword encoder, and
+    * the per-row work is a tight driver-trained-table loop, not
+    * something a codegen expression could fuse better). Round-trip
+    * `decode∘encode = normalized text` is pinned by BpeSpec on every
+    * sf0.001 document.
+    */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val bc = s.sparkContext.broadcast(bpeModel(s, dir))
+    val enc = udf { text: String =>
+      val ids = graft.functions.Bpe.encode(text, bc.value)
+      (ids.length.toLong, ids.mkString(","))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), enc(col("text")).as("e"))
+      .select(col("doc_id"), col("e._1").as("n_bpe_tokens"),
+        col("e._2").as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  /** q85 — q48's sequence packing re-expressed in TRUE tokenizer units:
+    * global start offsets and chunk spans where lengths are BPE token
+    * counts from the q83 model, not whitespace counts — the number a
+    * training pipeline actually packs by. Same scalable shape as q48:
+    * map-only encode (broadcast model), then the two-pass PrefixSum
+    * scan — no single-task window.
+    */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 2048
+    val bc = s.sparkContext.broadcast(bpeModel(s, dir))
+    val cnt = udf { text: String =>
+      graft.functions.Bpe.encode(text, bc.value).length.toLong
+    }
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), cnt(col("text")).as("n_tokens"))
+    graft.operators.PrefixSum
+      .withRunningTotal(toks, "doc_id", "n_tokens", "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        floor((col("cum") - col("n_tokens")) / chunk).cast("long").as("first_chunk"),
+        floor((col("cum") - 1) / chunk).cast("long").as("last_chunk"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -1106,7 +1228,11 @@ object CorpusQueries {
     "q75_adaptive_filter" -> (q75 _),
     "q78_topk_native" -> (q78 _),
     "q80_group_zscore" -> (q80 _),
-    "q81_token_ids" -> (q81 _))
+    "q81_token_ids" -> (q81 _),
+    "q82_winnow_dedup" -> (q82 _),
+    "q83_bpe_train" -> (q83 _),
+    "q84_bpe_encode" -> (q84 _),
+    "q85_pack_bpe" -> (q85 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -1136,5 +1262,6 @@ object CorpusQueries {
     "q75_adaptive_filter" -> q75Sql,
     "q78_topk_native" -> q53Sql,
     "q80_group_zscore" -> q80Sql,
-    "q81_token_ids" -> q81Sql)
+    "q81_token_ids" -> q81Sql,
+    "q82_winnow_dedup" -> q82Sql)
 }

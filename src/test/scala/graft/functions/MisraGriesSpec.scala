@@ -6,9 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Misra–Gries aggregate: the guarantees that make the sketch a SOUND
   * candidate filter (q71) — estimates never exceed truth, undercount is
-  * bounded by n/width, and every true heavy hitter survives. Exercised
-  * at widths far below the distinct-key count so decrements and merge
-  * rescaling genuinely fire across Spark's partial/final aggregation.
+  * bounded by n/(width−1) (the batch-decrement bound; the classic
+  * n/width does NOT hold, pinned by the adversarial test below), and
+  * every key above that bound survives. Exercised at widths far below
+  * the distinct-key count so decrements and merge rescaling genuinely
+  * fire across Spark's partial/final aggregation.
   */
 class MisraGriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -21,24 +23,54 @@ class MisraGriesSpec extends AnyFunSuite {
     .groupBy("tok").count().collect()
     .map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  test("estimates are lower bounds within n/width; heavy hitters survive") {
+  test("estimates are lower bounds within n/(width-1); heavy hitters survive") {
     val exact = exactCounts
     val n = exact.values.sum
     val width = 8 // far below the vocab size → decrements happen
     val sketch = tokens.agg(MisraGries(spark, col("tok"), width).as("mg"))
       .head().getMap[String, Long](0)
     assert(sketch.nonEmpty && sketch.size <= width - 1)
+    val bound = n / (width - 1)
     sketch.foreach { case (k, est) =>
       val truth = exact.getOrElse(k, 0L)
       assert(est <= truth, s"$k: estimate $est above truth $truth")
-      assert(est >= truth - n / width,
-        s"$k: estimate $est below truth $truth - n/width ${truth - n / width}")
+      assert(est >= truth - bound,
+        s"$k: estimate $est below truth $truth - n/(width-1) ${truth - bound}")
     }
-    // the survival guarantee: count > n/width ⇒ present in the sketch
+    // the survival guarantee: count > n/(width-1) ⇒ present in the sketch
     exact.foreach { case (k, c) =>
-      if (c > n / width)
+      if (c > bound)
         assert(sketch.contains(k), s"heavy hitter $k (count $c) dropped")
     }
+  }
+
+  test("adversarial stream: batch decrement erodes n/width but honors n/(width-1)") {
+    // Repeated blocks of 3 keys x 10 occurrences then 1 fresh key: the
+    // fresh arrival finds the buffer full at min=10 and wipes it, so
+    // each recurring key is undercounted by 10 per block — more than
+    // n/width allows, within what n/(width-1) allows. This is the
+    // counterexample to the classic bound under batch decrementing.
+    import spark.implicits._
+    val width = 4
+    val blocks = 20
+    val rows = (0 until blocks).flatMap { i =>
+      Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c") ++
+        Seq(s"fresh_$i")
+    }
+    val n = rows.size.toLong // 31 per block
+    // single partition so arrival order is exactly the block order
+    val sketch = rows.toDS().coalesce(1).toDF("tok")
+      .agg(MisraGries(spark, col("tok"), width).as("mg"))
+      .head().getMap[String, Long](0)
+    val truthA = 10L * blocks
+    val estA = sketch.getOrElse("a", 0L)
+    assert(estA <= truthA)
+    assert(estA >= truthA - n / (width - 1),
+      s"est $estA below truth $truthA - n/(width-1) ${truthA - n / (width - 1)}")
+    // and the demonstration that the OLD documented bound is violated:
+    assert(estA < truthA - n / width,
+      "expected the adversarial stream to break the n/width bound " +
+        "(if this fails, the eviction strategy changed — re-derive the bound)")
   }
 
   test("width above the distinct count makes the sketch exact") {
@@ -53,11 +85,13 @@ class MisraGriesSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mg-stream")
       .toFile.getAbsolutePath
     val toks = tokens
-    val n = toks.count()
     // two files → two micro-batches; the sketch buffer must merge
-    // across them through the streaming state store
-    toks.limit((n / 2).toInt).write.parquet(s"$tmp/b1")
-    toks.exceptAll(toks.limit((n / 2).toInt)).write.parquet(s"$tmp/b2")
+    // across them through the streaming state store. Split on a stable
+    // row hash (NOT limit(), which is unordered and evaluated
+    // independently per job, so two limit() calls can pick different
+    // rows and lose/duplicate tokens between the halves).
+    toks.filter(crc32(col("tok")) % 2 === 0).write.parquet(s"$tmp/b1")
+    toks.filter(crc32(col("tok")) % 2 =!= 0).write.parquet(s"$tmp/b2")
     val stream = spark.readStream.schema(toks.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$tmp/*")
     val q = stream.groupBy()

@@ -124,6 +124,58 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("sentinel end dates take the fallback branch, results exact") {
+    withExtSession { spark =>
+      val (p, iv0) = fixtures(spark)
+      // SCD-style open intervals: valid_to = 9999-12-31 spans ~1.4e8
+      // bins at the default width. Pre-guard, Sequence would allocate a
+      // ~1 GB array PER ROW; the guard routes these to the fallback
+      // theta join and keeps the short intervals on the bucketed path.
+      val sentinelHi = ts(253402214400000000L) // 9999-12-31 00:00:00 UTC
+      val sentinels = (0 until 3).map { i =>
+        Row(i.toLong, (2000 + i).toLong, ts(0L), sentinelHi)
+      }
+      val iv = iv0.union(spark.createDataFrame(sentinels.asJava, ivSchema))
+      val naive = p.join(iv,
+        p("k") === iv("k") && p("ts") >= iv("lo") && p("ts") <= iv("hi"))
+      val plan = naive.queryExecution.optimizedPlan.toString
+      assert(plan.contains("Union"), plan.linesIterator.take(8).mkString("\n"))
+      assert(plan.contains("__graft_bin"))
+      // exact MULTISET compare against the un-rewritten join — catches
+      // both missed pairs and a row double-counted by the two branches
+      val got = naive.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toVector
+      spark.conf.set("spark.graft.rangeJoin.rewrite", "false")
+      val want = try {
+        p.join(iv,
+          p("k") === iv("k") && p("ts") >= iv("lo") && p("ts") <= iv("hi"))
+          .select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toVector
+      } finally spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+      assert(got == want)
+      assert(got.exists(_._2 == 2000)) // sentinel intervals really match
+    }
+  }
+
+  test("maxBinsPerInterval=0 routes everything through the fallback, still exact") {
+    withExtSession { spark =>
+      spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "0")
+      try {
+        val (p, iv) = fixtures(spark)
+        val naive = p.join(iv,
+          p("k") === iv("k") && p("ts") >= iv("lo") && p("ts") <= iv("hi"))
+        val got = naive.select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toVector
+        val reference = graft.operators.RangeJoin.intervalJoin(
+            p, iv, "k", "ts", "lo", "hi")
+          .select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toVector
+        assert(got == reference && got.nonEmpty)
+      } finally
+        spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "10000")
+    }
+  }
+
   test("disabled flag leaves the naive plan untouched") {
     withExtSession { spark =>
       spark.conf.set("spark.graft.rangeJoin.rewrite", "false")

@@ -102,6 +102,33 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(dups.forall(r => r.getLong(1) == 2 && r.getLong(2) == 2))
   }
 
+  test("q82 winnowing finds token-shifted verbatim dups that q50 misses") {
+    // One 16-token passage planted at token offsets 0..7 across 8 docs
+    // (unique junk prefixes). Fixed mod-8 segmentation (q50) shares NO
+    // segment between any two shifts, so it reports nothing; winnowing
+    // (k=4, w=4) guarantees a common fingerprint for any shared run of
+    // >= 7 tokens — and in fact the passage-global min k-gram hash is
+    // selected by every doc, so one fingerprint must have n_docs = 8.
+    val docs = graft.Tables.documents(spark, dir)
+    val passage = (0 until 16).map(i => s"pass$i").mkString(" ")
+    val rows = (0 to 7).map { s =>
+      val junk = (0 until s).map(j => s"junk${s}x$j").mkString(" ")
+      val text = if (s == 0) passage else s"$junk $passage"
+      org.apache.spark.sql.Row(s.toLong, text, "en", "s", text.length.toLong)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), docs.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("q82").toFile.getAbsolutePath
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val q50Hits = CorpusQueries.q50(spark, tmp).collect()
+    assert(q50Hits.isEmpty,
+      s"mod-8 segmentation unexpectedly paired shifted dups: ${q50Hits.toSeq}")
+    val q82Hits = CorpusQueries.q82(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(q82Hits.exists(_._2 == 8L),
+      s"winnowing missed the planted passage: ${q82Hits.toSeq}")
+  }
+
   test("q51 scores: uniform-corpus doc scores ln(V), rarer tokens score higher") {
     val rows = CorpusQueries.q51(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
