@@ -53,7 +53,8 @@ object Bench {
     "q71_heavy_hitters", "q72_temperature_mixing", "q73_source_dup_matrix",
     "q74_hybrid_rerank", "q75_adaptive_filter", "q76_trailing_rate",
     "q77_event_paths", "q78_topk_native", "q79_share_of_user",
-    "q80_group_zscore", "q81_token_ids")
+    "q80_group_zscore", "q81_token_ids", "q82_winnow_dedup",
+    "q83_bpe_train", "q84_bpe_encode", "q85_pack_bpe")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run
@@ -118,9 +119,17 @@ object Bench {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
     println(line)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+    // Durability: ALWAYS persist to a repo-local file too — round 6's
+    // driver artifact was tail-truncated (the JSON line outgrew the
+    // driver's stdout tail capture, `parsed: null`), so the numbers
+    // must never exist only on stdout.
+    val outPaths = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outPaths.foreach { path =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

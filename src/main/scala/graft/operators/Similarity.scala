@@ -45,35 +45,42 @@ object Similarity {
     *
     * Returns the top-k rows among probed lists as (vec_id, cos).
     */
-  def annIvf(corpus: DataFrame, queryId: Long, k: Int,
-             nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-
-    def assigned(df: DataFrame, centroids: Array[(Int, Array[Float])]): DataFrame = {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assignUdf = udf { v: Seq[Float] =>
-        var best = -1; var bestCos = Double.MinValue
-        bc.value.foreach { case (cid, c) =>
-          var dot = 0.0; var na = 0.0; var nb = 0.0
-          var i = 0
-          while (i < c.length) {
-            val x = v(i).toDouble; val y = c(i).toDouble
-            dot += x * y; na += x * x; nb += y * y; i += 1
-          }
-          val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-          if (cos > bestCos) { bestCos = cos; best = cid }
-        }
-        best
-      }
-      df.withColumn("cluster", assignUdf(col("embedding")))
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
     }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
+  /** Tag every row with its max-cosine centroid via the codegen
+    * [[graft.functions.CentroidArgmax]] — the assignment scan stays in
+    * WholeStageCodegen (no Scala UDF in the plan; pinned by
+    * OperatorsSpec). `element_at` maps the matrix position back to the
+    * centroid's id (recompute can drop emptied centroids, so position
+    * and id may diverge).
+    */
+  private def assignClusters(df: DataFrame,
+                             centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val idx = graft.functions.CentroidArgmax(
+      df.sparkSession, col("embedding"), centroids.map(_._2))
+    df.withColumn("cluster",
+      element_at(typedLit(centroids.map(_._1).toSeq), idx + 1))
+  }
+
+  /** Deterministic coarse-quantizer fit shared by [[annIvf]] and
+    * [[annIvfPq]]: seed with the `nlist` lowest vec_ids, then Lloyd
+    * rounds — assignment is the codegen argmax; the update step shuffles
+    * (cluster, dim, value) triples once per round, never whole vectors,
+    * and the nlist×dim means assemble driver-side (bounded, like the
+    * BPE merge loop).
+    */
+  private def trainCoarse(corpus: DataFrame, nlist: Int,
+                          iters: Int): Array[(Int, Array[Float])] = {
     def recompute(df: DataFrame): Array[(Int, Array[Float])] = {
-      // ONE shuffle of (cluster, dim, value) triples; the nlist×dim mean
-      // rows come straight to the driver and assemble positionally — no
-      // second aggregation or per-cluster array sort.
       val rows = df
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
@@ -84,32 +91,139 @@ object Similarity {
         cid -> arr
       }.toArray
     }
-
     var centroids: Array[(Int, Array[Float])] =
       corpus.orderBy("vec_id").limit(nlist).collect().zipWithIndex.map {
         case (r, i) => i -> r.getAs[Seq[Float]]("embedding").toArray
       }
-    var tagged = assigned(corpus, centroids)
     (1 until iters).foreach { _ =>
-      centroids = recompute(tagged)
-      tagged = assigned(corpus, centroids)
+      centroids = recompute(assignClusters(corpus, centroids))
     }
+    centroids
+  }
 
-    val query = corpus.filter(col("vec_id") === queryId).head()
-    val qv = query.getAs[Seq[Float]]("embedding").toArray
-    val probeClusters = centroids.map { case (cid, c) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < c.length) {
-        val x = qv(i).toDouble; val y = c(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      cid -> dot / (math.sqrt(na) * math.sqrt(nb))
-    }.sortBy(-_._2).take(nProbe).map(_._1).toSet
+  def annIvf(corpus: DataFrame, queryId: Long, k: Int,
+             nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCoarse(corpus, nlist, iters)
+    val tagged = assignClusters(corpus, centroids)
+
+    val qv = corpus.filter(col("vec_id") === queryId).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    val probeClusters = centroids
+      .map { case (cid, c) => cid -> cosLocal(qv, c) }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSet
 
     val qDf = corpus.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
     tagged.filter(col("cluster").isin(probeClusters.toSeq: _*))
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"),
+        CosineSimilarity(spark, col("embedding"), col("q_embedding")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic local k-means for the PQ sub-quantizers (runs on a
+    * bounded driver sample): seed with the first `k` content-distinct
+    * vectors in sample order, argmin-L2 assignment, mean update, empty
+    * clusters keep their previous centroid.
+    */
+  private def kmeansLocal(vecs: Array[Array[Float]], k: Int,
+                          iters: Int): Array[Array[Float]] = {
+    val seeds = vecs.map(_.toSeq).distinct.take(k).map(_.toArray)
+    var cents = (seeds ++ Array.fill(k - seeds.length)(seeds.head)).take(k)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](k)
+      vecs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          val d = l2(v, cents(j)); if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { j =>
+        if (counts(j) == 0) cents(j)
+        else sums(j).map(x => (x / counts(j)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** IVF-PQ: the coarse quantizer of [[annIvf]] plus product
+    * quantization of the residual scan — the memory-bound regime's
+    * standard ANN index (Jégou, Douze & Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Index: each vector stores its coarse cluster and `m` bytes of PQ
+    * code (one per subspace, argmin-L2 against a 256-max-entry
+    * codebook). The probe scan reads (cluster, m bytes) per row — for
+    * 64-dim float vectors with m=8 that is 8 bytes vs 256, a 32×
+    * smaller probe footprint — and ranks by the codegen
+    * [[graft.functions.PqAdcScore]] lookup-table approximation; only
+    * the top `rerank`·k shortlist fetches real vectors for an exact
+    * cosine rerank (so reported scores are exact and recall is
+    * ADC-shortlist-bounded, not ADC-final). Codebooks fit on a bounded
+    * deterministic sample (lowest `sampleN` vec_ids) driver-side —
+    * the same bounded-collect budget as the coarse centroids.
+    */
+  def annIvfPq(corpus: DataFrame, queryId: Long, k: Int,
+               nlist: Int = 16, nProbe: Int = 4, iters: Int = 3,
+               m: Int = 8, ksub: Int = 16, rerank: Int = 8,
+               sampleN: Int = 2048): DataFrame = {
+    val spark = corpus.sparkSession
+    require(ksub >= 1 && ksub <= 256, "PQ codes are single bytes")
+    val centroids = trainCoarse(corpus, nlist, iters)
+
+    val sample = corpus.orderBy("vec_id").limit(sampleN).collect()
+      .map(_.getAs[Seq[Float]]("embedding").toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      kmeansLocal(sample.map(_.slice(s * dsub, (s + 1) * dsub)), ksub, 5)
+    }
+
+    val index = assignClusters(corpus, centroids)
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.PqEncode(spark, col("embedding"), codebooks).as("code"))
+
+    val qv = corpus.filter(col("vec_id") === queryId).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    val probeClusters = centroids
+      .map { case (cid, c) => cid -> cosLocal(qv, c) }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSet
+    val qnorm = math.sqrt(qv.map(x => x.toDouble * x).sum)
+    val dotLut = Array.tabulate(m) { s =>
+      codebooks(s).map { cw =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { d += qv(s * dsub + i).toDouble * cw(i); i += 1 }
+        (d / qnorm).toFloat
+      }
+    }
+    val normLut = Array.tabulate(m) { s =>
+      codebooks(s).map(cw => cw.map(x => x.toDouble * x).sum.toFloat)
+    }
+
+    val shortlist = index
+      .filter(col("cluster").isin(probeClusters.toSeq: _*))
+      .select(col("vec_id"),
+        graft.functions.PqAdcScore(spark, col("code"), dotLut, normLut).as("adc"))
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(rerank * k)
+
+    val qDf = corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    shortlist.join(corpus.select("vec_id", "embedding"), "vec_id")
       .crossJoin(broadcast(qDf))
       .select(col("vec_id"),
         CosineSimilarity(spark, col("embedding"), col("q_embedding")).as("cos"))

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.functions.Hashing
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Streaming document operators (LLM-pipeline extension, SURVEY §7.4).
   *
@@ -57,6 +57,52 @@ object DocStreams {
             .stripMargin)).as("segment_hash"))
       .withWatermark("event_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("segment_hash")
+
+  /** Streaming form of [[graft.operators.Dedup.dedupAgainst]] — the
+    * daily-crawl shape: each micro-batch of documents dedups against a
+    * PERSISTENT history index (parquet at `historyDir`); survivors go
+    * to `sink` and are appended to the history, so later batches dedup
+    * against everything that ever survived. `foreachBatch` is the right
+    * vehicle because the batch operator's three tiers (exact hash
+    * anti-join; history LSH bands semi-joined down to the buckets the
+    * batch actually hits; in-batch near-dup clustering) are already the
+    * delta-scaled shape — per-batch cost grows with the batch, not the
+    * corpus, which is exactly what an endless crawl needs.
+    *
+    * Delivery semantics, stated not hidden: survivors are SUNK BEFORE
+    * the history append, so a crash between the two re-emits the batch
+    * (at-least-once sink, standard for foreachBatch) rather than
+    * silently swallowing it (append-first would dedup a replayed batch
+    * against its own survivors — every retry would emit nothing).
+    * Duplicate history rows from a replayed append are harmless: the
+    * exact tier distincts content hashes and the LSH tier distincts
+    * candidates, so dedup results are unaffected.
+    */
+  def streamingDedupAgainst(incoming: DataFrame, historyDir: String,
+                            idCol: String, textCol: String,
+                            k: Int, threshold: Double, checkpoint: String,
+                            sink: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF()
+        val history =
+          try s.read.parquet(historyDir).select(col(idCol), col(textCol))
+          catch { // first batch: no index yet — empty history, same schema
+            case _: org.apache.spark.sql.AnalysisException =>
+              b.select(col(idCol), col(textCol)).limit(0)
+          }
+        val survivors = graft.operators.Dedup
+          .dedupAgainst(history, b, idCol, textCol, k, threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(survivors)
+          survivors.select(col(idCol), col(textCol))
+            .write.mode("append").parquet(historyDir)
+        } finally survivors.unpersist(blocking = false)
+      }
+      .start()
 
   /** `stateTtl`: evict a bucket's occupants after this much processing
     * time without new arrivals. None = keep forever (drain-style runs,

@@ -82,6 +82,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta(6L)._1 == "unknown")
   }
 
+  // a REAL image: deterministic gradient, encoded via ImageIO
+  private def realImage(w: Int, h: Int, fmt: String,
+                        invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / math.max(1, w - 1) + y * 255 / math.max(1, h - 1)) / 2
+      val p = if (invert) 255 - v else v
+      img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec decodes a real PNG: resize produces real scaled pixels") {
+    val bytes = realImage(32, 32, "png")
+    assert(Multimodal.sniffFormat(bytes) == "png")
+    val resized = Multimodal.ImageIoCodec.resize(bytes, 4, 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(back != null && back.getWidth == 4 && back.getHeight == 4)
+    // nearest-neighbor: out(x,y) = in(x*32/4, y*32/4) — check a corner
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert((back.getRGB(3, 3) & 0xffffff) == (src.getRGB(24, 24) & 0xffffff))
+    // deterministic
+    assert(Multimodal.ImageIoCodec.resize(bytes, 4, 4).toSeq == resized.toSeq)
+  }
+
+  test("embed runs on real pixels: gradient vs inverse differ, constant is flat") {
+    val grad = Multimodal.ImageIoCodec.embed(realImage(32, 32, "png"), 16)
+    val inv = Multimodal.ImageIoCodec.embed(
+      realImage(32, 32, "png", invert = true), 16)
+    assert(grad.length == 16 && grad.forall(v => v >= 0f && v <= 1f))
+    assert(grad.toSeq != inv.toSeq)
+    // gradient brightens left→right: first cell darker than last
+    assert(grad.head < grad.last)
+    // inverted image mirrors that
+    assert(inv.head > inv.last)
+  }
+
+  test("pixelHash is container-invariant: same pixels as PNG and BMP collide") {
+    val pngB = realImage(16, 16, "png")
+    val bmpB = realImage(16, 16, "bmp")
+    assert(pngB.toSeq != bmpB.toSeq) // different bytes on disk...
+    assert(Multimodal.ImageIoCodec.pixelHash(pngB) ==
+      Multimodal.ImageIoCodec.pixelHash(bmpB)) // ...same decoded content
+    assert(Multimodal.ImageIoCodec.pixelHash(pngB) !=
+      Multimodal.ImageIoCodec.pixelHash(realImage(16, 16, "png", invert = true)))
+    // the Spark-side operator dedups across containers
+    val df = spark.createDataFrame(Seq(
+      Row(1L, pngB), Row(2L, bmpB),
+      Row(3L, realImage(16, 16, "png", invert = true))).asJava, schema)
+    val groups = Multimodal.withPixelHash(df, "payload")
+      .groupBy("pixel_hash").count().collect().map(_.getLong(1)).sorted
+    assert(groups.toSeq == Seq(1L, 2L))
+  }
+
+  test("undecodable payloads fall back to the stub per record") {
+    val junk = "definitely not an image".getBytes
+    assert(Multimodal.ImageIoCodec.resize(junk, 8, 8).toSeq ==
+      Multimodal.StubCodec.resize(junk, 8, 8).toSeq)
+    assert(Multimodal.ImageIoCodec.embed(junk, 4).toSeq ==
+      Multimodal.StubCodec.embed(junk, 4).toSeq)
+    assert(Multimodal.ImageIoCodec.pixelHash(junk) ==
+      Multimodal.StubCodec.pixelHash(junk))
+  }
+
+  test("real single-frame PNG yields exactly one frame; mixed media keeps stub shape") {
+    val df = spark.createDataFrame(
+      Seq(Row(1L, realImage(8, 8, "png"))).asJava, schema)
+    val frames = Multimodal.sampleFrames(df, "payload", 3).collect()
+    assert(frames.length == 1) // honest: one frame exists, not n fakes
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames.head.getAs[Array[Byte]]("frame")))
+    assert(decoded.getWidth == 8 && decoded.getHeight == 8)
+  }
+
   test("stub codec: deterministic resize + frame explode shape + embeddings") {
     val df = spark.createDataFrame(Seq(
       Row(1L, png(8, 8)), Row(2L, gif(4, 4))).asJava, schema)

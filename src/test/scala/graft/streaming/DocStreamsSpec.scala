@@ -52,6 +52,48 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == Set((1L, h(segA)), (1L, h(tail)), (2L, h(segC))))
   }
 
+  test("streaming dedupAgainst: batch-2 dups of batch-1 history are dropped") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten"
+    val fresh = "totally unrelated content with its own distinct vocabulary"
+    val tmp = Files.createTempDirectory("dedupagainst").toFile.getAbsolutePath
+    def write(path: String, rows: Row*): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.parquet(path)
+    // batch 1: A and B become history; batch 2: exact dup of A,
+    // near-dup of B (one token appended), and a fresh doc
+    write(s"$tmp/src/b1", Row(1L, textA), Row(2L, textB))
+    write(s"$tmp/src/b2",
+      Row(3L, textA), Row(4L, s"$textB eleven"), Row(5L, fresh))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var batchNo = 0L
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingDedupAgainst(
+      stream, s"$tmp/history", "doc_id", "text",
+      k = 3, threshold = 0.5, checkpoint = s"$tmp/ckpt",
+      sink = df => {
+        batchNo += 1
+        val b = batchNo
+        seen ++= df.select("doc_id").collect().map(r => (b, r.getLong(0)))
+      })
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = seen.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(1L) == Set(1L, 2L)) // empty history: both survive
+    // exact dup (3) and near-dup (4) die against the history; 5 survives
+    assert(byBatch(2L) == Set(5L), s"got $byBatch")
+    // and the history now holds exactly the survivors
+    val hist = spark.read.parquet(s"$tmp/history")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hist == Set(1L, 2L, 5L))
+  }
+
   test("near-dup pair spanning micro-batches is detected via bucket state") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val brutePairs = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
