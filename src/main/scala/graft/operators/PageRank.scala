@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-based PageRank over an edge list — the graph-centrality pass a
+  * training-data pipeline runs over its near-duplicate (or citation /
+  * link) graph to pick the CANONICAL representative of each dup cluster:
+  * the highest-rank member is the most-connected copy, a better keep
+  * choice than min-id when duplicates differ in quality.
+  *
+  * Scale shape (the Pregel pattern expressed in DataFrames):
+  *  - out-degrees: one aggregation over edges, keyed by src;
+  *  - per iteration: ranks ⋈ edges on src (a hash shuffle bounded by the
+  *    EDGE list, never all-pairs), contributions aggregated by dst with
+  *    map-side partials, then a left join back to the node set for
+  *    dangling/no-in-edge nodes. Each iteration is two keyed shuffles —
+  *    O(iterations × |E|) total work, the standard distributed form.
+  *  - Every iteration's rank is materialized via `localCheckpoint` each
+  *    `checkpointEvery` rounds so the lineage (and the re-execution cost
+  *    of a lost partition) stays bounded instead of nesting
+  *    `iterations` joins deep.
+  *
+  * Cross-engine determinism: ranks are rounded to `roundScale` (1e-12)
+  * decimals EVERY iteration, in-engine, so partial-aggregation summation
+  * order (engine- and partition-dependent in the last ulp) can never
+  * compound across iterations — both this implementation and a SQL
+  * replay (see [[pagerankSql]]) produce bit-identical doubles. The
+  * rounding error (≤5e-13/iteration) is far below any ranking use.
+  *
+  * Nodes are the vertices incident to at least one edge; pass an
+  * undirected graph as both edge directions (then every node has
+  * out-degree ≥ 1, so no dangling-mass redistribution is needed —
+  * no-in-edge nodes still receive the teleport term via the left join).
+  */
+object PageRank {
+
+  /** @param edges directed edge list with columns `src`, `dst`. */
+  def run(
+      edges: DataFrame,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      roundScale: Int = 12,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst")).persist()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    // Driver scalar: the node COUNT only (needed for the teleport term)
+    // — never the node set itself.
+    val n = nodes.count()
+    val tele = (1.0 - damping) / n.toDouble
+
+    var ranks = nodes.select(col("node"),
+      round(lit(1.0 / n.toDouble), roundScale).as("rank"))
+    for (i <- 1 to iterations) {
+      val contribs = ranks
+        .join(e, ranks("node") === e("src"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("out_deg").cast("double")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(tele) + lit(damping) * coalesce(col("s"), lit(0.0)),
+            roundScale).as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    val out = ranks.localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** ANSI-SQL replay of [[run]] with the iterations UNROLLED as chained
+    * CTEs (recursive CTEs can't aggregate in the recursive term in
+    * standard SQL). `edgeCte` must define a relation `ed(src, dst)`;
+    * the caller appends a final SELECT over `pr<iterations>`.
+    */
+  def pagerankSql(edgeCte: String, iterations: Int, damping: Double = 0.85): String = {
+    val d = damping
+    val iters = (1 to iterations).map { i =>
+      s"""pr$i AS (
+         | SELECT nd.node,
+         |  round((1.0 - $d) / g.n + $d * coalesce(c.s, 0.0), 12) AS rank
+         | FROM nodes nd CROSS JOIN g
+         | LEFT JOIN (
+         |   SELECT e.dst AS node, SUM(p.rank / CAST(dg.out_deg AS DOUBLE)) AS s
+         |   FROM pr${i - 1} p JOIN ed e ON p.node = e.src
+         |   JOIN deg dg ON dg.src = e.src
+         |   GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCte,
+       |deg AS (SELECT src, COUNT(*) AS out_deg FROM ed GROUP BY src),
+       |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |g AS (SELECT COUNT(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, round(1.0 / g.n, 12) AS rank FROM nodes, g),
+       |$iters""".stripMargin
+  }
+}

@@ -1199,6 +1199,95 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** q86 — bigram log-probability scoring (the CCNet-style perplexity
+    * filter, one order above q51's unigram proxy): fit the corpus
+    * bigram MLE `P(w2|w1) = c(w1,w2) / c(w1,·)` and score each document
+    * by mean negative log-likelihood over its adjacent token pairs.
+    * Repetitive/template text scores low (predictable), garbled text
+    * scores high — the band both tails get cut from.
+    *
+    * Scale shape: bigrams are formed MAP-SIDE with `zip_with` over two
+    * array slices (no positional self-join, no second explode of the
+    * corpus); the bigram-count aggregation shuffles (w1,w2) pairs with
+    * map-side combine; the prefix totals derive from the (already
+    * aggregated) bigram table; scoring re-joins counts on (w1,w2) — a
+    * keyed hash join bounded by the bigram vocabulary, with the
+    * unigram-sized prefix table broadcast (q51's rule). Scores rounded
+    * to 4 decimals so summation order can't flip the oracle hash.
+    * Docs with < 2 tokens have no bigrams and drop out (both engines).
+    */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigram = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val prefix = bigram.groupBy("w1").agg(sum("c2").as("c1"))
+    pairs.join(bigram, Seq("w1", "w2"))
+      .join(broadcast(prefix), "w1")
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("c2").cast("double") / col("c1").cast("double"))), 4)
+          .as("avg_neg_logp2"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val q86Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |p AS (
+      | SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      | FROM w, UNNEST(range(1, len(w))) AS t(i)),
+      |b AS (SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY w1, w2),
+      |pre AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM b GROUP BY w1)
+      |SELECT doc_id,
+      | round(avg(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) AS avg_neg_logp2,
+      | COUNT(*) AS n_bigrams
+      |FROM p JOIN b USING (w1, w2) JOIN pre USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q87 — per-source document quota (the crawl pipeline's per-domain
+    * cap: no source may contribute more than N documents, and WHICH N
+    * must be reproducible across runs and cluster sizes). Selection
+    * order is a content-keyed md5 (q42's determinism rule: no RNG, no
+    * partition dependence) with doc_id as total-order tiebreak.
+    *
+    * Scale shape: rides [[graft.functions.TopKRows]] — each map task
+    * keeps at most N keys per source, so the exchange carries bounded
+    * heaps instead of the corpus (the window form would shuffle and
+    * sort every row; at "cap 10k docs per domain over billions" that's
+    * the whole-corpus sort q78's Scaladoc prices out). Map-side md5 +
+    * bounded-heap partials + one source-keyed merge.
+    */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val n = 20
+    Tables.documents(s, dir)
+      .select(col("source"),
+        struct(md5(concat(col("doc_id").cast("string"), lit(":quota"))).as("h"),
+          col("doc_id").as("id")).as("key"))
+      .groupBy("source")
+      .agg(graft.functions.TopKRows(s, col("key"), n).as("keep"))
+      .select(col("source"), explode(col("keep")).as("kv"))
+      .select(col("source"), col("kv.id").as("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  val q87Sql: String =
+    """WITH r AS (
+      | SELECT source, doc_id,
+      |  row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(doc_id::VARCHAR || ':quota'), doc_id) AS rn
+      | FROM documents)
+      |SELECT source, doc_id FROM r WHERE rn <= 20
+      |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -1232,7 +1321,9 @@ object CorpusQueries {
     "q82_winnow_dedup" -> (q82 _),
     "q83_bpe_train" -> (q83 _),
     "q84_bpe_encode" -> (q84 _),
-    "q85_pack_bpe" -> (q85 _))
+    "q85_pack_bpe" -> (q85 _),
+    "q86_bigram_logprob" -> (q86 _),
+    "q87_source_quota" -> (q87 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -1263,5 +1354,7 @@ object CorpusQueries {
     "q78_topk_native" -> q53Sql,
     "q80_group_zscore" -> q80Sql,
     "q81_token_ids" -> q81Sql,
-    "q82_winnow_dedup" -> q82Sql)
+    "q82_winnow_dedup" -> q82Sql,
+    "q86_bigram_logprob" -> q86Sql,
+    "q87_source_quota" -> q87Sql)
 }

@@ -267,6 +267,44 @@ object EmbeddingQueries {
       |FROM bm JOIN cs USING (doc_id), mb
       |ORDER BY hybrid DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q88 — PageRank centrality over the exact near-dup graph
+    * ([[graft.operators.PageRank]]): rank every vector incident to a
+    * ≥0.45-cosine edge by its connectivity. The canonical-representative
+    * selection pass — inside a dup cluster the highest-rank member is
+    * the most-connected copy, a better "keep" choice than q41's min-id
+    * when duplicates differ in quality. Edges are q30/q36's exact pair
+    * set in both directions; 10 damped (0.85) iterations, each rank
+    * rounded to 1e-12 in-engine so the SQL replay (iterations unrolled
+    * as chained CTEs) is bit-identical. Per iteration the work is two
+    * keyed shuffles bounded by |E| — the standard distributed Pregel
+    * form, O(iter × |E|) total.
+    */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.embedNearDup(
+      Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    graft.operators.PageRank.run(edges, iterations = 10)
+      .select(col("node").as("vec_id"), col("rank"))
+      .orderBy("vec_id")
+  }
+
+  val q88Sql: String = {
+    val edgeCte =
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS va, b.vec_id AS vb
+        | FROM v a JOIN v b ON a.vec_id < b.vec_id
+        | WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+        |      * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.45),
+        |ed AS (SELECT va AS src, vb AS dst FROM p
+        |       UNION ALL SELECT vb, va FROM p)""".stripMargin
+    graft.operators.PageRank.pagerankSql(edgeCte, iterations = 10) +
+      "\nSELECT node AS vec_id, rank FROM pr10 ORDER BY vec_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_label_cohesion" -> (q64 _),
     "q41_embed_clusters" -> (q41 _),
@@ -276,7 +314,8 @@ object EmbeddingQueries {
     "q30_embed_neardup" -> (q30 _),
     "q34_ann_ivf" -> (q34 _),
     "q36_embed_neardup_lsh" -> (q36 _),
-    "q74_hybrid_rerank" -> (q74 _))
+    "q74_hybrid_rerank" -> (q74 _),
+    "q88_dup_pagerank" -> (q88 _))
 
   val oracles: Map[String, String] = Map(
     "q64_label_cohesion" -> q64Sql,
@@ -285,5 +324,6 @@ object EmbeddingQueries {
     "q28_embed_stats" -> q28Sql,
     "q30_embed_neardup" -> q30Sql,
     "q36_embed_neardup_lsh" -> q30Sql,
-    "q74_hybrid_rerank" -> q74Sql)
+    "q74_hybrid_rerank" -> q74Sql,
+    "q88_dup_pagerank" -> q88Sql)
 }
