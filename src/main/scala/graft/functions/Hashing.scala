@@ -36,6 +36,55 @@ object Hashing {
     * array inside every `element_at` of the transform lambda — the text
     * was re-split ~3·(n-k) times per row (measured ~9 s for 5000 docs).
     */
+  /** Winnowed fingerprint selection (MOSS): md5 every stride-1 k-gram,
+    * keep the MINIMUM hash of each sliding window of w hashes, distinct.
+    * Shorter-than-k docs select nothing. Semantics — including the
+    * partial final windows when the hash count is below w, and md5's
+    * lowercase-hex string ordering — match the q82 SQL oracle exactly.
+    *
+    * One JVM pass, O(n·w) with tiny constants. The expression form
+    * (`transform` over `sequence` for the hash array, then a second
+    * `transform` taking window minima) is CollapseProject-inlined: the
+    * FULL O(n·k) md5-array subtree is re-evaluated inside every window
+    * position's lambda — O(n²·k) md5 calls per document (measured 207 s
+    * at sf0.1 vs ~1 s for this kernel; same trap as the MinHash
+    * signature note above).
+    */
+  def winnowedFingerprints(text: String, k: Int, w: Int): Array[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+    if (toks.length < k) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = toks.length - k + 1
+    val hs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      val hex = new java.lang.StringBuilder(32)
+      dig.foreach { b =>
+        hex.append(Character.forDigit((b >> 4) & 0xf, 16))
+        hex.append(Character.forDigit(b & 0xf, 16))
+      }
+      hs(i) = hex.toString
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    var p = 0
+    val last = math.max(n - w, 0)
+    while (p <= last) {
+      var min = hs(p)
+      var q = p + 1
+      val end = math.min(p + w, n)
+      while (q < end) { if (hs(q).compareTo(min) < 0) min = hs(q); q += 1 }
+      seen.add(min)
+      p += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   def shingleSet(text: String, k: Int): Array[String] = {
     val toks = text.trim.toLowerCase.split("\\s+")
     if (toks.length >= k) {

@@ -91,4 +91,31 @@ object TextFns {
   /** Bag-of-words fingerprint: md5 of the sorted distinct token set. */
   def bowFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Fused single-pass character-distribution statistics: Shannon
+    * entropy (nats) of the character frequency distribution plus the
+    * distinct-character count — the standard gibberish / encoding-noise
+    * / base64-blob signal (natural language sits near 2.8–3.2 nats;
+    * uniform random base64 near 4.1; single-char runs near 0). Same
+    * rationale as [[textStats]]: the explode-per-char expression form
+    * would shuffle |text| rows per document, this JVM pass is one map
+    * over the value. Entropy is rounded to 4 decimals by the CALLER so
+    * summation order (engine-dependent in the last ulp) stays inside
+    * the oracle-hash tolerance. Counts UTF-16 units (= codepoints for
+    * the ASCII/BMP corpus; documented divergence for astral planes,
+    * where DuckDB counts codepoints).
+    *
+    * Returns struct(entropy: double, n_distinct_chars: long).
+    */
+  val charStats: Column => Column = {
+    val statsUdf = udf { text: String =>
+      val counts = new java.util.HashMap[Char, Long]()
+      text.foreach(c => counts.merge(c, 1L, _ + _))
+      val n = text.length.toDouble
+      var h = 0.0
+      counts.values.forEach { c => val p = c / n; h -= p * math.log(p) }
+      (h, counts.size.toLong)
+    }
+    text => statsUdf(text)
+  }
 }

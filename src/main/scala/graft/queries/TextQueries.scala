@@ -235,7 +235,41 @@ object TextQueries {
       |   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS clean_text
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q89 — character-distribution quality signals: Shannon entropy of
+    * each document's character frequencies plus the distinct-character
+    * count — the cheap gibberish / base64-blob / encoding-noise detector
+    * that complements q21's token-level ratios (a base64 blob passes
+    * token-length filters but its flat char distribution pushes entropy
+    * toward uniform). One fused JVM pass per document
+    * ([[graft.functions.TextFns.charStats]]) — entirely map-side, no
+    * shuffle before the oracle-determinism sort; the DuckDB oracle
+    * replays it by exploding characters (fine at oracle SF, exactly the
+    * plan shape the kernel avoids at 100 TB).
+    */
+  def q89(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        TextFns.charStats(col("text")).as("cs"))
+      .select(col("doc_id"), col("n_chars"),
+        col("cs._2").as("n_distinct_chars"),
+        round(col("cs._1"), 4).as("char_entropy"))
+      .orderBy("doc_id")
+
+  val q89Sql: String =
+    """WITH c AS (
+      | SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |f AS (SELECT doc_id, ch, COUNT(*) AS c FROM c GROUP BY doc_id, ch),
+      |n AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM f GROUP BY doc_id),
+      |e AS (
+      | SELECT f.doc_id, COUNT(*) AS n_distinct_chars,
+      |  round(-SUM((c / n.n) * ln(c / n.n)), 4) AS char_entropy
+      | FROM f JOIN n USING (doc_id) GROUP BY f.doc_id)
+      |SELECT d.doc_id, length(d.text) AS n_chars, e.n_distinct_chars,
+      | e.char_entropy
+      |FROM documents d JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_char_entropy" -> (q89 _),
     "q38_dedup_clusters" -> (q38 _),
     "q37_pii_redact" -> (q37 _),
     "q35_simhash_neardup" -> (q35 _),
@@ -249,6 +283,7 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q89_char_entropy" -> q89Sql,
     "q38_dedup_clusters" -> q38Sql,
     "q37_pii_redact" -> q37Sql,
     "q19_dedup_exact" -> q19Sql,
