@@ -1288,6 +1288,58 @@ object CorpusQueries {
       |SELECT source, doc_id FROM r WHERE rn <= 20
       |ORDER BY source, doc_id""".stripMargin
 
+  /** q90 — contamination-rate report: q47 flags colliding documents;
+    * this is the per-document AUDIT number reported alongside — every
+    * training doc with its distinct 5-gram count, how many grams the
+    * benchmark set shares, and the shared fraction (0 for clean docs,
+    * which q47's inner join drops). The threshold call ("drop above 10%
+    * overlap") needs the full distribution, not just the hits.
+    * Same scale shape as q47: broadcast benchmark grams, map-side
+    * screen, doc-keyed aggregations; the extra total-gram count rides
+    * the same explode.
+    */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val gramUdf = udf { text: String =>
+      graft.functions.Hashing.shingleSet(text, 5)
+    }
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(gramUdf(col("text"))).as("gram"))
+    val benchGrams = grams.filter(col("source") === "src0")
+      .select("gram").distinct()
+    val train = grams.filter(col("source") =!= "src0")
+    val totals = train.groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_grams"))
+    val shared = train.join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 4).as("contamination_rate"))
+      .orderBy("doc_id")
+  }
+
+  val q90Sql: String =
+    """WITH g AS (
+      | SELECT doc_id, source, unnest(CASE WHEN len(w) >= 5
+      |   THEN list_distinct(list_transform(range(1, len(w) - 3),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+      |   ELSE [array_to_string(w, ' ')] END) AS gram
+      | FROM (SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w
+      |       FROM documents)),
+      |b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+      |t AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_grams
+      |      FROM g WHERE source <> 'src0' GROUP BY doc_id),
+      |sh AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+      |       FROM g JOIN b USING (gram) WHERE g.source <> 'src0'
+      |       GROUP BY g.doc_id)
+      |SELECT t.doc_id, t.n_grams,
+      | coalesce(sh.n_shared, 0) AS n_shared_grams,
+      | round(coalesce(sh.n_shared, 0) / CAST(t.n_grams AS DOUBLE), 4)
+      |   AS contamination_rate
+      |FROM t LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -1323,7 +1375,8 @@ object CorpusQueries {
     "q84_bpe_encode" -> (q84 _),
     "q85_pack_bpe" -> (q85 _),
     "q86_bigram_logprob" -> (q86 _),
-    "q87_source_quota" -> (q87 _))
+    "q87_source_quota" -> (q87 _),
+    "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
     "q42_stratified_sample" -> q42Sql,
@@ -1356,5 +1409,6 @@ object CorpusQueries {
     "q81_token_ids" -> q81Sql,
     "q82_winnow_dedup" -> q82Sql,
     "q86_bigram_logprob" -> q86Sql,
-    "q87_source_quota" -> q87Sql)
+    "q87_source_quota" -> q87Sql,
+    "q90_contamination_rate" -> q90Sql)
 }
