@@ -31,6 +31,8 @@ object DocStreams {
   final case class NearDupCandidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
   final case class BucketVec(bucket: Long, vecId: Long, emb: Array[Float])
   final case class EmbedNearDup(vec_a: Long, vec_b: Long, cos: Double)
+  final case class SourceDoc(source: String, docId: Long)
+  final case class AdmittedDoc(source: String, doc_id: Long, admit_rank: Long)
 
   /** Streaming segment-level exact dedup — the incremental form of the
     * batch q50: documents are cut into non-overlapping `k`-token
@@ -57,6 +59,47 @@ object DocStreams {
             .stripMargin)).as("segment_hash"))
       .withWatermark("event_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("segment_hash")
+
+  /** Streaming per-source quota — the incremental form of the batch q87
+    * per-domain cap: admit at most `n` documents per source ACROSS
+    * micro-batches, emitting each admitted doc with its admission rank
+    * (1-based). Once a source's quota fills, every later arrival is
+    * dropped — for the rest of the run.
+    *
+    * The batch operator picks WHICH n by content hash (re-runnable);
+    * a stream can't revisit earlier admissions, so the streaming form
+    * is first-come-first-admitted — arrival order across batches,
+    * docId order within a batch for determinism. State per source is
+    * ONE long (the admitted count): `mapGroupsWithState` over a
+    * source-keyed shuffle, state size bounded by the number of
+    * distinct sources, never the corpus. No TTL — a quota is a
+    * run-lifetime budget, and the state is 8 bytes/source.
+    */
+  def streamingSourceQuota(docs: DataFrame, idCol: String, sourceCol: String,
+                           n: Int): Dataset[AdmittedDoc] = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(sourceCol).cast("string").as("source"),
+        col(idCol).cast("long").as("docId"))
+      .as[SourceDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (source, rows, state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = n - admitted
+          if (room <= 0) Iterator.empty
+          else {
+            val take = rows.map(_.docId).toArray.sorted.take(room.toInt)
+            state.update(admitted + take.length)
+            take.iterator.zipWithIndex.map { case (id, i) =>
+              AdmittedDoc(source, id, admitted + i + 1)
+            }
+          }
+      }
+  }
 
   /** Streaming form of [[graft.operators.Dedup.dedupAgainst]] — the
     * daily-crawl shape: each micro-batch of documents dedups against a

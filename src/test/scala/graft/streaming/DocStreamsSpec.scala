@@ -52,6 +52,39 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == Set((1L, h(segA)), (1L, h(tail)), (2L, h(segC))))
   }
 
+  test("streaming source quota admits across batches until the cap, then drops") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    val tmp = Files.createTempDirectory("quota").toFile.getAbsolutePath
+    // batch 1: three s1 docs against a quota of 2 -> lowest two ids admitted
+    spark.createDataFrame(
+      Seq(Row(30L, "s1"), Row(10L, "s1"), Row(20L, "s1")).asJava, schema)
+      .coalesce(1).write.parquet(s"$tmp/src/b1")
+    Thread.sleep(20) // distinct mod times so the file source orders batches
+    // batch 2: s1 is already full -> both dropped; s2 has room
+    spark.createDataFrame(
+      Seq(Row(5L, "s1"), Row(40L, "s1"), Row(7L, "s2")).asJava, schema)
+      .coalesce(1).write.parquet(s"$tmp/src/b2")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingSourceQuota(stream, "doc_id", "source", n = 2)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("quota_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("quota_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batch-1 admissions are ranked by docId; batch-2's s1 arrivals find
+    // the quota exhausted even though doc 5 has a smaller id (streams
+    // can't revisit earlier admissions); s2 starts its own budget.
+    assert(got == Set(("s1", 10L, 1L), ("s1", 20L, 2L), ("s2", 7L, 1L)))
+  }
+
   test("streaming dedupAgainst: batch-2 dups of batch-1 history are dropped") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
