@@ -53,4 +53,17 @@ class PageRankSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a == b) // bit-identical doubles, not approximate
   }
+
+  test("driver fast path and distributed path agree bit-for-bit") {
+    import spark.implicits._
+    val edges = (1L to 300L).flatMap { i =>
+      val j = i * 6151 % 300 + 1
+      Seq(i -> j, j -> i)
+    }.toDF("src", "dst")
+    val driver = PageRank.run(edges, 10) // default threshold -> in-driver
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = PageRank.run(edges, 10, driverMaxEdges = 0) // force Pregel
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(driver == dist) // per-iteration rounding makes paths identical
+  }
 }
