@@ -147,6 +147,12 @@ object PageRank {
     * CTEs (recursive CTEs can't aggregate in the recursive term in
     * standard SQL). `edgeCte` must define a relation `ed(src, dst)`;
     * the caller appends a final SELECT over `pr<iterations>`.
+    *
+    * No CTE here uses a top-level set operation: when the caller's
+    * edgeCte opens a `WITH RECURSIVE` block (e.g. to also compute
+    * connected components), DuckDB 1.0 gives EVERY clause-level UNION
+    * recursive-union semantics — a plain `a UNION b` dedup CTE silently
+    * keeps duplicates (q91 caught this with doubled node rows).
     */
   def pagerankSql(edgeCte: String, iterations: Int, damping: Double = 0.85): String = {
     val d = damping
@@ -163,7 +169,8 @@ object PageRank {
     }.mkString(",\n")
     s"""$edgeCte,
        |deg AS (SELECT src, COUNT(*) AS out_deg FROM ed GROUP BY src),
-       |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) u),
        |g AS (SELECT COUNT(*) AS n FROM nodes),
        |pr0 AS (SELECT node, round(1.0 / g.n, 12) AS rank FROM nodes, g),
        |$iters""".stripMargin

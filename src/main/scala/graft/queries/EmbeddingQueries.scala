@@ -305,6 +305,71 @@ object EmbeddingQueries {
       "\nSELECT node AS vec_id, rank FROM pr10 ORDER BY vec_id"
   }
 
+  /** q91 — canonical-representative selection: the step that turns dup
+    * ANALYSIS into a dedup ACTION. Every vector's connected-component
+    * cluster (q41) joined with its near-dup-graph PageRank (q88); the
+    * keeper of each cluster is its highest-centrality member (rank
+    * ties and singletons fall back to min id — singletons never enter
+    * the edge set, so their rank coalesces to 0 and they keep
+    * themselves). The per-cluster argmax is a `max(struct(rank,
+    * -id))` aggregation — map-side partial heaps of ONE struct per
+    * cluster, no window sort of the membership table (the q78 rule).
+    */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = graft.operators.Dedup.embedNearDup(
+      emb, "vec_id", "embedding", 0.45)
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val clusters = graft.operators.Dedup.connectedComponents(
+      pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")),
+      emb.select(col("vec_id").as("id")))
+    val ranks = graft.operators.PageRank.run(edges, iterations = 10)
+    clusters.join(ranks, clusters("id") === ranks("node"), "left")
+      .select(col("label").as("cluster_id"), col("id"),
+        coalesce(col("rank"), lit(0.0)).as("r"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("r"), (-col("id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("canonical_id"),
+        col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  val q91Sql: String = {
+    val edgeCte =
+      """WITH RECURSIVE v AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        | FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS va, b.vec_id AS vb
+        | FROM v a JOIN v b ON a.vec_id < b.vec_id
+        | WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+        |      * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.45),
+        |ed AS (SELECT va AS src, vb AS dst FROM p
+        |       UNION ALL SELECT vb, va FROM p)""".stripMargin
+    graft.operators.PageRank.pagerankSql(edgeCte, iterations = 10) +
+      """,
+        |ed2 AS (
+        | SELECT va AS a, vb AS b FROM p
+        | UNION SELECT vb, va FROM p
+        | UNION SELECT vec_id, vec_id FROM embeddings),
+        |reach(a, b) AS (
+        | SELECT a, b FROM ed2
+        | UNION
+        | SELECT r.a, e2.b FROM reach r JOIN ed2 e2 ON r.b = e2.a),
+        |cl AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |j AS (
+        | SELECT cl.cluster_id, cl.id, coalesce(pr.rank, 0.0) AS r
+        | FROM cl LEFT JOIN pr10 pr ON pr.node = cl.id)
+        |SELECT cluster_id, id AS canonical_id, n_members FROM (
+        | SELECT cluster_id, id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY r DESC, id) AS rn
+        | FROM j) WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_label_cohesion" -> (q64 _),
     "q41_embed_clusters" -> (q41 _),
@@ -315,7 +380,8 @@ object EmbeddingQueries {
     "q34_ann_ivf" -> (q34 _),
     "q36_embed_neardup_lsh" -> (q36 _),
     "q74_hybrid_rerank" -> (q74 _),
-    "q88_dup_pagerank" -> (q88 _))
+    "q88_dup_pagerank" -> (q88 _),
+    "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
     "q64_label_cohesion" -> q64Sql,
@@ -325,5 +391,6 @@ object EmbeddingQueries {
     "q30_embed_neardup" -> q30Sql,
     "q36_embed_neardup_lsh" -> q30Sql,
     "q74_hybrid_rerank" -> q74Sql,
-    "q88_dup_pagerank" -> q88Sql)
+    "q88_dup_pagerank" -> q88Sql,
+    "q91_canonical_pick" -> q91Sql)
 }
