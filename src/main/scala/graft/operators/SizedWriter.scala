@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
 
 /** Size-targeted parquet writer — the output half of the small-file
   * problem: a 100 TB job that writes `spark.sql.shuffle.partitions`
@@ -27,10 +27,20 @@ import org.apache.spark.sql.functions.col
   * key-predicated readers — the poor man's clustered index, and the
   * layout every downstream incremental join wants.
   *
-  * The sample is biased toward the input's FIRST partitions (limit()
-  * short-circuits); for heterogeneous inputs pass a larger sampleRows.
-  * Estimate error moves file sizes, never rows — the write is always
-  * complete and exact.
+  * The sample is drawn by CONTENT HASH (`xxhash64(struct(*)) % q == 0`
+  * with q sized from the row count), not `limit()`: limit()
+  * short-circuits on the input's first partitions, so a
+  * partition-ordered heterogeneous input (e.g. text docs sorted by
+  * source, where one source compresses 5× better) would estimate
+  * density from one stratum only. The hash filter touches every
+  * partition uniformly and is deterministic across runs and cluster
+  * sizes. It costs one extra scan of the input — a map-only pass, no
+  * shuffle; the count() pass is already paying the scan for non-parquet
+  * plans, and for parquet inputs the count is footer-only so this is
+  * the single data scan before the write. Identical rows hash together
+  * (all copies in or out) — a slight clumping bias on dup-heavy inputs,
+  * bounded by the dup rate. Estimate error moves file sizes, never
+  * rows — the write is always complete and exact.
   */
 object SizedWriter {
 
@@ -51,10 +61,23 @@ object SizedWriter {
     val tmp = Files.createTempDirectory("graft-sized-writer-sample")
     val bytesPerRow =
       try {
-        val n = math.min(total, sampleRows.toLong)
-        df.limit(n.toInt).coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        dirBytes(tmp).toDouble / n.toDouble
+        // Modulus targeting ~sampleRows hash-selected rows; limit() on
+        // top is only a hard cap for the temp write (hash variance or a
+        // dup-heavy input can overshoot the expectation).
+        val q = math.max(1L, total / sampleRows.toLong)
+        val sampled = df
+          .where(pmod(xxhash64(struct(df.columns.map(col): _*)), lit(q)) === 0)
+          .limit(sampleRows).coalesce(1)
+        sampled.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val n = df.sparkSession.read.parquet(tmp.toString).count()
+        if (n == 0L) {
+          // Degenerate hash draw (tiny input, unlucky modulus): fall
+          // back to a bounded head sample rather than divide by zero.
+          val m = math.min(total, sampleRows.toLong)
+          df.limit(m.toInt).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          dirBytes(tmp).toDouble / m.toDouble
+        } else dirBytes(tmp).toDouble / n.toDouble
       } finally deleteRecursively(tmp)
 
     val nFiles = math.max(1L,

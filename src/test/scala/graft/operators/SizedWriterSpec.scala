@@ -48,6 +48,30 @@ class SizedWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("hash sample is unbiased on partition-ordered heterogeneous input") {
+    // First partitions hold ultra-compressible rows, last partitions
+    // incompressible ones. A limit()-based sample would estimate
+    // density from the compressible stratum only and undersize the
+    // file count ~10x; the content-hash sample touches every partition.
+    import spark.implicits._
+    val compressible = (0 until 512).map(i => (i.toLong, "a" * 512))
+    val random = (512 until 1024).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(8)(rnd.nextString(64)).mkString)
+    }
+    val docs = spark.createDataset(compressible ++ random)
+      .toDF("doc_id", "text").repartitionByRange(8, col("doc_id"))
+    val out = Files.createTempDirectory("sized-writer-hetero").toString
+    val (nFiles, _) =
+      SizedWriter.writeSized(docs, out, targetFileBytes = 64 * 1024,
+        sampleRows = 128)
+    val sizes = partFiles(out).map(_.length())
+    assert(sizes.forall(_ < 3 * 64 * 1024),
+      s"oversized file => sample missed the incompressible stratum: $sizes")
+    assert(spark.read.parquet(out).count() == 1024)
+    assert(nFiles == partFiles(out).size)
+  }
+
   test("empty input writes an empty but readable dataset") {
     val docs = Tables.documents(spark, dir).filter(lit(false))
     val out = Files.createTempDirectory("sized-writer-empty").toString
