@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.functions.CentroidPackedArgmin
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column, in FIXED-POINT
+  * arithmetic — the centroid-training pass a training-data pipeline
+  * runs to build IVF coarse quantizers (see Similarity.annIvf*), to
+  * cluster a corpus for diversity-balanced sampling, and to bucket
+  * near-duplicate candidates.
+  *
+  * Why fixed point: float k-means is nondeterministic across engines,
+  * partition counts and even task schedules — centroid means sum in
+  * whatever order partitions arrive, and a last-ulp difference can flip
+  * an argmin and cascade through later iterations. Here every component
+  * is quantized once (`floor(x * scale)` as LONG) and all downstream
+  * arithmetic — squared L2 distances, per-cluster sums, floor-division
+  * means — is exact integer math, which is associative/commutative, so
+  * the result is BIT-IDENTICAL for any cluster size, any partitioning,
+  * and any engine that implements the same spec ([[kmeansSql]] replays
+  * it in ANSI SQL; the q92 DuckDB oracle pins it). Reproducible
+  * preprocessing is worth far more at 100 TB than the sub-quantum
+  * (1e-6 per component) precision loss.
+  *
+  * Execution shape, per iteration:
+  *  - assignment: map-only — the k×d centroid matrix rides to executors
+  *    as a codegen reference object ([[CentroidPackedArgmin]], a tight
+  *    `long[][]` loop inside WholeStageCodegen, no UDF);
+  *  - update: one hash aggregation keyed by `cid` (k groups) with
+  *    map-side partial sums — the shuffle carries k×(d+2) longs per map
+  *    task, never data rows — then a k-row collect; new centroid =
+  *    `floorDiv(sum, count)` per dimension, empty clusters keep their
+  *    previous centroid (the SQL LEFT JOIN + coalesce).
+  * The quantized input is persisted once and scanned `iterations`
+  * times — standard Lloyd; at cluster scale pin it with
+  * MEMORY_AND_DISK or re-read from columnar storage.
+  *
+  * Initialization is the k lowest-id vectors (deterministic and
+  * SQL-replayable, unlike a random or kmeans|| seed). Ties in the
+  * assignment argmin break toward the lowest centroid id in both
+  * engines (exact-integer distances make ties well-defined).
+  *
+  * Overflow: distances need `d * (2*scale*maxAbs)^2 * k < 2^63`. The
+  * bound is verified against the data's true max |component| measured
+  * as one extra column of the update aggregation (free — same scan,
+  * same shuffle); violation throws rather than returning wrapped math.
+  */
+object KMeans {
+
+  final case class Model(centroids: Array[Array[Long]], scale: Long) {
+    def k: Int = centroids.length
+  }
+
+  final case class Result(assignments: DataFrame, model: Model)
+
+  /** @param assignCols output column names (id, cluster_id, dist) —
+    *        `dist` is the squared L2 distance in fixed-point units
+    *        (scale²) to the assigned centroid of the LAST iteration's
+    *        assignment pass (the model holds the post-update centroids).
+    */
+  def fit(
+      df: DataFrame,
+      k: Int,
+      iterations: Int,
+      scale: Long = 1000000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Result = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = df.sparkSession
+
+    val fixed = df.select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(scale.toDouble))).as("fv"))
+      .persist()
+    try {
+      val initRows = fixed.orderBy("id").limit(k).collect()
+      require(initRows.nonEmpty, "k-means needs at least one input row")
+      var cents: Array[Array[Long]] =
+        initRows.map(_.getSeq[Long](1).toArray)
+      val kk = cents.length // k clamped to the row count
+      val dim = cents(0).length
+
+      val maxAbsCol = max(aggregate(col("fv"), lit(0L),
+        (acc, x) => greatest(acc, abs(x)))).as("ma")
+      val aggExprs = count(lit(1)).as("cnt") +: maxAbsCol +:
+        (0 until dim).map(i => sum(col("fv").getItem(i)).as(s"s$i"))
+
+      var lastAssign: DataFrame = null
+      for (i <- 1 to iterations) {
+        val pack = CentroidPackedArgmin(spark, col("fv"), cents)
+        val assigned = fixed.select(col("id"), col("fv"), pack.as("p"))
+          .select(col("id"), col("fv"),
+            (col("p") % kk).cast("int").as("cid"),
+            expr(s"p DIV $kk").as("dist"))
+        if (i == iterations)
+          lastAssign = assigned.select(col("id").as(idCol),
+            col("cid").as("cluster_id"), col("dist"))
+
+        val rows = assigned.groupBy("cid")
+          .agg(aggExprs.head, aggExprs.tail: _*).collect()
+        val maxAbs = rows.map(_.getLong(2)).max
+        val bound = BigInt(dim) * BigInt(2 * maxAbs).pow(2) * kk
+        require(bound < BigInt(Long.MaxValue),
+          s"fixed-point overflow: d=$dim, k=$kk, maxAbs=$maxAbs at " +
+            s"scale=$scale exceeds 2^63 — lower `scale`")
+        val next = cents.map(_.clone())
+        rows.foreach { r =>
+          val c = r.getInt(0); val cnt = r.getLong(1)
+          var i2 = 0
+          while (i2 < dim) {
+            next(c)(i2) = Math.floorDiv(r.getLong(3 + i2), cnt)
+            i2 += 1
+          }
+        }
+        cents = next
+      }
+      Result(lastAssign, Model(cents, scale))
+    } finally fixed.unpersist(blocking = false)
+  }
+
+  /** Assignment-only pass against a trained model (e.g. routing query
+    * vectors to IVF lists): map-only, no shuffle.
+    */
+  def assign(df: DataFrame, model: Model, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val kk = model.k
+    val fv: Column = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(model.scale.toDouble)))
+    df.select(col(idCol), fv.as("fv"))
+      .select(col(idCol),
+        CentroidPackedArgmin(spark, col("fv"), model.centroids).as("p"))
+      .select(col(idCol), (col("p") % kk).cast("int").as("cluster_id"),
+        expr(s"p DIV $kk").as("dist"))
+  }
+
+  /** ANSI-SQL replay of [[fit]]'s final assignment with the iterations
+    * UNROLLED as chained CTEs (the [[PageRank.pagerankSql]] pattern).
+    * Yields columns (<id>, cluster_id, dist) unordered; the caller
+    * appends ORDER BY. `table(id, vec)` must hold a float-array column.
+    */
+  def kmeansSql(table: String, id: String, vec: String,
+                k: Int, iterations: Int, scale: Long = 1000000L): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""a$i AS (
+         | SELECT $id, cid, dist FROM (
+         |   SELECT $id, cid, dist,
+         |     row_number() OVER (PARTITION BY $id ORDER BY dist, cid) AS rn
+         |   FROM (SELECT f.$id, c.cid, SUM((f.v - c.v)*(f.v - c.v)) AS dist
+         |         FROM fx f JOIN c${i - 1} c ON f.d = c.d
+         |         GROUP BY f.$id, c.cid) dd) r WHERE rn = 1),
+         |c$i AS (
+         | SELECT p.cid, p.d,
+         |   coalesce(CAST(floor(CAST(s.sv AS DOUBLE) / s.cnt) AS BIGINT), p.v) AS v
+         | FROM c${i - 1} p
+         | LEFT JOIN (SELECT a.cid, f.d, SUM(f.v) AS sv, COUNT(*) AS cnt
+         |            FROM a$i a JOIN fx f ON a.$id = f.$id
+         |            GROUP BY a.cid, f.d) s ON s.cid = p.cid AND s.d = p.d)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH fx AS (
+       | SELECT $id, CAST(d AS INTEGER) AS d,
+       |   CAST(floor(CAST($vec[d] AS DOUBLE) * $scale) AS BIGINT) AS v
+       | FROM $table, unnest(range(1, len($vec) + 1)) AS t(d)),
+       |init AS (SELECT $id FROM $table ORDER BY $id LIMIT $k),
+       |c0 AS (
+       | SELECT CAST(dense_rank() OVER (ORDER BY $id) - 1 AS INTEGER) AS cid, d, v
+       | FROM fx WHERE $id IN (SELECT $id FROM init)),
+       |$iters
+       |SELECT $id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist
+       |FROM a$iterations""".stripMargin
+  }
+}

@@ -370,7 +370,22 @@ object EmbeddingQueries {
         | FROM j) WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   }
 
+  /** q92 — fixed-point Lloyd k-means (k=8, 3 iterations): deterministic
+    * distributed centroid training (see [[graft.operators.KMeans]] for
+    * the why-integer-arithmetic story). Output is the final assignment
+    * pass: (vec_id, cluster_id, dist in scale² units). The oracle
+    * replays the exact same integer spec with unrolled CTEs.
+    */
+  def q92(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.fit(Tables.embeddings(s, dir), k = 8,
+      iterations = 3).assignments.orderBy("vec_id")
+
+  val q92Sql: String =
+    graft.operators.KMeans.kmeansSql("embeddings", "vec_id", "embedding",
+      k = 8, iterations = 3) + "\nORDER BY vec_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_kmeans" -> (q92 _),
     "q64_label_cohesion" -> (q64 _),
     "q41_embed_clusters" -> (q41 _),
     "q27_knn_brute" -> (q27 _),
@@ -384,6 +399,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q92_kmeans" -> q92Sql,
     "q64_label_cohesion" -> q64Sql,
     "q41_embed_clusters" -> q41Sql,
     "q27_knn_brute" -> q27Sql,

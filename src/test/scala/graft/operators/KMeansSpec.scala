@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Pure-Scala replay of the fixed-point Lloyd spec — independent of
+    * the Spark implementation, so drift in either shows up here (the
+    * DuckDB oracle is the third replica, via q92's t2 gate).
+    */
+  private def reference(
+      data: Seq[(Long, Seq[Float])], k: Int, iterations: Int,
+      scale: Long): Map[Long, (Int, Long)] = {
+    val fx = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale).toLong).toArray
+    }.sortBy(_._1)
+    var cents = fx.take(k).map(_._2.map(identity))
+    var out = Map.empty[Long, (Int, Long)]
+    for (_ <- 1 to iterations) {
+      val assigned = fx.map { case (id, v) =>
+        val best = cents.zipWithIndex.map { case (c, ci) =>
+          val d2 = v.zip(c).map { case (a, b) =>
+            (a - b) * (a - b) }.sum
+          (d2, ci)
+        }.min
+        (id, best._2, best._1)
+      }
+      out = assigned.map(a => a._1 -> (a._2, a._3)).toMap
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        val members = assigned.filter(_._2 == ci).map(_._1).toSet
+        if (members.isEmpty) old
+        else {
+          val vecs = fx.filter(f => members(f._1)).map(_._2)
+          old.indices.map { d =>
+            Math.floorDiv(vecs.map(_(d)).sum, vecs.size.toLong)
+          }.toArray
+        }
+      }
+    }
+    out
+  }
+
+  private def loadRaw(): Seq[(Long, Seq[Float])] =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+  test("fit matches the independent fixed-point reference exactly") {
+    val res = KMeans.fit(Tables.embeddings(spark, dir), k = 8, iterations = 3)
+    val got = res.assignments.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val want = reference(loadRaw(), k = 8, iterations = 3, scale = 1000000L)
+    assert(got.size == want.size)
+    assert(got == want)
+    assert(got.values.map(_._1).toSet.subsetOf((0 until 8).toSet))
+  }
+
+  test("result is identical under a different partitioning (exact integer sums)") {
+    val base = Tables.embeddings(spark, dir)
+    val a = KMeans.fit(base, k = 5, iterations = 2).assignments
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val b = KMeans.fit(base.repartition(17, col("vec_id")), k = 5, iterations = 2)
+      .assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("empty clusters keep their previous centroids; ties go to the lowest cid") {
+    import spark.implicits._
+    // All points identical: everything assigns to cid 0 (tie-break),
+    // clusters 1..k-1 stay empty and must keep their init centroid.
+    val df = (0L until 20L).map(i => (i, Seq.fill(4)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val res = KMeans.fit(df, k = 3, iterations = 2)
+    val rows = res.assignments.collect()
+    assert(rows.forall(_.getInt(1) == 0))
+    assert(rows.forall(_.getLong(2) == 0L))
+    assert(res.model.centroids.length == 3)
+    res.model.centroids.foreach(c =>
+      assert(c.sameElements(Array.fill(4)(250000L))))
+  }
+
+  test("assignment pass is UDF-free and stays inside codegen") {
+    val res = KMeans.fit(Tables.embeddings(spark, dir), k = 4, iterations = 1)
+    val plan = res.assignments.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_centroid_packed_argmin"), plan)
+    assert(!plan.contains("UDF"), s"Scala UDF leaked into the plan:\n$plan")
+  }
+
+  test("assign routes every vector to a valid cluster, map-only") {
+    val emb = Tables.embeddings(spark, dir)
+    val model = KMeans.fit(emb, k = 6, iterations = 2).model
+    val out = KMeans.assign(emb, model)
+    assert(out.queryExecution.executedPlan.toString.indexOf("Exchange") < 0)
+    val cids = out.select("cluster_id").distinct().collect().map(_.getInt(0))
+    assert(cids.forall(c => c >= 0 && c < 6))
+    assert(out.count() == emb.count())
+  }
+}
