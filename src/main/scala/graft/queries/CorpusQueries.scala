@@ -1340,7 +1340,66 @@ object CorpusQueries {
       |   AS contamination_rate
       |FROM t LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q93 — Gopher-style n-gram repetition gate: the fraction of a
+    * document's characters covered by its single most frequent word
+    * bigram (MassiveText filters docs where the top 2-gram exceeds
+    * ~20% of characters — boilerplate and templated spam light up
+    * here long before unigram stats do; complements q44's top TOKEN
+    * frequency). Bigrams form map-side via `transform` over the token
+    * array (the q70 rule: no explode-then-lag window over the token
+    * stream); the shuffles are the (doc_id, bigram) count with
+    * map-side partials and a doc-keyed argmax carrying ONE struct per
+    * doc — `min(struct(-count, bigram))` makes the (count desc,
+    * bigram asc) winner a plain aggregate instead of a window sort.
+    * The char fraction is a single integer-over-integer division, so
+    * the double is correctly rounded and engine-identical with no
+    * explicit rounding.
+    */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val counts = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val top = counts.groupBy("doc_id")
+      .agg(min(struct((-col("c")).as("nc"), col("bg"))).as("m"))
+      .select(col("doc_id"), col("m.bg").as("top_bigram"),
+        (-col("m.nc")).as("bg_count"))
+    toks.select(col("doc_id"),
+        length(concat_ws(" ", col("w"))).cast("long").as("tot"))
+      .join(top, "doc_id")
+      .select(col("doc_id"), col("top_bigram"), col("bg_count"),
+        ((col("bg_count") * length(col("top_bigram")).cast("long"))
+          .cast("double") / col("tot").cast("double")).as("bg_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q93Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |w2 AS (SELECT doc_id, w, len(array_to_string(w, ' ')) AS tot
+      |       FROM w WHERE len(w) >= 2),
+      |c AS (
+      | SELECT doc_id, bg, COUNT(*) AS c FROM (
+      |   SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                         i -> w[i] || ' ' || w[i + 1])) AS bg
+      |   FROM w2) u GROUP BY doc_id, bg),
+      |t AS (
+      | SELECT doc_id, bg AS top_bigram, c AS bg_count FROM (
+      |   SELECT doc_id, bg, c,
+      |     row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+      |   FROM c) r WHERE rn = 1)
+      |SELECT w2.doc_id, t.top_bigram, t.bg_count,
+      | CAST(t.bg_count * len(t.top_bigram) AS DOUBLE)
+      |   / CAST(w2.tot AS DOUBLE) AS bg_char_frac
+      |FROM w2 JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_top_ngram_frac" -> (q93 _),
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
     "q44_repetition_stats" -> (q44 _),
@@ -1379,6 +1438,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q93_top_ngram_frac" -> q93Sql,
     "q42_stratified_sample" -> q42Sql,
     "q43_corpus_stats" -> q43Sql,
     "q44_repetition_stats" -> q44Sql,
