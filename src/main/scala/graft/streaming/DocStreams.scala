@@ -147,6 +147,111 @@ object DocStreams {
       }
       .start()
 
+  /** Score documents against a bigram MLE model `(w1, w2, c2)` — the
+    * q86 scoring half factored out so a stream can score each batch
+    * against a model built from EARLIER data. Returns one row per doc:
+    * (doc_id, avg_neg_logp2 rounded to 4, n_bigrams, n_known); the
+    * average runs over the bigrams the model knows (LEFT join — unseen
+    * pairs count toward n_bigrams only), and is NULL when none are
+    * known. Same scale shape as q86: map-side pair formation, a
+    * bigram-keyed hash join bounded by the model vocabulary, broadcast
+    * prefix totals.
+    */
+  def bigramScore(docs: DataFrame, model: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val prefix = model.groupBy("w1").agg(sum("c2").as("c1"))
+    pairs
+      .join(model.join(broadcast(prefix), "w1"), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("c2").cast("double") / col("c1").cast("double"))), 4)
+          .as("avg_neg_logp2"),
+        count(lit(1)).as("n_bigrams"),
+        count(col("c2")).as("n_known"))
+  }
+
+  /** Streaming bigram-perplexity quality gate — the incremental form of
+    * the batch q86 filter (CCNet's band cut): each micro-batch is
+    * scored against a PERSISTENT bigram model (parquet at `modelDir`)
+    * built from earlier batches, docs outside `[lo, hi]` are rejected,
+    * and (when `updateModel`) the ADMITTED docs' bigram counts are
+    * appended to the model — admitted-only, so rejected spam never
+    * reinforces the model toward itself. A doc whose text shares fewer
+    * than `minKnown` bigrams with the model is admitted by default
+    * (cold start: the first batches have nothing to judge against; a
+    * curated seed corpus can be pre-written to `modelDir` to close
+    * that window).
+    *
+    * The sink receives every incoming doc with `avg_neg_logp2`,
+    * `n_bigrams`, `n_known`, and the `admitted` verdict — routing
+    * rejects to a quarantine table is the caller's one-line filter.
+    *
+    * Model reads aggregate the append-only parquet (`sum(c2)` by
+    * pair), so appends need no read-modify-write; compact the
+    * directory offline when file count grows. Sink-before-append
+    * (the [[streamingDedupAgainst]] rule): a crash between the two
+    * re-emits the batch rather than swallowing it; a replayed append
+    * double-counts that batch's pairs — both c2 and the c1 prefix
+    * totals inflate together, so scores drift far less than counts,
+    * and the gate's band has slack by construction.
+    */
+  def streamingBigramGate(incoming: DataFrame, modelDir: String,
+                          idCol: String, textCol: String,
+                          lo: Double, hi: Double, minKnown: Int,
+                          checkpoint: String,
+                          updateModel: Boolean = true)
+                         (sink: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val b = batch.toDF()
+        val model =
+          try s.read.parquet(modelDir).groupBy("w1", "w2")
+            .agg(sum("c2").as("c2"))
+          catch { // first batch: no model yet
+            case _: org.apache.spark.sql.AnalysisException =>
+              Seq.empty[(String, String, Long)].toDF("w1", "w2", "c2")
+          }
+        val scores = bigramScore(b, model, idCol, textCol)
+        val scored = b
+          .join(scores, b(idCol) === scores("doc_id"), "left")
+          .drop(scores("doc_id"))
+          .withColumn("n_known", coalesce(col("n_known"), lit(0L)))
+          .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+          .withColumn("admitted",
+            col("n_known") < minKnown ||
+              col("avg_neg_logp2").between(lo, hi))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(scored)
+          if (updateModel) {
+            val admitted = scored.filter(col("admitted"))
+            admitted
+              .select(split(lower(trim(col(textCol))), "\\s+").as("w"))
+              .filter(size(col("w")) >= 2)
+              .select(explode(zip_with(
+                slice(col("w"), lit(1), size(col("w")) - 1),
+                slice(col("w"), lit(2), size(col("w")) - 1),
+                (a, b2) => struct(a.as("w1"), b2.as("w2")))).as("bg"))
+              .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+              .agg(count(lit(1)).as("c2"))
+              .write.mode("append").parquet(modelDir)
+          }
+        } finally scored.unpersist(blocking = false)
+      }
+      .start()
+
   /** `stateTtl`: evict a bucket's occupants after this much processing
     * time without new arrivals. None = keep forever (drain-style runs,
     * e.g. Trigger.AvailableNow over a bounded backlog); endless streams

@@ -14,6 +14,91 @@ class DocStreamsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("streaming bigram gate scores each batch against the prior model") {
+    import org.apache.spark.sql.functions._
+    val b1Texts = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the rug",
+      3L -> "the dog sat on the mat",
+      4L -> "a cat sat on a mat")
+    val b2Texts = Seq(
+      10L -> "the cat sat on the mat", // fully in-model: low score
+      11L -> "mat the cat on a rug zz", // partially known, unusual order
+      12L -> "zq xw vv kk")            // nothing known: cold-start admit
+    val tmp = Files.createTempDirectory("bigramgate").toFile.getAbsolutePath
+    import spark.implicits._
+    // one file per batch — with maxFilesPerTrigger=1, each FILE is a batch
+    b1Texts.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/src/b1")
+    b2Texts.toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/src/b2")
+
+    val seen = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Option[Double], Long, Boolean)]
+    var batchNo = 0L
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src/b1").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val (lo, hi, minKnown) = (0.5, 2.0, 2)
+    val q = DocStreams.streamingBigramGate(stream, s"$tmp/model",
+      "doc_id", "text", lo, hi, minKnown, s"$tmp/ckpt") { df =>
+      batchNo += 1
+      val b = batchNo
+      seen ++= df.select(col("doc_id"), col("avg_neg_logp2"),
+          col("n_known"), col("admitted")).collect()
+        .map(r => (b, r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getLong(2), r.getBoolean(3)))
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    // Batch 1 scored against an empty model: nothing known, all admitted.
+    val batch1 = seen.filter(_._1 == 1L)
+    assert(batch1.size == 4 && batch1.forall(r => r._4 == 0L && r._5))
+
+    // Independent replica of the spec: batch-2 scores from batch-1 counts.
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    def pairs(t: String) = { val w = toks(t); w.zip(w.tail) }
+    val c2 = b1Texts.flatMap(d => pairs(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def expectedScore(t: String): (Option[Double], Long) = {
+      val known = pairs(t).filter(c2.contains)
+      if (known.isEmpty) (None, 0L)
+      else {
+        val avg = known.map(p =>
+          -math.log(c2(p).toDouble / c1(p._1).toDouble)).sum / known.size
+        (Some(BigDecimal(avg).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble), known.size.toLong)
+      }
+    }
+    val batch2 = seen.filter(_._1 == 2L).map(r => r._2 -> r).toMap
+    b2Texts.foreach { case (id, text) =>
+      val (score, nKnown) = expectedScore(text)
+      val got = batch2(id)
+      assert(got._3 == score && got._4 == nKnown,
+        s"doc $id: got $got want ($score, $nKnown)")
+      val wantAdmit =
+        nKnown < minKnown || (score.get >= lo && score.get <= hi)
+      assert(got._5 == wantAdmit, s"doc $id admit: got ${got._5}")
+    }
+    // The fully-in-model doc must score as more predictable than the
+    // unusual-order doc, and the gibberish doc cold-starts through.
+    assert(expectedScore(b2Texts(0)._2)._1.get <
+      expectedScore(b2Texts(1)._2)._1.get)
+    assert(batch2(12L)._4 == 0L && batch2(12L)._5)
+
+    // Model after the run: batch-1 counts plus batch-2 ADMITTED counts
+    // only — "the cat" appears twice in batch 1, plus once per admitted
+    // batch-2 doc containing it.
+    val admitted2 = b2Texts.filter { case (id, _) => batch2(id)._5 }
+    val wantTheCat = 2L +
+      admitted2.map(d => pairs(d._2).count(_ == ("the", "cat"))).sum
+    val modelTheCat = spark.read.parquet(s"$tmp/model")
+      .filter(col("w1") === "the" && col("w2") === "cat")
+      .agg(sum("c2")).head.getLong(0)
+    assert(modelTheCat == wantTheCat)
+  }
+
   test("streaming segment dedup drops a segment re-seen in a later micro-batch") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
