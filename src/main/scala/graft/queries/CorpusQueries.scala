@@ -1398,7 +1398,84 @@ object CorpusQueries {
       |   / CAST(w2.tot AS DOUBLE) AS bg_char_frac
       |FROM w2 JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q94 — temperature-balanced resampling: the step that turns q72's
+    * mixing WEIGHTS into a materialized subcorpus (the ACTION to q72's
+    * ANALYSIS, as q91 is to q41). A 40%-of-corpus document budget is
+    * allocated across sources by the α=0.5 token-share weights — so
+    * low-resource sources keep proportionally more — capped at each
+    * source's actual size, and WHICH documents fill each allocation is
+    * the content-keyed md5 order (q42/q87's determinism rule: same
+    * subcorpus for any run, partitioning, or cluster size).
+    *
+    * Scale shape: the per-source aggregate is a tiny table collected to
+    * the driver (the PageRank/k-means driver-scalar pattern) to compute
+    * allocations; selection rides the bounded-heap [[graft.functions
+    * .TopKRows]] with k = the LARGEST allocation — map tasks ship heaps,
+    * never the corpus, and the per-source cut is a rank filter against
+    * the broadcast allocation table. Determinism of the allocation
+    * itself: weights round to 10 decimals before the budget multiply
+    * (absorbing float sum order, the q72 rule), and the driver replays
+    * Spark's HALF_UP rounding exactly.
+    */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perSource = docs
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(sum("nt").as("n_tokens"), count(lit(1)).as("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val z = perSource.map(t => math.sqrt(t._2.toDouble)).sum
+    val total = perSource.map(_._3).sum
+    val budget = math.floor(0.4 * total)
+    val alloc = perSource.map { case (src, ntok, ndocs) =>
+      val w = BigDecimal(math.sqrt(ntok.toDouble) / z)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      src -> math.min(math.floor(budget * w).toLong, ndocs)
+    }
+    val kMax = math.max(1L, alloc.map(_._2).max).toInt
+    val spark = s
+    import spark.implicits._
+    val allocDf = alloc.toSeq.toDF("source", "m")
+    docs
+      .select(col("source"),
+        struct(md5(concat(col("doc_id").cast("string"), lit(":mix"))).as("h"),
+          col("doc_id").as("id")).as("key"))
+      .groupBy("source")
+      .agg(graft.functions.TopKRows(s, col("key"), kMax).as("keep"))
+      .select(col("source"), posexplode(col("keep")).as(Seq("rnk", "kv")))
+      .join(broadcast(allocDf), "source")
+      .filter(col("rnk") < col("m"))
+      .select(col("source"), col("kv.id").as("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  val q94Sql: String =
+    """WITH t AS (
+      | SELECT source, doc_id,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS nt
+      | FROM documents),
+      |a AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |             COUNT(*) AS n_docs
+      |      FROM t GROUP BY source),
+      |f AS (SELECT source, n_docs, sqrt(CAST(n_tokens AS DOUBLE)) AS f FROM a),
+      |z AS (SELECT SUM(f) AS z, SUM(n_docs) AS total FROM f),
+      |m AS (SELECT source,
+      |       LEAST(CAST(floor(floor(0.4 * total) * round(f / z, 10)) AS BIGINT),
+      |             n_docs) AS m
+      |      FROM f, z),
+      |r AS (SELECT source, doc_id,
+      |       row_number() OVER (
+      |         PARTITION BY source
+      |         ORDER BY md5(doc_id::VARCHAR || ':mix'), doc_id) AS rn
+      |      FROM documents)
+      |SELECT r.source, r.doc_id FROM r JOIN m USING (source)
+      |WHERE rn <= m ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_mix_resample" -> (q94 _),
     "q93_top_ngram_frac" -> (q93 _),
     "q42_stratified_sample" -> (q42 _),
     "q43_corpus_stats" -> (q43 _),
@@ -1438,6 +1515,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q94_mix_resample" -> q94Sql,
     "q93_top_ngram_frac" -> q93Sql,
     "q42_stratified_sample" -> q42Sql,
     "q43_corpus_stats" -> q43Sql,
