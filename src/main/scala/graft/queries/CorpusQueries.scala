@@ -1474,7 +1474,76 @@ object CorpusQueries {
       |SELECT r.source, r.doc_id FROM r JOIN m USING (source)
       |WHERE rn <= m ORDER BY source, doc_id""".stripMargin
 
+  /** q95 — segment dedup with document RECONSTRUCTION (the C4 move:
+    * don't drop documents that contain a duplicated line, drop the
+    * LINE and keep the rest). q50 reports duplicated segments; this is
+    * the action: every segment occurrence except the first — ordered
+    * by (doc_id, seg_idx), the stable global rule — is removed, and
+    * each document's surviving segments are stitched back in order.
+    * Output keeps the audit numbers (segments before/after) beside the
+    * rebuilt text.
+    *
+    * Scale shape: segmentation is map-side; the keep-first winner per
+    * segment is ONE struct through a segment-keyed aggregation
+    * (`min(struct(doc_id, seg_idx))` — the q91 argmax rule, no window
+    * sort over the occurrence table), survivors come back via a
+    * LEFT SEMI join on the winner triple, and reconstruction shuffles
+    * only the KEPT segments once, keyed by doc — per-doc state bounded
+    * by document length. `array_sort` on (seg_idx, segment) structs
+    * makes the collect_list order deterministic.
+    */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $k.0) as int) - 1),
+           |          i -> array_join(slice(w, i * $k + 1, $k), ' '))"""
+          .stripMargin)).as(Seq("seg_idx", "segment")))
+    val first = segs.groupBy("segment")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      .select(col("segment"), col("f.doc_id").as("doc_id"),
+        col("f.seg_idx").as("seg_idx"))
+    val kept = segs.join(first, Seq("segment", "doc_id", "seg_idx"),
+      "left_semi")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("segment")))),
+          x => x.getField("segment"))).as("text_kept"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  val q95Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, i AS seg_idx,
+      |   array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS segment
+      | FROM w, unnest(range(0, CAST(ceil(len(w) / 8.0) AS INT))) AS t(i)),
+      |kept AS (
+      | SELECT doc_id, seg_idx, segment FROM (
+      |   SELECT doc_id, seg_idx, segment,
+      |     row_number() OVER (
+      |       PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+      |   FROM s) r WHERE rn = 1),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM s GROUP BY doc_id),
+      |rb AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |        string_agg(segment, ' ' ORDER BY seg_idx) AS text_kept
+      |       FROM kept GROUP BY doc_id)
+      |SELECT tot.doc_id, tot.n_segments,
+      | coalesce(rb.n_kept, 0) AS n_kept,
+      | coalesce(rb.text_kept, '') AS text_kept
+      |FROM tot LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_segment_rebuild" -> (q95 _),
     "q94_mix_resample" -> (q94 _),
     "q93_top_ngram_frac" -> (q93 _),
     "q42_stratified_sample" -> (q42 _),
@@ -1515,6 +1584,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q95_segment_rebuild" -> q95Sql,
     "q94_mix_resample" -> q94Sql,
     "q93_top_ngram_frac" -> q93Sql,
     "q42_stratified_sample" -> q42Sql,

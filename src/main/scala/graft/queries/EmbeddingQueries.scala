@@ -384,7 +384,47 @@ object EmbeddingQueries {
     graft.operators.KMeans.kmeansSql("embeddings", "vec_id", "embedding",
       k = 8, iterations = 3) + "\nORDER BY vec_id"
 
+  /** q96 — per-dimension whitening statistics (count, mean, population
+    * std per embedding dimension): the normalization table every
+    * embedding-space pipeline fits before cosine/L2 work — apply is a
+    * map-only broadcast of these 64 rows. Sums go through
+    * DECIMAL(18,9) (the decimal-sum rule): decimal addition is exact
+    * and order-independent, so the per-dim moments — and hence the
+    * mean/std doubles derived from them by single IEEE ops — are
+    * bit-identical across engines and partitionings with NO rounding
+    * of the output. The 64-key "skew" is a non-issue: partial
+    * aggregation emits 64 rows per map task, so the exchange carries
+    * 64×tasks rows, never the corpus.
+    */
+  def q96(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("p", "v0")))
+      .select((col("p") + 1).as("d"), col("v0").cast("double").as("v"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec9)).cast("double").as("sv"),
+        sum((col("v") * col("v")).cast(dec9)).cast("double").as("sv2"))
+      .select(col("d"), col("n"),
+        (col("sv") / col("n")).as("mean"),
+        sqrt(greatest(lit(0.0),
+          col("sv2") / col("n")
+            - (col("sv") / col("n")) * (col("sv") / col("n")))).as("std"))
+      .orderBy("d")
+
+  val q96Sql: String =
+    """WITH e AS (
+      | SELECT CAST(d AS INTEGER) AS d, CAST(embedding[d] AS DOUBLE) AS v
+      | FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)),
+      |a AS (SELECT d, COUNT(*) AS n,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS sv,
+      |  CAST(SUM(CAST(v * v AS DECIMAL(18,9))) AS DOUBLE) AS sv2
+      | FROM e GROUP BY d)
+      |SELECT d, n, sv / n AS mean,
+      | sqrt(greatest(0.0, sv2 / n - (sv / n) * (sv / n))) AS std
+      |FROM a ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_embed_whiten" -> (q96 _),
     "q92_kmeans" -> (q92 _),
     "q64_label_cohesion" -> (q64 _),
     "q41_embed_clusters" -> (q41 _),
@@ -399,6 +439,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q96_embed_whiten" -> q96Sql,
     "q92_kmeans" -> q92Sql,
     "q64_label_cohesion" -> q64Sql,
     "q41_embed_clusters" -> q41Sql,
