@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, HammingDistance, MisraGries, SetOverlap, TopKRows}
+import graft.functions.{CentroidPackedArgmin, CosineSimilarity, HammingDistance, MisraGries, SetOverlap, TopKRows}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -56,6 +56,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MisraGries(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue)
           .toAggregateExpression()
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier(CentroidPackedArgmin.functionName),
+      new ExpressionInfo(classOf[CentroidPackedArgmin].getName,
+        CentroidPackedArgmin.functionName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"${CentroidPackedArgmin.functionName} takes exactly 2 arguments")
+        CentroidPackedArgmin(exprs(0), exprs(1))
       }))
     extensions.injectFunction((
       FunctionIdentifier(TopKRows.functionName),

@@ -147,6 +147,23 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming cluster-share monitor — the drift detector a serving
+    * pipeline runs over incoming embeddings: each vector is routed to
+    * its nearest trained centroid ([[graft.operators.KMeans.assign]] —
+    * map-only, the k×d matrix rides inside the codegen expression, no
+    * shuffle per row beyond the k-group count), and the running
+    * per-cluster counts are a streaming aggregation whose state is
+    * exactly k rows. When the share vector walks away from the
+    * training distribution, the upstream data has drifted and the
+    * model (or the corpus mix) needs refitting. Write with update or
+    * complete mode.
+    */
+  def streamingClusterCounts(vectors: DataFrame,
+                             model: graft.operators.KMeans.Model,
+                             idCol: String, embCol: String): DataFrame =
+    graft.operators.KMeans.assign(vectors, model, idCol, embCol)
+      .groupBy("cluster_id").count()
+
   /** Score documents against a bigram MLE model `(w1, w2, c2)` — the
     * q86 scoring half factored out so a stream can score each batch
     * against a model built from EARLIER data. Returns one row per doc:

@@ -54,6 +54,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (5), (1), (9), (3) AS t(x)""".stripMargin)
         .head().getSeq[Int](0)
       assert(tk == Seq(1, 3))
+      // packed argmin: nearest of two centroids is index 1,
+      // dist 0 → packed = 0*2 + 1
+      val pk = spark.sql(
+        """SELECT graft_centroid_packed_argmin(
+          |  array(cast(3 as bigint), cast(4 as bigint)),
+          |  array(array(cast(0 as bigint), cast(0 as bigint)),
+          |        array(cast(3 as bigint), cast(4 as bigint)))) AS p""".stripMargin)
+        .head().getLong(0)
+      assert(pk == 1L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

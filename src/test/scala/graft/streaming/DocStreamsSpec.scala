@@ -14,6 +14,33 @@ class DocStreamsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("streaming cluster counts equal the batch assignment, across batches") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val model = graft.operators.KMeans
+      .fit(emb, k = 6, iterations = 2).model
+    val wantCounts = graft.operators.KMeans.assign(emb, model)
+      .groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val tmp = Files.createTempDirectory("clustercounts").toFile.getAbsolutePath
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/src/b1")
+    emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/src/b2")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingClusterCounts(stream, model, "vec_id", "embedding")
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("cluster_counts").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cluster_counts")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == wantCounts)
+  }
+
   test("streaming bigram gate scores each batch against the prior model") {
     import org.apache.spark.sql.functions._
     val b1Texts = Seq(
