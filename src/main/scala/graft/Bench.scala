@@ -56,7 +56,9 @@ object Bench {
     "q80_group_zscore", "q81_token_ids", "q82_winnow_dedup",
     "q83_bpe_train", "q84_bpe_encode", "q85_pack_bpe",
     "q86_bigram_logprob", "q87_source_quota", "q88_dup_pagerank",
-    "q89_char_entropy", "q90_contamination_rate", "q91_canonical_pick")
+    "q89_char_entropy", "q90_contamination_rate", "q91_canonical_pick",
+    "q92_kmeans", "q93_top_ngram_frac", "q94_mix_resample",
+    "q95_segment_rebuild", "q96_embed_whiten")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run
