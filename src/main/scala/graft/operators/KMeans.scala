@@ -54,6 +54,49 @@ object KMeans {
 
   final case class Result(assignments: DataFrame, model: Model)
 
+  /** Seed-selection strategy for [[fit]]. Both variants are fully
+    * deterministic and SQL-replayable — no RNG state anywhere.
+    */
+  sealed trait Seeding
+  object Seeding {
+    /** k lowest-id vectors — O(1) extra cost, quality-blind (all k
+      * seeds can land in one dense region).
+      */
+    case object LowestId extends Seeding
+
+    /** Deterministic kmeans++-style D²-weighted seeding: the first seed
+      * is the lowest-id vector; each subsequent ROUND scores every
+      * point by `priority = D²(x) * 2^24 / (u(x)+1)` — D²(x) the exact
+      * integer squared distance to the nearest already-chosen seed,
+      * u(x) a content-keyed md5 uniform — and takes the top
+      * `ceil(remaining/roundsLeft)` priorities. Priority sampling
+      * (Duffield–Lund–Thorup, the q68 pattern) gives the
+      * D²-proportional inclusion of kmeans++ without an RNG: one IEEE
+      * multiply + one IEEE divide, both exactly-rounded, so Spark and
+      * the SQL replay agree bit-for-bit. Batching `quota` picks per
+      * round is the kmeans|| move (Bahmani et al., VLDB'12): `rounds`
+      * extra passes instead of k-1. Each pass is map-only
+      * (CentroidPackedArgmin) + TakeOrdered of `quota` rows.
+      */
+    final case class DSquaredPriority(rounds: Int = 2) extends Seeding {
+      require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    }
+  }
+
+  /** Per-round pick quotas for [[Seeding.DSquaredPriority]]: spread the
+    * k-1 non-initial seeds evenly, front-loaded (`ceil` then re-split).
+    * Shared by the operator and the SQL generator so the replay is
+    * exact.
+    */
+  private def seedQuotas(k: Int, rounds: Int): Seq[Int] = {
+    var remaining = k - 1
+    (1 to rounds).map { r =>
+      val q = math.ceil(remaining.toDouble / (rounds - r + 1)).toInt
+      remaining -= q
+      q
+    }.filter(_ > 0)
+  }
+
   /** @param assignCols output column names (id, cluster_id, dist) —
     *        `dist` is the squared L2 distance in fixed-point units
     *        (scale²) to the assigned centroid of the LAST iteration's
@@ -65,7 +108,8 @@ object KMeans {
       iterations: Int,
       scale: Long = 1000000L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Result = {
+      vecCol: String = "embedding",
+      seeding: Seeding = Seeding.LowestId): Result = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val spark = df.sparkSession
@@ -75,10 +119,12 @@ object KMeans {
           x => floor(x.cast("double") * lit(scale.toDouble))).as("fv"))
       .persist()
     try {
-      val initRows = fixed.orderBy("id").limit(k).collect()
-      require(initRows.nonEmpty, "k-means needs at least one input row")
-      var cents: Array[Array[Long]] =
-        initRows.map(_.getSeq[Long](1).toArray)
+      var cents: Array[Array[Long]] = seeding match {
+        case Seeding.LowestId => seedLowestId(fixed, k)
+        case Seeding.DSquaredPriority(rounds) =>
+          seedDSquared(fixed, k, rounds)
+      }
+      require(cents.nonEmpty, "k-means needs at least one input row")
       val kk = cents.length // k clamped to the row count
       val dim = cents(0).length
 
@@ -120,6 +166,45 @@ object KMeans {
     } finally fixed.unpersist(blocking = false)
   }
 
+  private def seedLowestId(fixed: DataFrame, k: Int): Array[Array[Long]] =
+    fixed.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+
+  /** [[Seeding.DSquaredPriority]] selection over the quantized input.
+    * Cost: `rounds` map-only distance passes + TakeOrdered collects of
+    * ≤ k rows each — the driver holds only the k×d seed matrix, same
+    * footprint [[fit]] already requires. Points at exact distance 0
+    * from a chosen seed (byte-identical vectors) are excluded, so the
+    * seed set never contains duplicates; if the corpus has fewer than
+    * k distinct vectors the seed set (and k) shrinks.
+    */
+  private def seedDSquared(fixed: DataFrame, k: Int,
+                           rounds: Int): Array[Array[Long]] = {
+    val spark = fixed.sparkSession
+    var cents = seedLowestId(fixed, 1)
+    if (cents.isEmpty) return cents
+    seedQuotas(k, rounds).zipWithIndex.foreach { case (quota, r0) =>
+      val r = r0 + 1
+      val kk = cents.length
+      val pack = CentroidPackedArgmin(spark, col("fv"), cents)
+      val u = conv(substring(
+        md5(concat(col("id").cast("string"), lit(s":seed$r"))), 1, 6),
+        16, 10).cast("long")
+      val picked = fixed
+        .select(col("id"), col("fv"), pack.as("p"))
+        .select(col("id"), col("fv"), expr(s"p DIV $kk").as("dist"))
+        .where(col("dist") > 0)
+        .select(col("id"), col("fv"),
+          (col("dist").cast("double") * lit(16777216.0) / (u + lit(1L)))
+            .as("priority"))
+        .orderBy(desc("priority"), asc("id"))
+        .limit(quota)
+        .collect()
+      cents = cents ++ picked.map(_.getSeq[Long](1).toArray)
+    }
+    cents
+  }
+
   /** Assignment-only pass against a trained model (e.g. routing query
     * vectors to IVF lists): map-only, no shuffle.
     */
@@ -137,12 +222,14 @@ object KMeans {
   }
 
   /** ANSI-SQL replay of [[fit]]'s final assignment with the iterations
-    * UNROLLED as chained CTEs (the [[PageRank.pagerankSql]] pattern).
-    * Yields columns (<id>, cluster_id, dist) unordered; the caller
-    * appends ORDER BY. `table(id, vec)` must hold a float-array column.
+    * (and, for [[Seeding.DSquaredPriority]], the seed rounds) UNROLLED
+    * as chained CTEs (the [[PageRank.pagerankSql]] pattern). Yields
+    * columns (<id>, cluster_id, dist) unordered; the caller appends
+    * ORDER BY. `table(id, vec)` must hold a float-array column.
     */
   def kmeansSql(table: String, id: String, vec: String,
-                k: Int, iterations: Int, scale: Long = 1000000L): String = {
+                k: Int, iterations: Int, scale: Long = 1000000L,
+                seeding: Seeding = Seeding.LowestId): String = {
     val iters = (1 to iterations).map { i =>
       s"""a$i AS (
          | SELECT $id, cid, dist FROM (
@@ -160,14 +247,51 @@ object KMeans {
          |            GROUP BY a.cid, f.d) s ON s.cid = p.cid AND s.d = p.d)"""
         .stripMargin
     }.mkString(",\n")
+    val seedCtes = seeding match {
+      case Seeding.LowestId =>
+        s"""init AS (SELECT $id FROM $table ORDER BY $id LIMIT $k),
+           |c0 AS (
+           | SELECT CAST(dense_rank() OVER (ORDER BY $id) - 1 AS INTEGER) AS cid, d, v
+           | FROM fx WHERE $id IN (SELECT $id FROM init))""".stripMargin
+      case Seeding.DSquaredPriority(rounds) =>
+        val quotas = seedQuotas(k, rounds)
+        var offset = 1
+        val roundCtes = quotas.zipWithIndex.map { case (q, r0) =>
+          val r = r0 + 1
+          val cte =
+            s"""sd$r AS (
+               | SELECT sid, MIN(dd) AS dist FROM (
+               |   SELECT f.$id AS sid, c.cid, SUM((f.v - c.v)*(f.v - c.v)) AS dd
+               |   FROM fx f JOIN s${r - 1} c ON f.d = c.d
+               |   GROUP BY f.$id, c.cid) t GROUP BY sid),
+               |sp$r AS (
+               | SELECT sid, CAST(dist AS DOUBLE) * 16777216.0
+               |   / (('0x' || substr(md5(sid::VARCHAR || ':seed$r'), 1, 6))::BIGINT + 1)
+               |   AS priority
+               | FROM sd$r WHERE dist > 0
+               | ORDER BY priority DESC, sid LIMIT $q),
+               |sr$r AS (
+               | SELECT sid, CAST($offset + row_number() OVER (ORDER BY priority DESC, sid) - 1
+               |   AS INTEGER) AS cid
+               | FROM sp$r),
+               |sn$r AS (
+               | SELECT r.cid, f.d, f.v FROM sr$r r JOIN fx f ON f.$id = r.sid),
+               |s$r AS (SELECT cid, d, v FROM s${r - 1}
+               |        UNION ALL SELECT cid, d, v FROM sn$r)""".stripMargin
+          offset += q
+          cte
+        }.mkString(",\n")
+        s"""s0 AS (
+           | SELECT CAST(0 AS INTEGER) AS cid, d, v FROM fx
+           | WHERE $id = (SELECT min($id) FROM $table)),
+           |$roundCtes,
+           |c0 AS (SELECT cid, d, v FROM s${quotas.length})""".stripMargin
+    }
     s"""WITH fx AS (
        | SELECT $id, CAST(d AS INTEGER) AS d,
        |   CAST(floor(CAST($vec[d] AS DOUBLE) * $scale) AS BIGINT) AS v
        | FROM $table, unnest(range(1, len($vec) + 1)) AS t(d)),
-       |init AS (SELECT $id FROM $table ORDER BY $id LIMIT $k),
-       |c0 AS (
-       | SELECT CAST(dense_rank() OVER (ORDER BY $id) - 1 AS INTEGER) AS cid, d, v
-       | FROM fx WHERE $id IN (SELECT $id FROM init)),
+       |$seedCtes,
        |$iters
        |SELECT $id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist
        |FROM a$iterations""".stripMargin

@@ -384,6 +384,27 @@ object EmbeddingQueries {
     graft.operators.KMeans.kmeansSql("embeddings", "vec_id", "embedding",
       k = 8, iterations = 3) + "\nORDER BY vec_id"
 
+  /** q97 — k-means with deterministic D²-priority seeding (k=8, 2 seed
+    * rounds, 3 Lloyd iterations): the kmeans++/kmeans||-quality init
+    * without an RNG — seed rounds pick top D²-weighted md5-priorities
+    * (see [[graft.operators.KMeans.Seeding.DSquaredPriority]]), then
+    * Lloyd runs exactly as in q92. Spread-out seeds converge in fewer
+    * iterations and avoid q92's failure mode of all-lowest-id seeds
+    * landing in one dense region. Oracle unrolls BOTH the seed rounds
+    * and the iterations as chained CTEs.
+    */
+  def q97(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.fit(Tables.embeddings(s, dir), k = 8,
+      iterations = 3,
+      seeding = graft.operators.KMeans.Seeding.DSquaredPriority(rounds = 2))
+      .assignments.orderBy("vec_id")
+
+  val q97Sql: String =
+    graft.operators.KMeans.kmeansSql("embeddings", "vec_id", "embedding",
+      k = 8, iterations = 3,
+      seeding = graft.operators.KMeans.Seeding.DSquaredPriority(rounds = 2)) +
+      "\nORDER BY vec_id"
+
   /** q96 — per-dimension whitening statistics (count, mean, population
     * std per embedding dimension): the normalization table every
     * embedding-space pipeline fits before cosine/L2 work — apply is a
@@ -424,6 +445,7 @@ object EmbeddingQueries {
       |FROM a ORDER BY d""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_kmeans_seeded" -> (q97 _),
     "q96_embed_whiten" -> (q96 _),
     "q92_kmeans" -> (q92 _),
     "q64_label_cohesion" -> (q64 _),
@@ -439,6 +461,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q97_kmeans_seeded" -> q97Sql,
     "q96_embed_whiten" -> q96Sql,
     "q92_kmeans" -> q92Sql,
     "q64_label_cohesion" -> q64Sql,

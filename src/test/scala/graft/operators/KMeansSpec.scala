@@ -14,11 +14,12 @@ class KMeansSpec extends AnyFunSuite {
     */
   private def reference(
       data: Seq[(Long, Seq[Float])], k: Int, iterations: Int,
-      scale: Long): Map[Long, (Int, Long)] = {
+      scale: Long, init: Seq[Array[Long]] = Nil): Map[Long, (Int, Long)] = {
     val fx = data.map { case (id, v) =>
       id -> v.map(x => math.floor(x.toDouble * scale).toLong).toArray
     }.sortBy(_._1)
-    var cents = fx.take(k).map(_._2.map(identity))
+    var cents =
+      if (init.nonEmpty) init else fx.take(k).map(_._2.map(identity))
     var out = Map.empty[Long, (Int, Long)]
     for (_ <- 1 to iterations) {
       val assigned = fx.map { case (id, v) =>
@@ -88,6 +89,85 @@ class KMeansSpec extends AnyFunSuite {
     val plan = res.assignments.queryExecution.executedPlan.toString
     assert(plan.contains("graft_centroid_packed_argmin"), plan)
     assert(!plan.contains("UDF"), s"Scala UDF leaked into the plan:\n$plan")
+  }
+
+  /** Independent replica of the D²-priority seed selection. */
+  private def seedRef(data: Seq[(Long, Seq[Float])], k: Int, rounds: Int,
+                      scale: Long): Seq[Array[Long]] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fx = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale).toLong).toArray
+    }.sortBy(_._1)
+    var cents: Seq[Array[Long]] = fx.take(1).map(_._2)
+    var remaining = k - 1
+    for (r <- 1 to rounds if remaining > 0) {
+      val quota = math.ceil(remaining.toDouble / (rounds - r + 1)).toInt
+      val picked = fx.map { case (id, v) =>
+        val d2 = cents.map(c => v.zip(c).map { case (a, b) =>
+          (a - b) * (a - b) }.sum).min
+        (id, v, d2)
+      }.filter(_._3 > 0).map { case (id, v, d2) =>
+        val u = java.lang.Long.parseLong(
+          md5hex(s"$id:seed$r").take(6), 16)
+        (id, v, d2.toDouble * 16777216.0 / (u + 1))
+      }.sortBy { case (id, _, p) => (-p, id) }.take(quota)
+      cents = cents ++ picked.map(_._2)
+      remaining -= picked.size
+    }
+    cents
+  }
+
+  test("D²-priority seeding matches the independent replica end-to-end") {
+    val raw = loadRaw()
+    val res = KMeans.fit(Tables.embeddings(spark, dir), k = 8,
+      iterations = 2, seeding = KMeans.Seeding.DSquaredPriority(rounds = 2))
+    val got = res.assignments.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val seeds = seedRef(raw, k = 8, rounds = 2, scale = 1000000L)
+    assert(seeds.length == 8)
+    val want = reference(raw, k = 8, iterations = 2, scale = 1000000L,
+      init = seeds)
+    assert(got == want)
+  }
+
+  test("seeded fit is identical under a different partitioning") {
+    val base = Tables.embeddings(spark, dir)
+    val s = KMeans.Seeding.DSquaredPriority(rounds = 2)
+    val a = KMeans.fit(base, k = 6, iterations = 2, seeding = s).assignments
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val b = KMeans.fit(base.repartition(17, col("vec_id")), k = 6,
+      iterations = 2, seeding = s).assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("D² seeding beats lowest-id init when the lowest ids are co-located") {
+    import spark.implicits._
+    // Three tight, well-separated blobs; the k lowest ids are IDENTICAL
+    // vectors inside blob A, so lowest-id init collapses every centroid
+    // onto one point (ties all go to cid 0 and never escape), while the
+    // D²-weighted seeds must land in the far blobs (their priorities
+    // dominate: D² ~ 1e12 vs intra-blob ~ 1e8).
+    def blob(ids: Range, base: Float): Seq[(Long, Seq[Float])] =
+      ids.map(i => (i.toLong, Seq.tabulate(4)(d =>
+        base + 0.001f * ((i * 7 + d * 3) % 5))))
+    val data = blob(0 to 9, 0.10f).map { case (id, _) =>
+      (id, Seq.fill(4)(0.10f)) } ++ // exact duplicates: ids 0..9
+      blob(10 to 19, 0.50f) ++ blob(20 to 29, 0.90f)
+    val df = data.toDF("vec_id", "embedding")
+    def cost(seeding: KMeans.Seeding): Long =
+      KMeans.fit(df, k = 3, iterations = 2, seeding = seeding)
+        .assignments.agg(sum("dist")).collect()(0).getLong(0)
+    val lowest = cost(KMeans.Seeding.LowestId)
+    val seeded = cost(KMeans.Seeding.DSquaredPriority(rounds = 2))
+    assert(seeded < lowest,
+      s"seeded cost $seeded should beat lowest-id cost $lowest")
+    // and the seed set contains no duplicate centroids
+    val m = KMeans.fit(df, k = 3, iterations = 1,
+      seeding = KMeans.Seeding.DSquaredPriority(rounds = 2)).model
+    assert(m.centroids.map(_.toSeq).distinct.length == m.centroids.length)
   }
 
   test("assign routes every vector to a valid cluster, map-only") {
