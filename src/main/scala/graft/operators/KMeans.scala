@@ -205,6 +205,119 @@ object KMeans {
     cents
   }
 
+  /** Mini-batch k-means (Sculley, WWW'10) in the same fixed-point,
+    * fully deterministic regime as [[fit]]: each iteration assigns only
+    * a deterministic hash-sampled subset — rows where the md5 uniform
+    * keyed by (id, iteration) falls below `fraction * 2^24` — and
+    * folds the batch into CUMULATIVE per-cluster sums; centroid =
+    * `floorDiv(S_c, N_c)` over every point the cluster has absorbed so
+    * far (the running-mean form of Sculley's per-point 1/n_c learning
+    * rate, batched). A cluster that has absorbed nothing keeps its
+    * seed. After the sampled iterations, one full map-only pass
+    * assigns every row against the final model.
+    *
+    * Why: full Lloyd scans the corpus `iterations` times; at 100 TB the
+    * scan IS the cost. Mini-batch cuts per-iteration cost to
+    * `fraction` of the scan with near-identical converged centroids on
+    * typical corpora. Per-iteration sample membership is re-keyed by
+    * iteration (`:mb$i`), so iterations see different subsets — no RNG,
+    * no `sample()` (whose output depends on partitioning), stable
+    * under repartition and engine replay ([[minibatchSql]], q98).
+    *
+    * The cumulative-sum magnitudes are checked to stay below 2^52:
+    * above that, `floor(CAST(s AS DOUBLE)/n)` in the SQL replay could
+    * diverge from exact `floorDiv` (double rounding crosses the
+    * integer boundary only when |s| ≥ 2^52); violation throws rather
+    * than silently degrading the replay guarantee.
+    */
+  def fitMiniBatch(
+      df: DataFrame,
+      k: Int,
+      iterations: Int,
+      fraction: Double,
+      scale: Long = 1000000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seeding: Seeding = Seeding.LowestId): Result = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val spark = df.sparkSession
+    val thresh = mbThreshold(fraction)
+
+    val fixed = df.select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(scale.toDouble))).as("fv"))
+      .persist()
+    try {
+      val seedCents: Array[Array[Long]] = seeding match {
+        case Seeding.LowestId => seedLowestId(fixed, k)
+        case Seeding.DSquaredPriority(rounds) =>
+          seedDSquared(fixed, k, rounds)
+      }
+      require(seedCents.nonEmpty, "k-means needs at least one input row")
+      val kk = seedCents.length
+      val dim = seedCents(0).length
+      var cents = seedCents.map(_.clone())
+      val accS = Array.fill(kk)(Array.fill(dim)(0L))
+      val accN = Array.fill(kk)(0L)
+      var runMaxAbs = seedCents.map(_.map(math.abs).max).max
+
+      val maxAbsCol = max(aggregate(col("fv"), lit(0L),
+        (acc, x) => greatest(acc, abs(x)))).as("ma")
+      val aggExprs = count(lit(1)).as("cnt") +: maxAbsCol +:
+        (0 until dim).map(i => sum(col("fv").getItem(i)).as(s"s$i"))
+
+      for (i <- 1 to iterations) {
+        val u = conv(substring(
+          md5(concat(col("id").cast("string"), lit(s":mb$i"))), 1, 6),
+          16, 10).cast("long")
+        val pack = CentroidPackedArgmin(spark, col("fv"), cents)
+        val rows = fixed.where(u < lit(thresh))
+          .select(col("fv"), pack.as("p"))
+          .select(col("fv"), (col("p") % kk).cast("int").as("cid"))
+          .groupBy("cid").agg(aggExprs.head, aggExprs.tail: _*)
+          .collect()
+        if (rows.nonEmpty)
+          runMaxAbs = math.max(runMaxAbs, rows.map(_.getLong(2)).max)
+        val bound = BigInt(dim) * BigInt(2 * runMaxAbs).pow(2) * kk
+        require(bound < BigInt(Long.MaxValue),
+          s"fixed-point overflow: d=$dim, k=$kk, maxAbs=$runMaxAbs at " +
+            s"scale=$scale exceeds 2^63 — lower `scale`")
+        rows.foreach { r =>
+          val c = r.getInt(0)
+          accN(c) += r.getLong(1)
+          var d = 0
+          while (d < dim) {
+            accS(c)(d) += r.getLong(3 + d)
+            require(math.abs(accS(c)(d)) < (1L << 52),
+              s"cumulative sum |S($c)($d)| reached 2^52 — the SQL " +
+                "double-floor replay would no longer be exact; lower `scale`")
+            d += 1
+          }
+        }
+        cents = Array.tabulate(kk)(c => Array.tabulate(dim)(d =>
+          if (accN(c) > 0) Math.floorDiv(accS(c)(d), accN(c))
+          else seedCents(c)(d)))
+      }
+
+      val pack = CentroidPackedArgmin(spark, col("fv"), cents)
+      val lastAssign = fixed.select(col("id"), pack.as("p"))
+        .select(col("id").as(idCol),
+          (col("p") % kk).cast("int").as("cluster_id"),
+          expr(s"p DIV $kk").as("dist"))
+      Result(lastAssign, Model(cents, scale))
+    } finally fixed.unpersist(blocking = false)
+  }
+
+  /** Sample-inclusion threshold shared by [[fitMiniBatch]] and
+    * [[minibatchSql]]: a row is in iteration i's batch iff its 24-bit
+    * md5 uniform is strictly below this.
+    */
+  private def mbThreshold(fraction: Double): Long =
+    math.floor(fraction * 16777216.0).toLong
+
   /** Assignment-only pass against a trained model (e.g. routing query
     * vectors to IVF lists): map-only, no shuffle.
     */
@@ -247,7 +360,23 @@ object KMeans {
          |            GROUP BY a.cid, f.d) s ON s.cid = p.cid AND s.d = p.d)"""
         .stripMargin
     }.mkString(",\n")
-    val seedCtes = seeding match {
+    val seedCtes = seedSql(table, id, k, seeding)
+    s"""WITH fx AS (
+       | SELECT $id, CAST(d AS INTEGER) AS d,
+       |   CAST(floor(CAST($vec[d] AS DOUBLE) * $scale) AS BIGINT) AS v
+       | FROM $table, unnest(range(1, len($vec) + 1)) AS t(d)),
+       |$seedCtes,
+       |$iters
+       |SELECT $id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist
+       |FROM a$iterations""".stripMargin
+  }
+
+  /** The `c0` seed-centroid CTE chain (assumes a preceding `fx` CTE),
+    * shared by [[kmeansSql]] and [[minibatchSql]].
+    */
+  private def seedSql(table: String, id: String, k: Int,
+                      seeding: Seeding): String =
+    seeding match {
       case Seeding.LowestId =>
         s"""init AS (SELECT $id FROM $table ORDER BY $id LIMIT $k),
            |c0 AS (
@@ -287,13 +416,56 @@ object KMeans {
            |$roundCtes,
            |c0 AS (SELECT cid, d, v FROM s${quotas.length})""".stripMargin
     }
+
+  /** ANSI-SQL replay of [[fitMiniBatch]]: seed CTEs, then per iteration
+    * a sampled-membership CTE, a min-dist assignment, batch sums, a
+    * CUMULATIVE state fold (`g_i`), and the recomputed centroids
+    * (`c_i`); finally one unsampled assignment pass against the last
+    * centroids. Yields (<id>, cluster_id, dist) unordered.
+    */
+  def minibatchSql(table: String, id: String, vec: String,
+                   k: Int, iterations: Int, fraction: Double,
+                   scale: Long = 1000000L,
+                   seeding: Seeding = Seeding.LowestId): String = {
+    val thresh = mbThreshold(fraction)
+    val iters = (1 to iterations).map { i =>
+      s"""m$i AS (
+         | SELECT $id AS mid FROM $table
+         | WHERE (('0x' || substr(md5($id::VARCHAR || ':mb$i'), 1, 6))::BIGINT) < $thresh),
+         |a$i AS (
+         | SELECT sid, cid FROM (
+         |   SELECT sid, cid,
+         |     row_number() OVER (PARTITION BY sid ORDER BY dist, cid) AS rn
+         |   FROM (SELECT f.$id AS sid, c.cid, SUM((f.v - c.v)*(f.v - c.v)) AS dist
+         |         FROM fx f JOIN m$i ON f.$id = m$i.mid
+         |         JOIN c${i - 1} c ON f.d = c.d
+         |         GROUP BY f.$id, c.cid) dd) r WHERE rn = 1),
+         |t$i AS (
+         | SELECT a.cid, f.d, SUM(f.v) AS sv, COUNT(*) AS cnt
+         | FROM a$i a JOIN fx f ON a.sid = f.$id GROUP BY a.cid, f.d),
+         |g$i AS (
+         | SELECT g.cid, g.d, g.s + coalesce(t.sv, 0) AS s,
+         |        g.n + coalesce(t.cnt, 0) AS n
+         | FROM g${i - 1} g LEFT JOIN t$i t ON t.cid = g.cid AND t.d = g.d),
+         |c$i AS (
+         | SELECT g.cid, g.d,
+         |   CASE WHEN g.n > 0 THEN CAST(floor(CAST(g.s AS DOUBLE) / g.n) AS BIGINT)
+         |        ELSE c0.v END AS v
+         | FROM g$i g JOIN c0 ON c0.cid = g.cid AND c0.d = g.d)"""
+        .stripMargin
+    }.mkString(",\n")
     s"""WITH fx AS (
        | SELECT $id, CAST(d AS INTEGER) AS d,
        |   CAST(floor(CAST($vec[d] AS DOUBLE) * $scale) AS BIGINT) AS v
        | FROM $table, unnest(range(1, len($vec) + 1)) AS t(d)),
-       |$seedCtes,
+       |${seedSql(table, id, k, seeding)},
+       |g0 AS (SELECT cid, d, CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS n FROM c0),
        |$iters
-       |SELECT $id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist
-       |FROM a$iterations""".stripMargin
+       |SELECT $id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist FROM (
+       | SELECT $id, cid, dist,
+       |   row_number() OVER (PARTITION BY $id ORDER BY dist, cid) AS rn
+       | FROM (SELECT f.$id, c.cid, SUM((f.v - c.v)*(f.v - c.v)) AS dist
+       |       FROM fx f JOIN c$iterations c ON f.d = c.d
+       |       GROUP BY f.$id, c.cid) dd) r WHERE rn = 1""".stripMargin
   }
 }

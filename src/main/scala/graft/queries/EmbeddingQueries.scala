@@ -405,6 +405,25 @@ object EmbeddingQueries {
       seeding = graft.operators.KMeans.Seeding.DSquaredPriority(rounds = 2)) +
       "\nORDER BY vec_id"
 
+  /** q98 — mini-batch k-means (k=8, 3 iterations, 50% deterministic
+    * hash-sampled batches): the scan-cost-bounded variant of q92 —
+    * each iteration touches only the md5-sampled half of the corpus
+    * and folds it into cumulative per-cluster sums (Sculley's
+    * running-mean update, batched; see
+    * [[graft.operators.KMeans.fitMiniBatch]]). At 100 TB this turns
+    * `iterations` full scans into `iterations * fraction` — the
+    * assignment pass stays map-only codegen either way. Oracle replays
+    * sampling, cumulative state, and the final full assignment as
+    * chained CTEs.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.fitMiniBatch(Tables.embeddings(s, dir), k = 8,
+      iterations = 3, fraction = 0.5).assignments.orderBy("vec_id")
+
+  val q98Sql: String =
+    graft.operators.KMeans.minibatchSql("embeddings", "vec_id", "embedding",
+      k = 8, iterations = 3, fraction = 0.5) + "\nORDER BY vec_id"
+
   /** q96 — per-dimension whitening statistics (count, mean, population
     * std per embedding dimension): the normalization table every
     * embedding-space pipeline fits before cosine/L2 work — apply is a
@@ -445,6 +464,7 @@ object EmbeddingQueries {
       |FROM a ORDER BY d""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_kmeans_minibatch" -> (q98 _),
     "q97_kmeans_seeded" -> (q97 _),
     "q96_embed_whiten" -> (q96 _),
     "q92_kmeans" -> (q92 _),
@@ -461,6 +481,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q98_kmeans_minibatch" -> q98Sql,
     "q97_kmeans_seeded" -> q97Sql,
     "q96_embed_whiten" -> q96Sql,
     "q92_kmeans" -> q92Sql,

@@ -170,6 +170,78 @@ class KMeansSpec extends AnyFunSuite {
     assert(m.centroids.map(_.toSeq).distinct.length == m.centroids.length)
   }
 
+  /** Independent replica of the mini-batch fit (cumulative-sum form). */
+  private def minibatchRef(data: Seq[(Long, Seq[Float])], k: Int,
+                           iterations: Int, fraction: Double,
+                           scale: Long): Map[Long, (Int, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val thresh = math.floor(fraction * 16777216.0).toLong
+    val fx = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * scale).toLong).toArray
+    }.sortBy(_._1)
+    val seeds = fx.take(k).map(_._2)
+    val kk = seeds.length
+    val dim = seeds.head.length
+    var cents = seeds.map(_.clone())
+    val s = Array.fill(kk)(Array.fill(dim)(0L))
+    val n = Array.fill(kk)(0L)
+    def nearest(v: Array[Long]): (Int, Long) =
+      cents.zipWithIndex.map { case (c, ci) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, ci)
+      }.min.swap
+    for (i <- 1 to iterations) {
+      val batch = fx.filter { case (id, _) =>
+        java.lang.Long.parseLong(md5hex(s"$id:mb$i").take(6), 16) < thresh }
+      batch.foreach { case (_, v) =>
+        val (ci, _) = nearest(v)
+        n(ci) += 1
+        v.indices.foreach(d => s(ci)(d) += v(d))
+      }
+      cents = Array.tabulate(kk)(c => Array.tabulate(dim)(d =>
+        if (n(c) > 0) Math.floorDiv(s(c)(d), n(c)) else seeds(c)(d)))
+    }
+    fx.map { case (id, v) =>
+      val (ci, d2) = nearest(v); id -> (ci, d2)
+    }.toMap
+  }
+
+  test("mini-batch fit matches the independent cumulative-sum replica") {
+    val raw = loadRaw()
+    val res = KMeans.fitMiniBatch(Tables.embeddings(spark, dir), k = 8,
+      iterations = 3, fraction = 0.5)
+    val got = res.assignments.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val want = minibatchRef(raw, k = 8, iterations = 3, fraction = 0.5,
+      scale = 1000000L)
+    assert(got == want)
+  }
+
+  test("mini-batch fit is identical under a different partitioning") {
+    val base = Tables.embeddings(spark, dir)
+    val a = KMeans.fitMiniBatch(base, k = 5, iterations = 2, fraction = 0.4)
+      .assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val b = KMeans.fitMiniBatch(base.repartition(17, col("vec_id")), k = 5,
+      iterations = 2, fraction = 0.4).assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("mini-batch converges near full Lloyd's cost on the same data") {
+    val base = Tables.embeddings(spark, dir)
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum("dist")).collect()(0).getLong(0).toDouble
+    val full = total(KMeans.fit(base, k = 8, iterations = 3).assignments)
+    val mini = total(KMeans.fitMiniBatch(base, k = 8, iterations = 3,
+      fraction = 0.5).assignments)
+    // Half-corpus batches should land within 10% of full Lloyd's
+    // within-cluster cost after the same number of iterations.
+    assert(mini <= full * 1.10,
+      s"mini-batch cost $mini vs full Lloyd $full exceeds the 10% band")
+  }
+
   test("assign routes every vector to a valid cluster, map-only") {
     val emb = Tables.embeddings(spark, dir)
     val model = KMeans.fit(emb, k = 6, iterations = 2).model
