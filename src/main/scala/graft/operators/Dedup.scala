@@ -238,6 +238,52 @@ object Dedup {
     * point dispatches on it. Callers with a known-separable threshold can
     * still call [[embedNearDupLsh]] with explicit parameters.
     */
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    * clustering first and comparing pairs only WITHIN clusters — the
+    * embedding-space analog of LSH bucketing, with the clusters doing
+    * the pruning. A k-means pass ([[KMeans.fit]], deterministic
+    * fixed-point) partitions the corpus into k cells; all-pairs cosine
+    * runs per cell, so total pair work is Σ|c_i|² instead of n² —
+    * at 100 TB pick k so the expected cell size keeps Σ|c_i|²
+    * tractable (k ~ n/√n keeps it ~n^1.5). Keep rule: a vector is
+    * dropped iff some LOWER-id vector in the SAME cell has cosine ≥
+    * `threshold` to it (keep-first, the q04/q50 convention; the paper
+    * keeps the point farthest from the centroid — id order is
+    * reproducible under re-clustering, which matters more for
+    * training-data provenance).
+    *
+    * Plan shape: one cluster-keyed shuffle for the self-join (both
+    * sides hash-partition on `cluster_id`), the codegen cosine kernel
+    * in the join filter, a distinct on dropped ids, and a final id-keyed
+    * left join to flag survivors. The known caveat — one giant cluster
+    * re-creating the n² blowup — is the k-choice's responsibility;
+    * pair work is always bounded by the largest cell.
+    *
+    * Output: (idCol, cluster_id, kept) — one row per input vector.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, embCol: String,
+                    k: Int, iterations: Int, threshold: Double,
+                    seeding: KMeans.Seeding = KMeans.Seeding.LowestId): DataFrame = {
+    val spark = vectors.sparkSession
+    val asg = KMeans.fit(vectors, k, iterations, idCol = idCol,
+        vecCol = embCol, seeding = seeding)
+      .assignments.select(col(idCol), col("cluster_id"))
+    val withC = vectors.select(col(idCol), col(embCol)).join(asg, Seq(idCol))
+    val a = withC.select(col("cluster_id"), col(idCol).as("ida"),
+      col(embCol).as("ea"))
+    val b = withC.select(col("cluster_id"), col(idCol).as("idb"),
+      col(embCol).as("eb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .where(col("ida") < col("idb"))
+      .where(graft.functions.CosineSimilarity(spark, col("ea"), col("eb"))
+        >= threshold)
+      .select(col("idb").as(idCol)).distinct()
+    withC.select(col(idCol), col("cluster_id"))
+      .join(dropped.withColumn("dropFlag", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        col("dropFlag").isNull.as("kept"))
+  }
+
   def embedNearDup(vectors: DataFrame, idCol: String, embCol: String,
                    threshold: Double, missProb: Double = 1e-5): DataFrame =
     bandingFor(threshold, missProb) match {

@@ -424,6 +424,40 @@ object EmbeddingQueries {
     graft.operators.KMeans.minibatchSql("embeddings", "vec_id", "embedding",
       k = 8, iterations = 3, fraction = 0.5) + "\nORDER BY vec_id"
 
+  /** q99 — SemDeDup: semantic dedup via cluster-then-compare (see
+    * [[graft.operators.Dedup.semanticDedup]]) — k-means cells bound the
+    * pairwise cosine work to Σ|cell|² instead of n², and the keep-first
+    * rule flags which vector of each semantic-dup pair survives. The
+    * oracle nests the full unrolled k-means replay as a CTE and
+    * re-derives the same within-cell pairs and keep flags.
+    */
+  def q99(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.semanticDedup(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 8, iterations = 2, threshold = 0.45)
+      .orderBy("vec_id")
+
+  val q99Sql: String = {
+    val kmeans = graft.operators.KMeans.kmeansSql(
+      "embeddings", "vec_id", "embedding", k = 8, iterations = 2)
+    s"""WITH asg AS (
+       |$kmeans
+       |),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM embeddings),
+       |w AS (SELECT a.vec_id, a.cluster_id, v.e
+       |      FROM asg a JOIN v ON v.vec_id = a.vec_id),
+       |p AS (SELECT x.vec_id AS ida, y.vec_id AS idb
+       |      FROM w x JOIN w y
+       |        ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+       |      WHERE list_sum(list_transform(range(1, len(x.e) + 1), i -> x.e[i] * y.e[i]))
+       |        / (sqrt(list_sum(list_transform(range(1, len(x.e) + 1), i -> x.e[i] * x.e[i])))
+       |           * sqrt(list_sum(list_transform(range(1, len(y.e) + 1), i -> y.e[i] * y.e[i])))) >= 0.45),
+       |d AS (SELECT DISTINCT idb FROM p)
+       |SELECT w.vec_id, w.cluster_id, (d.idb IS NULL) AS kept
+       |FROM w LEFT JOIN d ON w.vec_id = d.idb
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q96 — per-dimension whitening statistics (count, mean, population
     * std per embedding dimension): the normalization table every
     * embedding-space pipeline fits before cosine/L2 work — apply is a
@@ -464,6 +498,7 @@ object EmbeddingQueries {
       |FROM a ORDER BY d""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_semantic_dedup" -> (q99 _),
     "q98_kmeans_minibatch" -> (q98 _),
     "q97_kmeans_seeded" -> (q97 _),
     "q96_embed_whiten" -> (q96 _),
@@ -481,6 +516,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q99_semantic_dedup" -> q99Sql,
     "q98_kmeans_minibatch" -> q98Sql,
     "q97_kmeans_seeded" -> q97Sql,
     "q96_embed_whiten" -> q96Sql,

@@ -307,4 +307,35 @@ class OperatorsSpec extends AnyFunSuite {
       assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12)
     }
   }
+
+  test("semanticDedup: keep flags match a local within-cluster replica") {
+    val emb = Tables.embeddings(spark, dir)
+    val thr = 0.45
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      k = 8, iterations = 2, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // cluster truth comes from the already-pinned KMeans.fit
+    val cid = KMeans.fit(emb, k = 8, iterations = 2).assignments
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(out.length == vecs.size) // one row per vector
+    out.foreach { case (id, c, kept) =>
+      assert(c == cid(id))
+      val hasLowerDup = vecs.keys.exists(o =>
+        o < id && cid(o) == c && cos(vecs(o), vecs(id)) >= thr)
+      assert(kept == !hasLowerDup,
+        s"vec $id kept=$kept but lower-id same-cell dup exists=$hasLowerDup")
+    }
+    // sanity: the threshold actually bites on this data
+    assert(out.exists(!_._3), "expected at least one dropped vector")
+  }
 }
