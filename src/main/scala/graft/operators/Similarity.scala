@@ -245,4 +245,51 @@ object Similarity {
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Per-dimension (min, range) fit for scalar int8 quantization — the
+    * uniform affine quantizer every embedding store ships (FAISS
+    * `ScalarQuantizer` QT_8bit, Milvus/pgvector int8): 4× smaller
+    * vectors, exact-arithmetic encode. One pass; the exchange carries
+    * `dim` rows per map task (partial min/max), never the corpus.
+    * min/max over doubles are comparison-based — exact and
+    * order-independent, so the fitted model is bit-identical across
+    * partitionings and engines (no rounding needed anywhere).
+    */
+  def int8Stats(vectors: DataFrame, vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(posexplode(col(vecCol)).as(Seq("p", "v0")))
+      .select((col("p") + 1).as("d"), col("v0").cast("double").as("v"))
+      .groupBy("d")
+      .agg(min("v").as("mn"), (max("v") - min("v")).as("rng"))
+
+  /** Map-only scalar int8 encode against the broadcast [[int8Stats]]
+    * model: `code = clamp(floor((v − mn) / rng · 255), 0, 255)` and the
+    * midpoint dequantizer `v̂ = mn + (code + 0.5) · rng / 256`, with the
+    * per-vector reconstruction MSE. Every step is a fixed left-to-right
+    * chain of single IEEE double ops on exactly-reproducible inputs, so
+    * codes AND the error report are bit-identical across engines —
+    * quantization quality can be gated by a plain SQL oracle. At 100 TB
+    * this is the shape that matters: fit is a dim-bounded aggregation,
+    * encode touches each vector once with zero shuffle, and the codes
+    * column is what [[annIvfPq]]-style ADC scans page through.
+    */
+  def int8Encode(vectors: DataFrame, stats: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val st = stats.groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(d, mn, rng))), " +
+        "x -> struct(x.mn AS mn, x.rng AS rng))").as("st"))
+    vectors
+      .withColumn("e", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .crossJoin(broadcast(st))
+      .withColumn("codes", expr(
+        """zip_with(e, st, (x, s) -> CASE WHEN s.rng = 0D THEN 0
+          | ELSE CAST(least(255D, floor((x - s.mn) / s.rng * 255D)) AS INT)
+          | END)""".stripMargin))
+      .withColumn("deq", expr(
+        "zip_with(codes, st, (c, s) -> s.mn + (CAST(c AS DOUBLE) + 0.5D) * s.rng / 256D)"))
+      .withColumn("mse", expr(
+        "aggregate(zip_with(e, deq, (x, h) -> (x - h) * (x - h)), 0D, (a, x) -> a + x)" +
+          " / size(e)"))
+      .select(col(idCol), col("codes"), col("deq"), col("mse"))
+  }
 }

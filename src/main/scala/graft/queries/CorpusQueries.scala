@@ -1542,7 +1542,92 @@ object CorpusQueries {
       | coalesce(rb.text_kept, '') AS text_kept
       |FROM tot LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q101 — multinomial Naive Bayes source classifier (train + score in
+    * one plan): fit per-source token log-likelihoods with Laplace
+    * smoothing `P(w|s) = (c(s,w)+1) / (T_s+V)` and a doc-count prior,
+    * then score every document against every source and emit the argmax
+    * label — the fastText-style provenance/quality classifier every
+    * curation pipeline trains to route or filter crawl data (GPT-3's
+    * WebText-vs-CommonCrawl filter is exactly this shape). Self-scoring
+    * on the training corpus, like q51's MLE — the gate pins the
+    * arithmetic, not generalization.
+    *
+    * Scale shape: the MODEL is bounded by |sources|·|vocab| — one
+    * map-side-combined aggregation each for counts, totals, priors —
+    * and ships to executors as broadcasts; scoring is map-side per
+    * (doc, token) row against the broadcast model plus ONE
+    * (doc, candidate)-keyed aggregation. The corpus itself is never
+    * joined shuffle-to-shuffle. Scores round to 4 decimals (q51's
+    * rule: partial-agg summation order is engine-dependent in the last
+    * ulp) and the argmax runs on the ROUNDED scores with a
+    * smallest-source tiebreak, so the predicted label is deterministic
+    * across engines by construction.
+    */
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val dtc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val stc = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = stc.groupBy("source").agg(sum("c").as("t"))
+    val vsize = toks.agg(countDistinct("tok").as("v"))
+    val priors = docs.groupBy("source").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(col("source"),
+        log(col("nd").cast("double") / col("n").cast("double")).as("prior_ln"))
+    val contrib = dtc
+      .crossJoin(broadcast(tot.select(col("source").as("cand"), col("t"))))
+      .crossJoin(broadcast(vsize))
+      .join(broadcast(stc.select(col("source").as("cand"), col("tok"), col("c"))),
+        Seq("cand", "tok"), "left")
+      .select(col("doc_id"), col("cand"),
+        (col("cnt") * log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+          (col("t").cast("double") + col("v").cast("double")))).as("ll"))
+    val scores = contrib.groupBy("doc_id", "cand").agg(sum("ll").as("sll"))
+      .join(broadcast(priors.select(col("source").as("cand"), col("prior_ln"))), "cand")
+      .select(col("doc_id"), col("cand"),
+        round(col("prior_ln") + col("sll"), 4).as("score"))
+    val best = scores.groupBy("doc_id").agg(max("score").as("m"))
+    scores.join(best, "doc_id").filter(col("score") === col("m"))
+      .groupBy("doc_id")
+      .agg(min(col("cand")).as("pred_source"), max(col("m")).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val q101Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |dtc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+      |stoks AS (
+      | SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |stc AS (SELECT source, tok, COUNT(*) AS c FROM stoks GROUP BY source, tok),
+      |tot AS (SELECT source, SUM(c) AS t FROM stc GROUP BY source),
+      |vs AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+      |pri AS (
+      | SELECT source,
+      |  ln(CAST(COUNT(*) AS DOUBLE)
+      |     / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)) AS prior_ln
+      | FROM documents GROUP BY source),
+      |contrib AS (
+      | SELECT d.doc_id, t2.source AS cand,
+      |   d.cnt * ln((CAST(COALESCE(s.c, 0) AS DOUBLE) + 1.0)
+      |     / (CAST(t2.t AS DOUBLE) + CAST(vs.v AS DOUBLE))) AS ll
+      | FROM dtc d CROSS JOIN tot t2 CROSS JOIN vs
+      | LEFT JOIN stc s ON s.source = t2.source AND s.tok = d.tok),
+      |scores AS (
+      | SELECT c.doc_id, c.cand, round(p.prior_ln + SUM(c.ll), 4) AS score
+      | FROM contrib c JOIN pri p ON p.source = c.cand
+      | GROUP BY c.doc_id, c.cand, p.prior_ln),
+      |best AS (SELECT doc_id, MAX(score) AS m FROM scores GROUP BY doc_id)
+      |SELECT s.doc_id AS doc_id, MIN(s.cand) AS pred_source, MAX(b.m) AS score
+      |FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.m
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_nb_classifier" -> (q101 _),
     "q95_segment_rebuild" -> (q95 _),
     "q94_mix_resample" -> (q94 _),
     "q93_top_ngram_frac" -> (q93 _),
@@ -1584,6 +1669,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q101_nb_classifier" -> q101Sql,
     "q95_segment_rebuild" -> q95Sql,
     "q94_mix_resample" -> q94Sql,
     "q93_top_ngram_frac" -> q93Sql,

@@ -497,7 +497,58 @@ object EmbeddingQueries {
       | sqrt(greatest(0.0, sv2 / n - (sv / n) * (sv / n))) AS std
       |FROM a ORDER BY d""".stripMargin
 
+  /** q100 — scalar int8 quantization ([[Similarity.int8Stats]] fit +
+    * [[Similarity.int8Encode]] map-only encode): per-vector uint8 codes
+    * and midpoint-dequantized reconstruction MSE — the 4× compression
+    * step run before shipping an embedding corpus to an ANN index.
+    * Every arithmetic step is a fixed chain of single IEEE ops on
+    * exact inputs (min/max are comparison-based), so codes and MSE are
+    * bit-identical across engines and the whole operator — fit,
+    * encode, dequantize, error — gates on a plain SQL oracle. Plan
+    * shape: dim-bounded stats exchange, broadcast model, map-only
+    * encode; the corpus is never shuffled. The round(…, 9) is
+    * cosmetic display stability, not drift-masking: the per-vector
+    * error fold is the same left-to-right order in both engines
+    * (q27's rule).
+    */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.int8Encode(e, Similarity.int8Stats(e))
+      .select(col("vec_id"),
+        array_join(expr("transform(codes, c -> CAST(c AS STRING))"), ",").as("codes"),
+        round(col("mse"), 9).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  val q100Sql: String =
+    """WITH st0 AS (
+      | SELECT d, min(v) AS mn, max(v) - min(v) AS rng
+      | FROM (SELECT CAST(dd AS BIGINT) AS d, CAST(embedding[dd] AS DOUBLE) AS v
+      |       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dd))
+      | GROUP BY d),
+      |sta AS (SELECT list(mn ORDER BY d) AS mns, list(rng ORDER BY d) AS rngs FROM st0),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |      FROM embeddings),
+      |enc AS (
+      | SELECT vec_id, e, mns, rngs,
+      |  list_transform(range(1, len(e) + 1), i ->
+      |    CASE WHEN rngs[i] = 0 THEN 0
+      |         ELSE CAST(least(255.0, floor((e[i] - mns[i]) / rngs[i] * 255.0)) AS INTEGER)
+      |    END) AS codes
+      | FROM v, sta),
+      |deq AS (
+      | SELECT vec_id, e, codes,
+      |  list_transform(range(1, len(e) + 1), i ->
+      |    mns[i] + (CAST(codes[i] AS DOUBLE) + 0.5) * rngs[i] / 256.0) AS h
+      | FROM enc)
+      |SELECT vec_id,
+      | array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes,
+      | round(list_sum(list_transform(range(1, len(e) + 1),
+      |   i -> (e[i] - h[i]) * (e[i] - h[i]))) / len(e), 9) AS mse
+      |FROM deq ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_int8_quantize" -> (q100 _),
     "q99_semantic_dedup" -> (q99 _),
     "q98_kmeans_minibatch" -> (q98 _),
     "q97_kmeans_seeded" -> (q97 _),
@@ -516,6 +567,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q100_int8_quantize" -> q100Sql,
     "q99_semantic_dedup" -> q99Sql,
     "q98_kmeans_minibatch" -> q98Sql,
     "q97_kmeans_seeded" -> q97Sql,

@@ -68,4 +68,82 @@ class NewQuerySpec extends AnyFunSuite {
     }
     assert(rows.map(_.getLong(0)).toSet == toks.filter(_._2 >= 2).keySet)
   }
+
+  test("q100: int8 codes in [0,255], dim-complete, partitioning-invariant") {
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, dir)
+    val enc = Similarity.int8Encode(e, Similarity.int8Stats(e)).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 64)
+      assert(codes.forall(c => c >= 0 && c <= 255),
+        s"vec ${r.getLong(0)}: code outside uint8 range")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // the model is min/max-fitted, so SOME vector hits code 0 and some
+    // hits 255 in every dimension
+    val perDim = (0 until 64).map(d => enc.map(_.getSeq[Int](1)(d)))
+    assert(perDim.forall(cs => cs.min == 0 && cs.max == 255))
+    // codes and mse are a function of values, not partitioning: the fit
+    // is comparison-based min/max and the encode a fixed IEEE op chain
+    val alt = Similarity
+      .int8Encode(e.repartition(17), Similarity.int8Stats(e.repartition(13)))
+      .collect()
+    val base = enc.map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getDouble(3))).toMap
+    alt.foreach { r =>
+      assert(base(r.getLong(0)) == ((r.getSeq[Int](1), r.getDouble(3))))
+    }
+  }
+
+  test("q101: NB argmax is exact on a separable crafted corpus") {
+    // Disjoint vocabularies: Laplace-smoothed NB must recover the true
+    // source for every doc (hand-derivable: the true source's token
+    // likelihoods are strictly larger for every in-doc token).
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "alpha alpha beta", "en", "web"),
+      (2L, "beta alpha alpha", "en", "web"),
+      (3L, "gamma delta gamma", "en", "book"),
+      (4L, "delta gamma delta", "en", "book"))
+      .toDF("doc_id", "text", "lang", "source")
+    crafted.createOrReplaceTempView("__q101docs")
+    // run the same plan shape against the crafted frame via the operator
+    // path: rebuild q101's pipeline inline on `crafted`
+    val toks = crafted.select(col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+    val dtc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val stc = crafted.select(col("source"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = stc.groupBy("source").agg(sum("c").as("t"))
+    val vsize = toks.agg(countDistinct("tok").as("v"))
+    val priors = crafted.groupBy("source").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(crafted.agg(count(lit(1)).as("n"))))
+      .select(col("source"),
+        log(col("nd").cast("double") / col("n").cast("double")).as("prior_ln"))
+    val contrib = dtc
+      .crossJoin(broadcast(tot.select(col("source").as("cand"), col("t"))))
+      .crossJoin(broadcast(vsize))
+      .join(broadcast(stc.select(col("source").as("cand"), col("tok"), col("c"))),
+        Seq("cand", "tok"), "left")
+      .select(col("doc_id"), col("cand"),
+        (col("cnt") * log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+          (col("t").cast("double") + col("v").cast("double")))).as("ll"))
+    val scores = contrib.groupBy("doc_id", "cand").agg(sum("ll").as("sll"))
+      .join(broadcast(priors.select(col("source").as("cand"), col("prior_ln"))), "cand")
+      .select(col("doc_id"), col("cand"),
+        round(col("prior_ln") + col("sll"), 4).as("score"))
+    val best = scores.groupBy("doc_id").agg(max("score").as("m"))
+    val pred = scores.join(best, "doc_id").filter(col("score") === col("m"))
+      .groupBy("doc_id").agg(min(col("cand")).as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "web", 2L -> "web", 3L -> "book", 4L -> "book"))
+    // real corpus: one prediction per doc, labels drawn from real sources
+    val docs = graft.Tables.documents(spark, dir)
+    val out = CorpusQueries.q101(spark, dir).collect()
+    assert(out.length == docs.count())
+    val sources = docs.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(1)).toSet.subsetOf(sources))
+  }
 }
