@@ -471,7 +471,59 @@ object RelationalQueries {
       |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
       |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
 
+  /** q102 — Morton (Z-order) key encoding over
+    * `(l_orderkey, l_partkey)` ([[graft.functions.ZOrder]]): the
+    * z-value every multi-column clustered layout sorts by
+    * ([[graft.operators.Bucketing.zOrderedWrite]] is the write-side
+    * consumer; BucketingSpec proves the two-dimensional file-pruning
+    * win). Gated here as a query because the code itself must be
+    * engine-exact: 16-bit proportional bucketization (exact BIGINT
+    * product, one correctly-rounded division, floor) then the
+    * magic-number bit-interleave — all codegen'd bitwise builtins,
+    * map-side, zero shuffle beyond the one-row domain agg broadcast
+    * back.
+    */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrder
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val st = li.agg(min("l_orderkey").as("mna"), max("l_orderkey").as("mxa"),
+      min("l_partkey").as("mnb"), max("l_partkey").as("mxb"))
+    li.crossJoin(broadcast(st))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ZOrder.morton16(
+          ZOrder.bucket16(col("l_orderkey"), col("mna"), col("mxa")),
+          ZOrder.bucket16(col("l_partkey"), col("mnb"), col("mxb"))).as("zval"))
+      .orderBy("l_orderkey", "l_linenumber", "zval")
+  }
+
+  val q102Sql: String =
+    """WITH st AS (
+      | SELECT min(l_orderkey) AS mna, max(l_orderkey) AS mxa,
+      |        min(l_partkey) AS mnb, max(l_partkey) AS mxb
+      | FROM lineitem),
+      |b AS (
+      | SELECT l_orderkey, l_linenumber,
+      |  CAST(floor((l_orderkey - mna) * 65536 / (mxa - mna + 1)) AS BIGINT) AS ba,
+      |  CAST(floor((l_partkey - mnb) * 65536 / (mxb - mnb + 1)) AS BIGINT) AS bb
+      | FROM lineitem, st),
+      |c1 AS (SELECT l_orderkey, l_linenumber,
+      |  ((ba | (ba << 8)) & 16711935) AS sa, ((bb | (bb << 8)) & 16711935) AS sb
+      | FROM b),
+      |c2 AS (SELECT l_orderkey, l_linenumber,
+      |  ((sa | (sa << 4)) & 252645135) AS sa, ((sb | (sb << 4)) & 252645135) AS sb
+      | FROM c1),
+      |c3 AS (SELECT l_orderkey, l_linenumber,
+      |  ((sa | (sa << 2)) & 858993459) AS sa, ((sb | (sb << 2)) & 858993459) AS sb
+      | FROM c2),
+      |c4 AS (SELECT l_orderkey, l_linenumber,
+      |  ((sa | (sa << 1)) & 1431655765) AS sa, ((sb | (sb << 1)) & 1431655765) AS sb
+      | FROM c3)
+      |SELECT l_orderkey, l_linenumber, (sa | (sb << 1)) AS zval
+      |FROM c4 ORDER BY l_orderkey, l_linenumber, zval""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_zorder_code" -> (q102 _),
     "q62_running_total" -> (q62 _),
     "q39_subqueries" -> (q39 _),
     "q31_set_ops" -> (q31 _),
@@ -493,6 +545,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q102_zorder_code" -> q102Sql,
     "q62_running_total" -> q62Sql,
     "q39_subqueries" -> q39Sql,
     "q31_set_ops" -> q31Sql,

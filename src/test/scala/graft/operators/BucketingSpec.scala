@@ -39,4 +39,47 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("z-ordered layout prunes a 2-D rectangle better than 1-D clustering") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    // enough files that the z-curve's grid is finer than the query
+    // rectangle: 64 files ≈ an 8×8 grid over the 2-D domain, vs the
+    // 1/8-of-domain rectangle below
+    val nFiles = 64
+    Bucketing.zOrderedWrite(li, s"$tmp/z", "l_orderkey", "l_partkey", nFiles)
+    // 1-D comparison layout: range-clustered on l_orderkey only
+    li.repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$tmp/r")
+    // per-file min/max envelopes, as a parquet reader's stats would see
+    def envelopes(path: String) =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_orderkey").as("ko"), max("l_orderkey").as("xo"),
+          min("l_partkey").as("kp"), max("l_partkey").as("xp"))
+        .collect()
+    // a small rectangle in both dims (~1/8 of each domain)
+    val (oLo, oHi, pLo, pHi) = (1000L, 2875L, 250L, 500L)
+    def touched(path: String): Int = envelopes(path).count { r =>
+      r.getLong(1) <= oHi && r.getLong(2) >= oLo &&
+        r.getLong(3) <= pHi && r.getLong(4) >= pLo
+    }
+    val zTouched = touched(s"$tmp/z")
+    val rTouched = touched(s"$tmp/r")
+    // 1-D layout serves the orderkey predicate only: every file whose
+    // orderkey slice intersects must be read (partkey min/max spans the
+    // full domain in each). Z-order bounds BOTH dims per file.
+    assert(zTouched < rTouched,
+      s"z-order touched $zTouched files, 1-D range layout $rTouched")
+    // correctness: both layouts return identical rectangle contents
+    def rect(path: String) = spark.read.parquet(path)
+      .filter(col("l_orderkey").between(oLo, oHi) &&
+        col("l_partkey").between(pLo, pHi))
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(rect(s"$tmp/z").sameElements(rect(s"$tmp/r")))
+  }
 }
