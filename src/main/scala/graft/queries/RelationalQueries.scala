@@ -522,7 +522,52 @@ object RelationalQueries {
       |SELECT l_orderkey, l_linenumber, (sa | (sb << 1)) AS zval
       |FROM c4 ORDER BY l_orderkey, l_linenumber, zval""".stripMargin
 
+  /** q103 — data-contract audit (the Deequ/expectations pattern): one
+    * report row per declared constraint — row count, per-column
+    * completeness, key uniqueness, value-domain membership, numeric
+    * range, referential integrity against a dimension — with the
+    * measured metric and a pass/fail verdict. The pre-ingest gate every
+    * production pipeline runs before trusting a new drop of data.
+    *
+    * Scale shape: ALL per-row checks ride ONE conditional-aggregation
+    * pass over the fact table (map-side partials to a single row);
+    * uniqueness is the one exact distinct-count (key-bounded shuffle);
+    * referential integrity is a broadcast left-semi count against the
+    * dimension. The report itself is a `stack` unpivot of that
+    * one-row frame — adding a constraint adds a column to the agg, not
+    * a pass over the data. Metrics are exact count ratios (single IEEE
+    * division) — engine-identical with no rounding.
+    */
+  def q103(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Audit.ordersContract(
+      Tables.orders(s, dir), Tables.customer(s, dir))
+
+  val q103Sql: String =
+    """WITH b AS (
+      | SELECT count(*) AS n, count(o_custkey) AS nn_cust,
+      |  count(DISTINCT o_orderkey) AS nd_ok,
+      |  sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS dom_ok,
+      |  sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS rng_ok
+      | FROM orders),
+      |r AS (SELECT count(*) AS ri_ok FROM orders o
+      |      WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |SELECT * FROM (
+      | SELECT 'row_count' AS check_name, 'orders' AS target,
+      |        CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM b
+      | UNION ALL SELECT 'completeness', 'o_custkey',
+      |        CAST(nn_cust AS DOUBLE) / n, nn_cust = n FROM b
+      | UNION ALL SELECT 'uniqueness', 'o_orderkey',
+      |        CAST(nd_ok AS DOUBLE) / n, nd_ok = n FROM b
+      | UNION ALL SELECT 'domain', 'o_orderstatus',
+      |        CAST(dom_ok AS DOUBLE) / n, dom_ok = n FROM b
+      | UNION ALL SELECT 'range', 'o_totalprice',
+      |        CAST(rng_ok AS DOUBLE) / n, rng_ok = n FROM b
+      | UNION ALL SELECT 'ref_integrity', 'o_custkey',
+      |        CAST(ri_ok AS DOUBLE) / n, ri_ok = n FROM b, r
+      |) ORDER BY check_name, target""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_data_audit" -> (q103 _),
     "q102_zorder_code" -> (q102 _),
     "q62_running_total" -> (q62 _),
     "q39_subqueries" -> (q39 _),
@@ -545,6 +590,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q103_data_audit" -> q103Sql,
     "q102_zorder_code" -> q102Sql,
     "q62_running_total" -> q62Sql,
     "q39_subqueries" -> q39Sql,
