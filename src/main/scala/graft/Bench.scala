@@ -58,7 +58,10 @@ object Bench {
     "q86_bigram_logprob", "q87_source_quota", "q88_dup_pagerank",
     "q89_char_entropy", "q90_contamination_rate", "q91_canonical_pick",
     "q92_kmeans", "q93_top_ngram_frac", "q94_mix_resample",
-    "q95_segment_rebuild", "q96_embed_whiten")
+    "q95_segment_rebuild", "q96_embed_whiten",
+    "q97_kmeans_seeded", "q98_kmeans_minibatch", "q99_semantic_dedup",
+    "q100_int8_quantize", "q101_nb_classifier", "q102_zorder_code",
+    "q103_data_audit")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

@@ -547,7 +547,61 @@ object EmbeddingQueries {
       |   i -> (e[i] - h[i]) * (e[i] - h[i]))) / len(e), 9) AS mse
       |FROM deq ORDER BY vec_id""".stripMargin
 
+  /** q104 — robust per-dimension quantile statistics (p25/median/p75 +
+    * IQR): the outlier-insensitive companion to q96's mean/std
+    * whitening — embedding pipelines fit THIS table when heavy-tailed
+    * dims would let a few outliers stretch min/max or std scaling
+    * (robust scaling, sklearn `RobustScaler`). Quantiles use exact
+    * `percentile_disc` semantics — the element at rank `ceil(p·n)` of
+    * the per-dim sort — so the output is an actual data value with
+    * ZERO interpolation arithmetic: nothing to drift between engines,
+    * no rounding anywhere.
+    *
+    * Scale shape: one shuffle keyed by the 64 dims, then a per-group
+    * sort + rank — the exact-quantile lower bound (selection needs the
+    * ordering); the key space is `dim`, so every partition holds whole
+    * dims and AQE can split skewed ones. When exactness isn't
+    * required at corpus scale, q55's mergeable KLL-style sketch is the
+    * one-pass alternative; this operator is the exact path the sketch
+    * is verified against. Tie values select an arbitrary rank among
+    * equals but a UNIQUE output value, so the result is still
+    * deterministic.
+    */
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("p", "v0")))
+      .select((col("p") + 1).cast("long").as("d"), col("v0").cast("double").as("v"))
+    val cnt = dims.groupBy("d").agg(count(lit(1)).as("n"))
+    val ranked = dims
+      .withColumn("rn", row_number().over(Window.partitionBy("d").orderBy("v")))
+      .join(broadcast(cnt), "d")
+    ranked.groupBy("d", "n")
+      .agg(
+        max(when(col("rn") === ceil(lit(0.25) * col("n")), col("v"))).as("p25"),
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("v"))).as("p50"),
+        max(when(col("rn") === ceil(lit(0.75) * col("n")), col("v"))).as("p75"))
+      .select(col("d"), col("n"), col("p25"), col("p50"), col("p75"),
+        (col("p75") - col("p25")).as("iqr"))
+      .orderBy("d")
+  }
+
+  val q104Sql: String =
+    """WITH e AS (
+      | SELECT CAST(dd AS BIGINT) AS d, CAST(embedding[dd] AS DOUBLE) AS v
+      | FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(dd)),
+      |c AS (SELECT d, COUNT(*) AS n FROM e GROUP BY d),
+      |r AS (SELECT d, v, row_number() OVER (PARTITION BY d ORDER BY v) AS rn FROM e)
+      |SELECT r.d AS d, c.n AS n,
+      | MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25,
+      | MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+      | MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75,
+      | MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END)
+      |  - MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS iqr
+      |FROM r JOIN c USING (d) GROUP BY r.d, c.n ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_robust_stats" -> (q104 _),
     "q100_int8_quantize" -> (q100 _),
     "q99_semantic_dedup" -> (q99 _),
     "q98_kmeans_minibatch" -> (q98 _),
@@ -567,6 +621,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q104_robust_stats" -> q104Sql,
     "q100_int8_quantize" -> q100Sql,
     "q99_semantic_dedup" -> q99Sql,
     "q98_kmeans_minibatch" -> q98Sql,

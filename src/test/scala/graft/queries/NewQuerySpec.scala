@@ -146,4 +146,20 @@ class NewQuerySpec extends AnyFunSuite {
     val sources = docs.select("source").distinct().collect().map(_.getString(0)).toSet
     assert(out.map(_.getString(1)).toSet.subsetOf(sources))
   }
+
+  test("q104: quantiles are ordered, and are actual data values per dim") {
+    val rows = EmbeddingQueries.q104(spark, dir).collect()
+    assert(rows.length == 64)
+    val byDim = graft.Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .collect().groupBy(r => r.getInt(0) + 1)
+      .view.mapValues(_.map(_.getFloat(1).toDouble).toSet).toMap
+    rows.foreach { r =>
+      val (d, p25, p50, p75, iqr) =
+        (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p25 <= p50 && p50 <= p75 && iqr == p75 - p25)
+      // percentile_disc: every quantile is an element, never interpolated
+      assert(byDim(d.toInt)(p25) && byDim(d.toInt)(p50) && byDim(d.toInt)(p75))
+    }
+  }
 }
