@@ -273,6 +273,43 @@ object Similarity {
     * encode touches each vector once with zero shuffle, and the codes
     * column is what [[annIvfPq]]-style ADC scans page through.
     */
+  /** Signed random projection (Johnson–Lindenstrauss / Achlioptas ±1):
+    * project `dim`-d embeddings to `k` output dims via a deterministic
+    * ±1 matrix derived from md5 — `sign(k,i) = −1 iff the first hex
+    * digit of md5("k:i") ≥ 8` — scaled by 1/√k. The cheap dimension
+    * reduction run before ANN indexing or pairwise scans when the
+    * input dimensionality, not the row count, is the cost driver;
+    * cosine/L2 structure is preserved in expectation (JL lemma).
+    *
+    * Determinism/scale: the matrix is CONTENT-derived (no RNG state),
+    * built once from a `k·dim`-row range cross — broadcast to
+    * executors as one row of per-k sign arrays — and each projection
+    * is a map-side left-to-right `aggregate` fold, so outputs are
+    * bit-identical across engines, runs, and partitionings, and the
+    * corpus is never shuffled.
+    */
+  def srpProject(vectors: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = vectors.sparkSession
+    val m = s.range(k.toLong).select(col("id").as("k"))
+      .crossJoin(s.range(dim.toLong).select(col("id").as("i")))
+      .select(col("k"), col("i"),
+        when(substring(md5(concat(col("k").cast("string"), lit(":"),
+          col("i").cast("string"))), 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+          lit(-1.0)).otherwise(lit(1.0)).as("sgn"))
+    val byK = m.groupBy("k")
+      .agg(expr("transform(array_sort(collect_list(struct(i, sgn))), x -> x.sgn)").as("sg"))
+      .groupBy()
+      .agg(expr("array_sort(collect_list(struct(k, sg)))").as("ks"))
+    vectors
+      .withColumn("e", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .crossJoin(broadcast(byK))
+      .select(col(idCol), col("e"), explode(col("ks")).as("row"))
+      .select(col(idCol), col("row.k").as("k"),
+        (expr("aggregate(zip_with(e, row.sg, (x, s) -> x * s), 0D, (a, x) -> a + x)")
+          / sqrt(lit(k.toDouble))).as("value"))
+  }
+
   def int8Encode(vectors: DataFrame, stats: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val st = stats.groupBy()

@@ -600,7 +600,35 @@ object EmbeddingQueries {
       |  - MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS iqr
       |FROM r JOIN c USING (d) GROUP BY r.d, c.n ORDER BY d""".stripMargin
 
+  /** q105 — signed random projection to 16 dims
+    * ([[Similarity.srpProject]]): deterministic ±1 JL projection, the
+    * dimension-reduction step run before ANN indexing when `dim` is
+    * the cost driver. The sign matrix derives from md5 (content, not
+    * RNG), the projection is a map-side fold against the broadcast
+    * matrix, and both engines fold left-to-right — bit-identical
+    * output, no rounding (q27's rule).
+    */
+  def q105(s: SparkSession, dir: String): DataFrame =
+    Similarity.srpProject(Tables.embeddings(s, dir), 16, 64)
+      .orderBy("vec_id", "k")
+
+  val q105Sql: String =
+    """WITH m AS (
+      | SELECT k, i,
+      |  CASE WHEN substring(md5(k || ':' || i), 1, 1)
+      |        IN ('8','9','a','b','c','d','e','f')
+      |       THEN -1.0 ELSE 1.0 END AS sgn
+      | FROM range(0, 16) t1(k), range(0, 64) t2(i)),
+      |ml AS (SELECT k, list(sgn ORDER BY i) AS sg FROM m GROUP BY k),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |      FROM embeddings)
+      |SELECT vec_id, k,
+      | list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * sg[i]))
+      |  / sqrt(16.0) AS value
+      |FROM v, ml ORDER BY vec_id, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_srp_project" -> (q105 _),
     "q104_robust_stats" -> (q104 _),
     "q100_int8_quantize" -> (q100 _),
     "q99_semantic_dedup" -> (q99 _),
@@ -621,6 +649,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q105_srp_project" -> q105Sql,
     "q104_robust_stats" -> q104Sql,
     "q100_int8_quantize" -> q100Sql,
     "q99_semantic_dedup" -> q99Sql,

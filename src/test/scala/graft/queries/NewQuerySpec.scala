@@ -162,4 +162,29 @@ class NewQuerySpec extends AnyFunSuite {
       assert(byDim(d.toInt)(p25) && byDim(d.toInt)(p50) && byDim(d.toInt)(p75))
     }
   }
+
+  test("q105: SRP preserves norms in expectation and is partitioning-invariant") {
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, dir)
+    val proj = Similarity.srpProject(e, 16, 64).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq).toMap
+    val orig = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(proj.keySet == orig.keySet)
+    // JL: E[||proj(x)||^2] = ||x||^2 with the 1/sqrt(k) scaling; the
+    // mean ratio over the corpus concentrates near 1
+    val ratios = orig.keys.toSeq.map { id =>
+      val pn = proj(id).map(x => x * x).sum
+      val on = orig(id).map(x => x * x).sum
+      pn / on
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+    // deterministic: same values under a different partitioning
+    val alt = Similarity.srpProject(e.repartition(17), 16, 64).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq).toMap
+    assert(alt == proj)
+  }
 }
