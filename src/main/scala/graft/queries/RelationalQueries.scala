@@ -566,7 +566,64 @@ object RelationalQueries {
       |        CAST(ri_ok AS DOUBLE) / n, ri_ok = n FROM b, r
       |) ORDER BY check_name, target""".stripMargin
 
+  /** q106 — incremental aggregate maintenance
+    * ([[graft.operators.IncrementalAgg]]): split orders at 2000-01-01
+    * into "history" and "delta", aggregate each HALF independently into
+    * per-customer partial states (count, exact decimal spend total,
+    * last order date), and MERGE the states by key — the
+    * materialized-view upkeep pattern where a daily run scans one day,
+    * not the lake. The oracle aggregates the whole table in one pass:
+    * green means state-merge ≡ recompute, which is exactly the
+    * correctness contract incremental maintenance must prove. Decimal
+    * sums make the totals order-independent, so the split point
+    * provably doesn't leak into the result.
+    */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def state(df: DataFrame): DataFrame = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+        max(col("o_orderdate")).as("last_order"))
+    val split = "2000-01-01"
+    val merged = graft.operators.IncrementalAgg.merge(
+      state(o.filter(col("o_orderdate") < lit(split))),
+      state(o.filter(col("o_orderdate") >= lit(split))),
+      Seq("o_custkey"),
+      Seq(("cnt", "sum"), ("total", "sum"), ("last_order", "max")))
+    merged.select(col("o_custkey"), col("cnt"),
+      col("total").cast("double").as("total"), col("last_order"))
+      .orderBy("o_custkey")
+  }
+
+  val q106Sql: String =
+    """SELECT o_custkey, COUNT(*) AS cnt,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      | MAX(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** q107 — edit-distance-1 fuzzy self-join over customer names
+    * ([[graft.operators.FuzzyJoin]]): SymSpell deletion-key bucketing +
+    * candidate-only `levenshtein` verification, gated against the
+    * brute-force all-pairs oracle — proving the bucketed plan loses no
+    * pair while never forming the |rows|² cross join the oracle pays
+    * for. The entity-resolution primitive for near-identical
+    * names/titles/URLs.
+    */
+  def q107(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin
+      .selfJoinDist1(Tables.customer(s, dir), "c_custkey", "c_name")
+      .orderBy("id_a", "id_b")
+
+  val q107Sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_fuzzy_join" -> (q107 _),
+    "q106_incremental_agg" -> (q106 _),
     "q103_data_audit" -> (q103 _),
     "q102_zorder_code" -> (q102 _),
     "q62_running_total" -> (q62 _),
@@ -590,6 +647,8 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q107_fuzzy_join" -> q107Sql,
+    "q106_incremental_agg" -> q106Sql,
     "q103_data_audit" -> q103Sql,
     "q102_zorder_code" -> q102Sql,
     "q62_running_total" -> q62Sql,
