@@ -61,7 +61,8 @@ object Bench {
     "q95_segment_rebuild", "q96_embed_whiten",
     "q97_kmeans_seeded", "q98_kmeans_minibatch", "q99_semantic_dedup",
     "q100_int8_quantize", "q101_nb_classifier", "q102_zorder_code",
-    "q103_data_audit")
+    "q103_data_audit", "q104_robust_stats", "q105_srp_project",
+    "q106_incremental_agg", "q107_fuzzy_join")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run
