@@ -621,7 +621,81 @@ object RelationalQueries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q108 — SCD type-2 temporal dimension build
+    * ([[graft.operators.Scd]]): collapse each customer's order-status
+    * change log into versioned `[valid_from, valid_to)` intervals —
+    * the table shape q33's as-of join and q60's interval join consume.
+    * One hash shuffle on the key, two window passes on the same
+    * partitioning (change-lag, then closing-lead), no self-join: the
+    * build is bounded by the widest key's history at any corpus size.
+    * Oracle replays the identical lag-filter-lead algebra in SQL —
+    * green proves change collapse, interval closure, and version
+    * ordinals all match exactly.
+    */
+  def q108(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd.buildType2(
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus")),
+      keys = Seq("o_custkey"), seqCol = "o_orderdate",
+      tie = Seq("o_orderkey"), attrs = Seq("o_orderstatus"))
+      .orderBy("o_custkey", "version")
+
+  val q108Sql: String =
+    """WITH chg AS (
+      | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |  LAG(o_orderstatus) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+      |  ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      | FROM orders),
+      |v AS (
+      | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      | FROM chg WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus)
+      |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+      | LEAD(o_orderdate) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      | ROW_NUMBER() OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version
+      |FROM v ORDER BY o_custkey, version""".stripMargin
+
+  /** q109 — one-pass column profiler ([[graft.operators.Profile]]):
+    * per-column row/non-null/exact-distinct counts, min/max (rendered
+    * to string in one shared report schema), and mean rendered length,
+    * over six `orders` columns in ONE aggregation pass. Exact distincts
+    * make Catalyst plan the agg via `Expand` (×6 row stream before the
+    * partial agg — the documented price of exactness; `exact = false`
+    * swaps in HLL++ and collapses the plan back to one no-Expand pass
+    * for 100 TB profiling). The float `o_totalprice` is pre-cast to
+    * DECIMAL(18,2) so the min/max rendering is engine-portable.
+    */
+  def q109(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+      Tables.orders(s, dir)
+        .withColumn("o_price", col("o_totalprice").cast(DecimalType(18, 2))),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority", "o_price"))
+
+  val q109Sql: String = {
+    def block(c: String, src: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | count($src) AS n_nonnull, count(DISTINCT $src) AS n_distinct,
+         | CAST(min($src) AS VARCHAR) AS min_value,
+         | CAST(max($src) AS VARCHAR) AS max_value,
+         | avg(length(CAST($src AS VARCHAR))) AS avg_len FROM o2""".stripMargin
+    val cols = Seq(
+      "o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+      "o_orderstatus" -> "o_orderstatus", "o_orderdate" -> "o_orderdate",
+      "o_orderpriority" -> "o_orderpriority", "o_price" -> "o_price")
+    s"""WITH o2 AS (
+       | SELECT *, CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders)
+       |${cols.map { case (n, src) => block(n, src) }.mkString("\nUNION ALL\n")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_profile" -> (q109 _),
+    "q108_scd2_build" -> (q108 _),
     "q107_fuzzy_join" -> (q107 _),
     "q106_incremental_agg" -> (q106 _),
     "q103_data_audit" -> (q103 _),
@@ -647,6 +721,8 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q109_profile" -> q109Sql,
+    "q108_scd2_build" -> q108Sql,
     "q107_fuzzy_join" -> q107Sql,
     "q106_incremental_agg" -> q106Sql,
     "q103_data_audit" -> q103Sql,
