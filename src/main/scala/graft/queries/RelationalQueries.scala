@@ -693,7 +693,43 @@ object RelationalQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** q110 — per-node triangle counts over the part co-purchase graph
+    * ([[graft.operators.Triangles]]): parts are linked when they appear
+    * in the same order (pair fanout bounded by TPC-H's ≤7 lineitems
+    * per order), and each node's triangle count — the local clustering
+    * ingredient — is computed with the degree-oriented wedge join, the
+    * shape that bounds per-key fanout by sqrt(m) instead of letting a
+    * celebrity node emit degree² wedges. The oracle replays the naive
+    * a<b<c three-way join in SQL: green proves the oriented plan counts
+    * exactly the same triangles while never materializing a hot node's
+    * quadratic wedge set.
+    */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    val a = li.toDF("ok", "u")
+    val b = li.toDF("ok", "v")
+    val edges = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
+    graft.operators.Triangles.perNodeTriangles(edges, "u", "v")
+  }
+
+  val q110Sql: String =
+    """WITH pairs AS (
+      | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      | FROM lineitem a JOIN lineitem b
+      |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      | FROM pairs e1
+      | JOIN pairs e2 ON e1.v = e2.u
+      | JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT node, count(*) AS n_tri FROM (
+      | SELECT a AS node FROM tri
+      | UNION ALL SELECT b FROM tri
+      | UNION ALL SELECT c FROM tri)
+      |GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_triangle_count" -> (q110 _),
     "q109_profile" -> (q109 _),
     "q108_scd2_build" -> (q108 _),
     "q107_fuzzy_join" -> (q107 _),
@@ -721,6 +757,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q110_triangle_count" -> q110Sql,
     "q109_profile" -> q109Sql,
     "q108_scd2_build" -> q108Sql,
     "q107_fuzzy_join" -> q107Sql,
