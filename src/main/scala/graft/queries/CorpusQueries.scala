@@ -1626,7 +1626,78 @@ object CorpusQueries {
       |FROM scores s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.m
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  /** q111 — interpolated Kneser–Ney bigram language model (fixed
+    * discount D = 0.75; Kneser & Ney 1995, the smoothing every n-gram
+    * quality filter graduates to from q86's raw MLE): score each
+    * document by mean negative log of
+    * `P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1) · Pcont(w2)`
+    * where `Pcont(w2) = N1+(·,w2) / |bigram types|`. Unlike the MLE,
+    * every probability is nonzero, so template text and novel
+    * continuations land on one comparable scale — the CCNet band-cut
+    * model shape, trained and applied in one job.
+    *
+    * Scale shape: identical to q86 (map-side `zip_with` bigrams, one
+    * (w1,w2) shuffle with map-side combine) plus THREE key-bounded
+    * model tables derived from the aggregated bigram table, never from
+    * the corpus: prefix stats (c1 and follower-type count N1+(w1,·)),
+    * continuation counts N1+(·,w2), and the scalar type total — the
+    * first two broadcast (unigram-vocabulary-sized), the scalar rides a
+    * broadcast cross join. The probability chain is a fixed IEEE op
+    * sequence mirrored token-for-token in the oracle; scores round to 4
+    * decimals so double-sum order can't flip the hash (q86's rule).
+    */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigram = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val prefix = bigram.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nf"))
+    val cont = bigram.groupBy("w2").agg(count(lit(1)).as("np"))
+    val types = bigram.agg(count(lit(1)).as("tt"))
+    val d = lit(0.75)
+    val p = greatest(col("c12").cast("double") - d, lit(0.0)) / col("c1").cast("double") +
+      (d * col("nf").cast("double") / col("c1").cast("double")) *
+        (col("np").cast("double") / col("tt").cast("double"))
+    pairs.join(bigram, Seq("w1", "w2"))
+      .join(broadcast(prefix), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(p)), 4).as("avg_neg_logp_kn"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val q111Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |p AS (
+      | SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      | FROM w, UNNEST(range(1, len(w))) AS t(i)),
+      |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
+      |pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nf
+      |        FROM b GROUP BY w1),
+      |cont AS (SELECT w2, COUNT(*) AS np FROM b GROUP BY w2),
+      |ty AS (SELECT COUNT(*) AS tt FROM b)
+      |SELECT doc_id,
+      | round(avg(-ln(
+      |   greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) +
+      |   (0.75 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE)) *
+      |   (CAST(np AS DOUBLE) / CAST(tt AS DOUBLE)))), 4) AS avg_neg_logp_kn,
+      | COUNT(*) AS n_bigrams
+      |FROM p JOIN b USING (w1, w2) JOIN pre USING (w1) JOIN cont USING (w2), ty
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_kneser_ney" -> (q111 _),
     "q101_nb_classifier" -> (q101 _),
     "q95_segment_rebuild" -> (q95 _),
     "q94_mix_resample" -> (q94 _),
@@ -1669,6 +1740,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q111_kneser_ney" -> q111Sql,
     "q101_nb_classifier" -> q101Sql,
     "q95_segment_rebuild" -> q95Sql,
     "q94_mix_resample" -> q94Sql,
