@@ -121,6 +121,33 @@ object Dedup {
       val hs = shingles.map(Hashing.stringHash64).toArray
       Hashing.bandBuckets(Hashing.minhashSignature(hs, numPerms), bands)
     }
+    bandedVerify(docs, idCol, textCol, k, threshold, bucketsUdf)
+  }
+
+  /** [[minhashLsh]] with the signature built by densified
+    * one-permutation hashing ([[graft.functions.Hashing.dophSignature]]):
+    * one hash pass over the shingles instead of `numPerms` — the
+    * map-side cost drops ~128× while band buckets, candidate join, and
+    * exact verification keep the identical plan shape. Because the
+    * verify stage recomputes TRUE Jaccard on every candidate, DOPH's
+    * slightly-higher per-slot variance can only cost recall, never
+    * precision — DedupSpec pins output equality with the brute-force
+    * truth on the test corpus.
+    */
+  def minhashLshDoph(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, threshold: Double,
+                     numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    val bucketsUdf = udf { shingles: Seq[String] =>
+      val hs = shingles.map(Hashing.stringHash64).toArray
+      Hashing.bandBuckets(Hashing.dophSignature(hs, numPerms), bands)
+    }
+    bandedVerify(docs, idCol, textCol, k, threshold, bucketsUdf)
+  }
+
+  private def bandedVerify(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, threshold: Double,
+                           bucketsUdf: org.apache.spark.sql.expressions
+                             .UserDefinedFunction): DataFrame = {
     // The shingle set is consumed three times (banding + both sides of the
     // verify join) — materialize it once. MEMORY_AND_DISK: at 100 TB the
     // shingle table exceeds memory and spills instead of recomputing.

@@ -38,8 +38,8 @@ object FuzzyJoin {
     a.join(b, "v")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "s_a", "s_b").distinct()
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
   }
 }

@@ -167,6 +167,19 @@ object TextQueries {
     Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
       .orderBy("doc_a", "doc_b")
 
+  /** q112 — DOPH MinHash LSH ([[graft.operators.Dedup.minhashLshDoph]]):
+    * the one-pass densified-one-permutation signature
+    * (Shrivastava & Li, ICML'14) in place of q25's 128-pass
+    * per-permutation build — the map-side cost of signature
+    * construction drops ~128× while the banded-LSH candidate join and
+    * exact Jaccard verification keep the identical plan. Shares q25's
+    * brute-force oracle: green means the cheaper signature loses no
+    * pair at this threshold.
+    */
+  def q112(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshDoph(Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
+      .orderBy("doc_a", "doc_b")
+
   /** q26 — 64-bit SimHash signatures (bit-string form). No SQL oracle:
     * xxhash64 has no DuckDB twin; pinned instead by ScalaTest (near-dup
     * pairs from q24's truth have small Hamming distance).
@@ -280,6 +293,7 @@ object TextQueries {
     "q23_fingerprint" -> (q23 _),
     "q24_ngram_jaccard" -> (q24 _),
     "q25_minhash_lsh" -> (q25 _),
+    "q112_minhash_doph" -> (q112 _),
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +306,6 @@ object TextQueries {
     "q22_langid" -> q22Sql,
     "q23_fingerprint" -> q23Sql,
     "q24_ngram_jaccard" -> jaccardOracle,
-    "q25_minhash_lsh" -> jaccardOracle)
+    "q25_minhash_lsh" -> jaccardOracle,
+    "q112_minhash_doph" -> jaccardOracle)
 }

@@ -21,6 +21,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("DOPH minhash-LSH matches brute-force truth (one-pass signature, same recall)") {
+    val brute = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val doph = Dedup.minhashLshDoph(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(doph == brute)
+  }
+
   test("simhash: near-dup pairs have small Hamming distance, random pairs large") {
     val bits = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
