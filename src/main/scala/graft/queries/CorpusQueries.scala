@@ -1696,7 +1696,45 @@ object CorpusQueries {
       |FROM p JOIN b USING (w1, w2) JOIN pre USING (w1) JOIN cont USING (w2), ty
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q113 — cross-source distinct 5-gram overlap from KMV/theta
+    * sketches ([[graft.functions.KmvSketch]]): one pass builds a 1 KB
+    * sketch of each source's distinct shingle set (map-side partials, one
+    * source-keyed merge — the corpus is never joined against itself),
+    * then every pairwise estimate — per-source distinct counts and
+    * their INTERSECTION, the operation HLL cannot do — is computed from
+    * the collected kilobyte sketches on the driver, which is the design
+    * (sketch algebra never needs the cluster). No SQL oracle: estimates
+    * are hash-dependent (rows-only check); the estimator's error
+    * bounds, merge partition-invariance, and intersection accuracy are
+    * pinned by KmvSketchSpec.
+    */
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val k = 1024
+    val gramUdf = udf { text: String =>
+      graft.functions.Hashing.shingleSet(text, 5)
+    }
+    val sketches = Tables.documents(s, dir)
+      .select(col("source"), explode(gramUdf(col("text"))).as("t"))
+      .groupBy("source")
+      .agg(graft.functions.KmvSketch(s, col("t"), k).as("sk"))
+      .collect()
+    val rows = for {
+      a <- sketches; b <- sketches
+      sa = a.getString(0); sb = b.getString(0) if sa < sb
+    } yield (sa, sb,
+      math.round(graft.functions.KmvSketch.estimate(a.getSeq[Long](1), k)),
+      math.round(graft.functions.KmvSketch.estimate(b.getSeq[Long](1), k)),
+      math.round(graft.functions.KmvSketch.intersectionEstimate(
+        a.getSeq[Long](1), b.getSeq[Long](1), k)))
+    import s.implicits._
+    rows.toSeq
+      .toDF("source_a", "source_b", "est_distinct_a", "est_distinct_b",
+        "est_overlap")
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_kmv_overlap" -> (q113 _),
     "q111_kneser_ney" -> (q111 _),
     "q101_nb_classifier" -> (q101 _),
     "q95_segment_rebuild" -> (q95 _),
