@@ -24,6 +24,58 @@ object FuzzyJoin {
     * contains every distance-≤1 pair (verified against the brute-force
     * oracle in q107).
     */
+  /** All deletion variants of `s` with at most `maxDel` deletions
+    * (including `s` itself), distinct. |variants| = O(len^maxDel):
+    * 1 + n + n(n−1)/2 at maxDel = 2.
+    */
+  private[operators] def deletionVariants(s: String, maxDel: Int): Array[String] = {
+    var frontier = Set(s)
+    val all = scala.collection.mutable.LinkedHashSet(s)
+    var d = 0
+    while (d < maxDel) {
+      frontier = frontier.flatMap { t =>
+        (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1))
+      }
+      all ++= frontier
+      d += 1
+    }
+    all.toArray
+  }
+
+  /** Fuzzy DICTIONARY lookup at Levenshtein distance ≤ `maxDist`
+    * (1 or 2) — the SymSpell spell-correction shape: a (relatively
+    * small) query set matched against a large dictionary. Both sides
+    * explode into their ≤-`maxDist`-deletion variants; the deletion-key
+    * theorem guarantees every true match shares at least one key, and
+    * candidates are verified with the codegen'd `levenshtein` — so
+    * recall is exact and the pair space is bounded by key-bucket
+    * products, never |queries|×|dict|.
+    *
+    * Scale: dictionary variants are the big side — O(|dict| · len²) at
+    * maxDist 2 — but they carry only (key, id) pairs through ONE hash
+    * join keyed by variant; the quadratic all-pairs verify the naive
+    * form pays never materializes. Skewed keys (a short variant shared
+    * by many dictionary entries) are AQE-split; the verify stage caps
+    * damage since false candidates die on the distance check.
+    */
+  def lookupDist(queries: DataFrame, qId: String, qStr: String,
+                 dict: DataFrame, dId: String, dStr: String,
+                 maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    val vUdf = udf { s: String => deletionVariants(s, maxDist) }
+    val q = queries
+      .select(col(qId).as("q_id"), col(qStr).as("q_s"))
+      .withColumn("v", explode(vUdf(col("q_s"))))
+    val d = dict
+      .select(col(dId).as("d_id"), col(dStr).as("d_s"))
+      .withColumn("v", explode(vUdf(col("d_s"))))
+    q.join(d, "v")
+      .select("q_id", "d_id", "q_s", "d_s").distinct()
+      .withColumn("dist", levenshtein(col("q_s"), col("d_s")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("q_id", "d_id", "dist")
+  }
+
   def selfJoinDist1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val variants = df
       .select(col(idCol).as("id"), col(strCol).as("s"))

@@ -728,7 +728,33 @@ object RelationalQueries {
       | UNION ALL SELECT c FROM tri)
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** q114 — fuzzy dictionary lookup at edit distance ≤ 2
+    * ([[graft.operators.FuzzyJoin.lookupDist]]): a 1%-of-table query
+    * set (`c_custkey % 97 = 0` — deterministic, no RNG) corrected
+    * against the full customer-name dictionary via 2-deletion SymSpell
+    * keys + codegen levenshtein verification. The oracle brute-forces
+    * |queries|×|dict| in DuckDB: green proves the deletion-key theorem
+    * held at distance 2 (no lost match) while the Spark plan never
+    * forms that product.
+    */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val q = c.filter(col("c_custkey") % 97 === 0)
+    graft.operators.FuzzyJoin
+      .lookupDist(q, "c_custkey", "c_name", c, "c_custkey", "c_name", 2)
+      .orderBy("q_id", "d_id")
+  }
+
+  val q114Sql: String =
+    """SELECT q.c_custkey AS q_id, d.c_custkey AS d_id,
+      | CAST(levenshtein(q.c_name, d.c_name) AS BIGINT) AS dist
+      |FROM customer q JOIN customer d
+      |  ON levenshtein(q.c_name, d.c_name) <= 2
+      |WHERE q.c_custkey % 97 = 0
+      |ORDER BY q_id, d_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_fuzzy_lookup" -> (q114 _),
     "q110_triangle_count" -> (q110 _),
     "q109_profile" -> (q109 _),
     "q108_scd2_build" -> (q108 _),
@@ -757,6 +783,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q114_fuzzy_lookup" -> q114Sql,
     "q110_triangle_count" -> q110Sql,
     "q109_profile" -> q109Sql,
     "q108_scd2_build" -> q108Sql,

@@ -59,4 +59,19 @@ class IncrementalSpec extends AnyFunSuite {
     } yield (ia, ib, d.toLong)).toSet
     assert(got == brute)
   }
+
+  test("FuzzyJoin.lookupDist(2) finds all dist-<=2 matches incl. transpositions") {
+    import spark.implicits._
+    val dict = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "mitten"), (5L, "ktiten"), (6L, "kit"), (7L, "bitter"))
+      .toDF("id", "s")
+    val q = Seq((100L, "kitten")).toDF("id", "s")
+    val got = FuzzyJoin.lookupDist(q, "id", "s", dict, "id", "s", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // kitten: itself 0; sitten 1; mitten 1; sittin 2; ktiten (transpose) 2;
+    // bitter (two substitutions) 2; kit (3 deletions) is out
+    assert(got == Set((1L, 0L), (2L, 1L), (4L, 1L), (3L, 2L), (5L, 2L), (7L, 2L)))
+    // variant count algebra: 1 + n + n(n-1)/2 distinct for distinct-char strings
+    assert(FuzzyJoin.deletionVariants("abcde", 2).length == 1 + 5 + 10)
+  }
 }
