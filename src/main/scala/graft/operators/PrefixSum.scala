@@ -42,15 +42,25 @@ object PrefixSum {
     * two-pass scan.
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-                       outCol: String, numPartitions: Int = 32): DataFrame = {
+                       outCol: String, numPartitions: Int = 32): DataFrame =
+    withRunningTotalOrdered(df, Seq(orderCol), valueCol, outCol, numPartitions)
+
+  /** Multi-column-order form of [[withRunningTotal]] — the tiebreaker
+    * columns make the scan order TOTAL, which consumers that cut the
+    * ranked stream (equi-depth histogram bucket boundaries) need for
+    * deterministic output when the primary order column has ties.
+    */
+  def withRunningTotalOrdered(df: DataFrame, orderCols: Seq[String],
+                              valueCol: String, outCol: String,
+                              numPartitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
     val vIdx = df.schema.fieldIndex(valueCol)
     def longAt(r: Row): Long = {
       val v = r.get(vIdx)
       if (v == null) 0L else v.asInstanceOf[Number].longValue()
     }
-    val rdd = df.repartitionByRange(numPartitions, col(orderCol))
-      .sortWithinPartitions(orderCol)
+    val rdd = df.repartitionByRange(numPartitions, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val totals = rdd.mapPartitionsWithIndex { (pid, it) =>

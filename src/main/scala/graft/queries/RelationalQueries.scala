@@ -753,7 +753,30 @@ object RelationalQueries {
       |WHERE q.c_custkey % 97 = 0
       |ORDER BY q_id, d_id""".stripMargin
 
+  /** q115 — exact equi-depth histogram of order totals
+    * ([[graft.operators.Histogram]]): 8 buckets of equal row count
+    * under the total order (o_totalprice, o_orderkey), each reporting
+    * its count and data-value extremes. Global rank rides PrefixSum's
+    * two-pass parallel scan — the partitionless-window shape that
+    * would otherwise single-task — and bucket cuts are exact integer
+    * arithmetic on the rank, mirrored by the oracle's floor division.
+    */
+  def q115(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Histogram.equiDepth(
+      Tables.orders(s, dir), "o_totalprice", "o_orderkey", 8)
+
+  val q115Sql: String =
+    """WITH r AS (
+      | SELECT o_totalprice AS v,
+      |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |  count(*) OVER () AS n
+      | FROM orders)
+      |SELECT CAST((rn - 1) * 8 // n AS BIGINT) + 1 AS bucket,
+      | count(*) AS cnt, min(v) AS lo, max(v) AS hi
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_equidepth_hist" -> (q115 _),
     "q114_fuzzy_lookup" -> (q114 _),
     "q110_triangle_count" -> (q110 _),
     "q109_profile" -> (q109 _),
@@ -783,6 +806,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q115_equidepth_hist" -> q115Sql,
     "q114_fuzzy_lookup" -> q114Sql,
     "q110_triangle_count" -> q110Sql,
     "q109_profile" -> q109Sql,
