@@ -775,7 +775,49 @@ object RelationalQueries {
       | count(*) AS cnt, min(v) AS lo, max(v) AS hi
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q116 — CDC log application ([[graft.operators.Cdc]]): the
+    * lakehouse MERGE-INTO shape. The customer snapshot absorbs a
+    * change log derived from orders (each order an upsert of its
+    * customer's segment-attribute to the order priority; 'P'-status
+    * orders are delete tombstones), last-writer-wins per key under
+    * (o_orderdate, o_orderkey). The log collapses via struct-max — one
+    * delta-bounded key shuffle with map-side partials, NO window sort —
+    * and the untouched base arrives through a left anti join AQE can
+    * broadcast. Oracle replays last-entry selection with a window +
+    * NOT-IN in SQL: green proves upsert/tombstone/untouched routing and
+    * the last-writer tiebreak all match exactly.
+    */
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("attr"))
+    val log = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate"), col("o_orderkey"),
+      when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"),
+      col("o_orderpriority").as("attr"))
+    graft.operators.Cdc.applyLog(base, log, Seq("k"),
+      Seq("o_orderdate", "o_orderkey"), "op", Seq("attr"))
+      .orderBy("k")
+  }
+
+  val q116Sql: String =
+    """WITH log AS (
+      | SELECT o_custkey AS k, o_orderdate, o_orderkey,
+      |  CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+      |  o_orderpriority AS attr
+      | FROM orders),
+      |last AS (
+      | SELECT k, op, attr FROM (
+      |  SELECT k, op, attr, row_number() OVER (
+      |    PARTITION BY k ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM log) WHERE rn = 1)
+      |SELECT c_custkey AS k, c_mktsegment AS attr, 'base' AS origin
+      | FROM customer WHERE c_custkey NOT IN (SELECT k FROM last)
+      |UNION ALL
+      |SELECT k, attr, 'log' AS origin FROM last WHERE op <> 'D'
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_cdc_apply" -> (q116 _),
     "q115_equidepth_hist" -> (q115 _),
     "q114_fuzzy_lookup" -> (q114 _),
     "q110_triangle_count" -> (q110 _),
@@ -806,6 +848,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q116_cdc_apply" -> q116Sql,
     "q115_equidepth_hist" -> q115Sql,
     "q114_fuzzy_lookup" -> q114Sql,
     "q110_triangle_count" -> q110Sql,
