@@ -1733,7 +1733,67 @@ object CorpusQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** q117 — PMI collocation mining: rank adjacent word pairs by
+    * pointwise mutual information `ln(P(xy) / (P(x)·P(y)))` with
+    * `P(xy) = c12/B` over bigram occurrences and `P(x) = c/N` over
+    * unigram occurrences — the classic phrase detector (word2vec's
+    * phrase pass, Mikolov et al. 2013) a tokenizer-vocab builder runs
+    * before merging multiwords. A min-count floor (c12 ≥ 5) applies
+    * BEFORE the model joins, so the rare-pair tail never reaches the
+    * join. Scale shape = q111's: map-side `zip_with` bigrams into one
+    * (w1,w2)-keyed agg with map-side combine, unigram model broadcast
+    * back, scalars on a broadcast cross join; PMI is a fixed IEEE op
+    * chain mirrored in the oracle and rounded to 4 decimals so
+    * engine-ulp can't flip the hash.
+    */
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").cast("double").as("n"))
+    val bigram = toks.filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val b = bigram.agg(sum("c12").cast("double").as("b"))
+    bigram.filter(col("c12") >= 5)
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("b")) /
+          ((col("c1").cast("double") / col("n")) *
+            (col("c2").cast("double") / col("n")))), 4).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
+  val q117Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |u AS (SELECT unnest(w) AS tok FROM w),
+      |uni AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY tok),
+      |n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+      |p AS (
+      | SELECT w[i] AS w1, w[i + 1] AS w2
+      | FROM w, UNNEST(range(1, len(w))) AS t(i)),
+      |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
+      |b AS (SELECT CAST(SUM(c12) AS DOUBLE) AS b FROM big)
+      |SELECT w1, w2, c12,
+      | round(ln((CAST(c12 AS DOUBLE) / b) /
+      |   ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))), 4) AS pmi
+      |FROM big
+      |JOIN uni u1 ON u1.tok = w1
+      |JOIN uni u2 ON u2.tok = w2, n, b
+      |WHERE c12 >= 5
+      |ORDER BY w1, w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_pmi_collocations" -> (q117 _),
     "q113_kmv_overlap" -> (q113 _),
     "q111_kneser_ney" -> (q111 _),
     "q101_nb_classifier" -> (q101 _),
@@ -1778,6 +1838,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q117_pmi_collocations" -> q117Sql,
     "q111_kneser_ney" -> q111Sql,
     "q101_nb_classifier" -> q101Sql,
     "q95_segment_rebuild" -> q95Sql,

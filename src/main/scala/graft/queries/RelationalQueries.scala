@@ -816,7 +816,51 @@ object RelationalQueries {
       |SELECT k, attr, 'log' AS origin FROM last WHERE op <> 'D'
       |ORDER BY k""".stripMargin
 
+  /** q119 — robust outlier report per order priority
+    * ([[graft.operators.RobustStats]]): exact median, exact MAD
+    * (`median(|v − median|)`), and the count of `> 3·MAD` outliers over
+    * DECIMAL(18,2) order totals. The exact quantiles ride a
+    * frequency-compressed `(group, value) → count` table — one
+    * map-side-combined shuffle bounded by DISTINCT values, with the
+    * per-group rank scan serialized only over that compressed table,
+    * never the raw rows (the naive exact median sorts whole groups; at
+    * 100 TB a handful of hot groups would each be one full-corpus-sized
+    * task). percentile_disc rank semantics (element at ceil(n/2)) and
+    * decimal arithmetic make every value exact — no interpolation, no
+    * float, nothing for engine-ulp to flip.
+    */
+  def q119(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.groupedMedianMad(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("v")),
+      "o_orderpriority", "v", k = 3)
+      // exact decimals inside; double only at the output boundary (the
+      // decimal→double cast is a single exactly-defined IEEE rounding,
+      // mirrored in the oracle)
+      .withColumn("median", col("median").cast("double"))
+      .withColumn("mad", col("mad").cast("double"))
+
+  val q119Sql: String =
+    """WITH o AS (
+      | SELECT o_orderpriority AS g, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      | FROM orders),
+      |m AS (
+      | SELECT g, count(*) AS n,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS med
+      | FROM o GROUP BY g),
+      |d AS (SELECT o.g, abs(v - med) AS dev FROM o JOIN m USING (g)),
+      |m2 AS (
+      | SELECT g, percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      | FROM d GROUP BY g)
+      |SELECT g AS o_orderpriority, n,
+      | CAST(med AS DOUBLE) AS median,
+      | CAST(mad AS DOUBLE) AS mad,
+      | (SELECT count(*) FROM d WHERE d.g = m.g AND d.dev > 3 * mad)
+      |   AS n_outliers
+      |FROM m JOIN m2 USING (g) ORDER BY g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_robust_outliers" -> (q119 _),
     "q116_cdc_apply" -> (q116 _),
     "q115_equidepth_hist" -> (q115 _),
     "q114_fuzzy_lookup" -> (q114 _),
@@ -848,6 +892,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q119_robust_outliers" -> q119Sql,
     "q116_cdc_apply" -> q116Sql,
     "q115_equidepth_hist" -> q115Sql,
     "q114_fuzzy_lookup" -> q114Sql,
