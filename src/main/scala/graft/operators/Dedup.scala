@@ -102,6 +102,44 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact shingle-CONTAINMENT join: pairs where
+    * `|A∩B| / min(|A|,|B|) ≥ thetaNum/thetaDen` — the asymmetric
+    * near-dup measure that catches a document embedded verbatim in a
+    * larger one (doc + boilerplate, quote-heavy pages), which Jaccard's
+    * symmetric union denominator dilutes below any usable threshold.
+    *
+    * Exact and never all-pairs: shingles explode into an inverted
+    * index, pairs materialize ONLY for docs sharing a shingle (one
+    * shingle-keyed self-join), and the intersection size falls out of a
+    * (doc_a, doc_b)-keyed count with map-side combine. The threshold
+    * test is pure integer arithmetic (`common·den ≥ num·min`), so no
+    * float edge can disagree with the oracle; the reported containment
+    * ratio is display-only. Known hot spot at scale: a boilerplate
+    * shingle with a huge posting list quadratically inflates its
+    * bucket — AQE splits the skewed partitions, and the
+    * MinHash/winnowing family is the approximate fallback when even
+    * that is too much.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, thetaNum: Int, thetaDen: Int): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0, "theta must be positive")
+    val t = withShingles(docs, idCol, textCol, k)
+    val sizes = t.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val posts = t.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val common = posts.toDF("doc_a", "sh")
+      .join(posts.toDF("doc_b", "sh"), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .filter(col("common") * thetaDen >= least(col("n_a"), col("n_b")) * thetaNum)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
+        round(col("common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 4).as("containment"))
+  }
+
   /** MinHash + LSH near-dup pairs, exact-verified.
     *
     * numPerms=128, bands=32 (4 rows/band) ⇒ P(miss | J=0.8) ≈ 5e-8, so the

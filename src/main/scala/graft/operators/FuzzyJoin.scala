@@ -76,6 +76,45 @@ object FuzzyJoin {
       .select("q_id", "d_id", "dist")
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * other classic entity-resolution candidate generator: rank rows by
+    * a sort key, compare each row only against the `window` rows after
+    * it, verify with codegen `levenshtein`. Complements the SymSpell
+    * joins: deletion keys catch any edit anywhere but explode with
+    * string length; the neighborhood catches typos that PRESERVE the
+    * sort-key prefix at O(n·window) candidates regardless of length.
+    *
+    * Scale shape: the global rank rides [[PrefixSum]]'s two-pass scan
+    * (no single-task window), and the neighborhood join is an
+    * EQUI-join on `(rank-1) div window` blocks — each left row carries
+    * its own block and the next (pairs within `window` of each other
+    * live in the same or adjacent blocks), so the pair space is
+    * 2·n·window/|block| candidates through one hash join, never n².
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, strCol: String,
+                         window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ranked = PrefixSum.withRunningTotalOrdered(
+      df.select(col(idCol).as("id"), col(strCol).as("s"))
+        .withColumn("__key", lower(col("s")))
+        .withColumn("__one", lit(1)),
+      Seq("__key", "id"), "__one", "rn")
+      .select(col("id"), col("s"), col("rn"))
+    val a = ranked
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("rn").as("rn_a"))
+      .withColumn("__b", explode(array(
+        expr(s"(rn_a - 1) div $window"),
+        expr(s"(rn_a - 1) div $window + 1"))))
+    val b = ranked
+      .select(col("id").as("id_b"), col("s").as("s_b"), col("rn").as("rn_b"))
+      .withColumn("__b", expr(s"(rn_b - 1) div $window"))
+    a.join(b, "__b")
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   def selfJoinDist1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val variants = df
       .select(col(idCol).as("id"), col(strCol).as("s"))

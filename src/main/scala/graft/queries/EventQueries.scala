@@ -464,7 +464,47 @@ object EventQueries {
       |   / CAST(SUM(sv) OVER (PARTITION BY user_id) AS DOUBLE), 6) AS share
       |FROM a ORDER BY user_id, event_type""".stripMargin
 
+  /** q120 — first-order Markov transition matrix over the event stream:
+    * `P(next_type | event_type)` from per-user consecutive pairs — the
+    * model behind next-action prediction, anomalous-session scoring,
+    * and the q77 path report's probabilistic upgrade. One shuffle on
+    * user_id for the lead window (same frame as q56, so a shared-scan
+    * pipeline would reuse its sort), then the pair counts collapse into
+    * a |types|²-bounded aggregate with map-side combine; row
+    * probabilities join the per-row totals BROADCAST (the matrix is
+    * tiny at any corpus size). The count ratio is one double division
+    * rounded to 4 decimals — q51's determinism rule.
+    */
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = trans.groupBy("cur").agg(sum("cnt").as("tot"))
+    trans.join(broadcast(tot), "cur")
+      .select(col("cur"), col("nxt"), col("cnt"),
+        round(col("cnt").cast("double") / col("tot").cast("double"), 4).as("p"))
+      .orderBy("cur", "nxt")
+  }
+
+  val q120Sql: String =
+    """WITH t AS (
+      | SELECT event_type AS cur, lead(event_type) OVER (
+      |   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      | FROM events),
+      |c AS (
+      | SELECT cur, nxt, count(*) AS cnt FROM t
+      | WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      |tot AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY cur)
+      |SELECT cur, nxt, cnt,
+      | round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS p
+      |FROM c JOIN tot USING (cur) ORDER BY cur, nxt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_markov_transitions" -> (q120 _),
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
     "q18_json_extract" -> (q18 _),
@@ -480,6 +520,7 @@ object EventQueries {
     "q79_share_of_user" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    "q120_markov_transitions" -> q120Sql,
     "q16_hourly_rollup" -> q16Sql,
     "q17_sessionization" -> q17Sql,
     "q18_json_extract" -> q18Sql,

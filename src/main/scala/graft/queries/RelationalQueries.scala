@@ -859,7 +859,36 @@ object RelationalQueries {
       |   AS n_outliers
       |FROM m JOIN m2 USING (g) ORDER BY g""".stripMargin
 
+  /** q118 — sorted-neighborhood entity resolution
+    * ([[graft.operators.FuzzyJoin.sortedNeighborhood]]): rank customers
+    * by lowercased name (PrefixSum two-pass rank — no single-task
+    * window), compare each against the next 5 in rank order via an
+    * equi-join on rank blocks, keep pairs within edit distance 2. The
+    * oracle replays the identical rank + windowed self-join in SQL
+    * (row_number + rank-range join): green proves the block equi-join
+    * finds exactly the in-window pairs the rank-range predicate
+    * defines, while the Spark plan hashes blocks instead of
+    * range-joining ranks.
+    */
+  def q118(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.sortedNeighborhood(
+      Tables.customer(s, dir), "c_custkey", "c_name",
+      window = 5, maxDist = 2)
+      .orderBy("id_a", "id_b")
+
+  val q118Sql: String =
+    """WITH r AS (
+      | SELECT c_custkey AS id, c_name AS name,
+      |  row_number() OVER (ORDER BY lower(c_name), c_custkey) AS rn
+      | FROM customer)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      | CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_sorted_neighborhood" -> (q118 _),
     "q119_robust_outliers" -> (q119 _),
     "q116_cdc_apply" -> (q116 _),
     "q115_equidepth_hist" -> (q115 _),
@@ -892,6 +921,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q118_sorted_neighborhood" -> q118Sql,
     "q119_robust_outliers" -> q119Sql,
     "q116_cdc_apply" -> q116Sql,
     "q115_equidepth_hist" -> q115Sql,

@@ -281,7 +281,43 @@ object TextQueries {
       | e.char_entropy
       |FROM documents d JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q121 — shingle-containment near-dup pairs
+    * ([[graft.operators.Dedup.containmentJoin]]): the asymmetric
+    * measure `|A∩B| / min(|A|,|B|) ≥ 0.6` that catches a document
+    * embedded in a larger one, where Jaccard's union denominator
+    * (q24/q25) dilutes the score below threshold. Inverted-index
+    * exact join — pairs exist only for docs sharing a shingle, the
+    * threshold is integer arithmetic — against DuckDB's brute-force
+    * all-pairs list_intersect oracle: green proves the posting-list
+    * plan reproduces the quadratic ground truth without ever forming
+    * the cross join.
+    */
+  def q121(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoin(Tables.documents(s, dir), "doc_id", "text",
+      3, thetaNum = 6, thetaDen = 10)
+      .orderBy("doc_a", "doc_b")
+
+  val q121Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |       FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+      | CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+      | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 4) AS containment
+      |FROM t a, t b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.sh, b.sh)) * 10 >= least(len(a.sh), len(b.sh)) * 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_containment_dedup" -> (q121 _),
     "q89_char_entropy" -> (q89 _),
     "q38_dedup_clusters" -> (q38 _),
     "q37_pii_redact" -> (q37 _),
@@ -297,6 +333,7 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q121_containment_dedup" -> q121Sql,
     "q89_char_entropy" -> q89Sql,
     "q38_dedup_clusters" -> q38Sql,
     "q37_pii_redact" -> q37Sql,
