@@ -25,20 +25,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read it as raw nanos (legacy.parquet.nanosAsLong) and convert
-    * to a micro-precision TimestampType with integer division — the same
-    * floor-truncation DuckDB applies when it reads the file.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS) in others, so branch on the dtype the
+    * reader actually produced rather than assuming either:
+    *  - LongType → the file was NANOS and `legacy.parquet.nanosAsLong` turned
+    *    it into raw nanos; integer-divide down to micros (the same floor
+    *    truncation DuckDB applies) and rebuild a TimestampType.
+    *  - TIMESTAMP_NTZ → the file was MICROS with isAdjustedToUTC=false; cast
+    *    to TimestampType (an exact reinterpretation under the UTC session
+    *    timezone every entrypoint sets) so downstream window/interval logic
+    *    sees the same type it always has.
+    *  - TimestampType → pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views (used by SQL-form queries and tests). */
+  /** Register all tables as temp views (used by SQL-form queries and tests).
+    * Routes `events` through its dtype-normalizing loader so SQL-form
+    * consumers see the same `ts` type as the DataFrame API.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
