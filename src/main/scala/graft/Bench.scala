@@ -62,7 +62,12 @@ object Bench {
     "q97_kmeans_seeded", "q98_kmeans_minibatch", "q99_semantic_dedup",
     "q100_int8_quantize", "q101_nb_classifier", "q102_zorder_code",
     "q103_data_audit", "q104_robust_stats", "q105_srp_project",
-    "q106_incremental_agg", "q107_fuzzy_join")
+    "q106_incremental_agg", "q107_fuzzy_join", "q108_scd2_build",
+    "q109_profile", "q110_triangle_count", "q111_kneser_ney",
+    "q112_minhash_doph", "q113_kmv_overlap", "q114_fuzzy_lookup",
+    "q115_equidepth_hist", "q116_cdc_apply", "q117_pmi_collocations",
+    "q118_sorted_neighborhood", "q119_robust_outliers",
+    "q120_markov_transitions", "q121_containment_dedup")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run
@@ -94,11 +99,17 @@ object Bench {
     val shuffle = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(shuffle)
 
-    def runOne(name: String, dir: String): Unit =
-      SparkEntry.queries.get(name).foreach { fn =>
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // A failed query must NEVER look like a fast success (round 7: 13
+    // broken queries were recorded as ~0.06 s / 0-shuffle-byte wins with
+    // rc=0). runOne reports failure; timed passes record -1 for any query
+    // that failed in any pass, and the JSON carries an explicit errors key.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def runOne(name: String, dir: String): Boolean =
+      SparkEntry.queries.get(name).forall { fn =>
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
         }
       }
 
@@ -112,20 +123,24 @@ object Bench {
     def timedPass(): Seq[(String, Double, Long)] = headline.map { name =>
       val b0 = shuffle.bytes.get()
       val t0 = System.nanoTime()
-      runOne(name, sfDir)
+      val ok = runOne(name, sfDir)
+      if (!ok) failed += name
       (name, (System.nanoTime() - t0) / 1e9, shuffle.bytes.get() - b0)
     }
     val passes = Seq.fill(3)(timedPass())
     val results = passes.transpose.map { samples =>
-      (samples.head._1, samples.map(_._2).min, samples.map(_._3).min)
+      val name = samples.head._1
+      if (failed.contains(name)) (name, -1.0, -1L)
+      else (name, samples.map(_._2).min, samples.map(_._3).min)
     }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sb = results.map { case (k, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Durability: ALWAYS persist to a repo-local file too — round 6's
     // driver artifact was tail-truncated (the JSON line outgrew the

@@ -1588,10 +1588,14 @@ object CorpusQueries {
       .join(broadcast(priors.select(col("source").as("cand"), col("prior_ln"))), "cand")
       .select(col("doc_id"), col("cand"),
         round(col("prior_ln") + col("sll"), 4).as("score"))
-    val best = scores.groupBy("doc_id").agg(max("score").as("m"))
-    scores.join(best, "doc_id").filter(col("score") === col("m"))
-      .groupBy("doc_id")
-      .agg(min(col("cand")).as("pred_source"), max(col("m")).as("score"))
+    // Argmax as ONE aggregation (q91/q93 idiom): min(struct(-score, cand))
+    // picks the max score with a min-cand tiebreak — no self-join, no
+    // second shuffle over the score table. Scores are strictly negative
+    // log-probs, so the negation never hits the -0.0/0.0 ordering edge.
+    scores.groupBy("doc_id")
+      .agg(min(struct((-col("score")).as("neg"), col("cand"))).as("b"))
+      .select(col("doc_id"), col("b.cand").as("pred_source"),
+        (-col("b.neg")).as("score"))
       .orderBy("doc_id")
   }
 
@@ -1765,9 +1769,12 @@ object CorpusQueries {
       .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
       .crossJoin(broadcast(n)).crossJoin(broadcast(b))
       .select(col("w1"), col("w2"), col("c12"),
-        round(log((col("c12").cast("double") / col("b")) /
-          ((col("c1").cast("double") / col("n")) *
-            (col("c2").cast("double") / col("n")))), 4).as("pmi"))
+        // ONE division of two left-assoc products inside ONE ln — the
+        // identical IEEE op chain the oracle runs, so engine hashes can't
+        // diverge on intermediate rounding: ln((c12·n·n)/(b·c1·c2)).
+        round(log(((col("c12").cast("double") * col("n")) * col("n")) /
+          ((col("b") * col("c1").cast("double")) *
+            col("c2").cast("double"))), 4).as("pmi"))
       .orderBy("w1", "w2")
   }
 
@@ -1784,8 +1791,8 @@ object CorpusQueries {
       |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
       |b AS (SELECT CAST(SUM(c12) AS DOUBLE) AS b FROM big)
       |SELECT w1, w2, c12,
-      | round(ln((CAST(c12 AS DOUBLE) / b) /
-      |   ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))), 4) AS pmi
+      | round(ln(((CAST(c12 AS DOUBLE) * n) * n) /
+      |   ((b * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE))), 4) AS pmi
       |FROM big
       |JOIN uni u1 ON u1.tok = w1
       |JOIN uni u2 ON u2.tok = w2, n, b
