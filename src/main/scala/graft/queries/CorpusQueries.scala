@@ -1799,7 +1799,127 @@ object CorpusQueries {
       |WHERE c12 >= 5
       |ORDER BY w1, w2""".stripMargin
 
+  /** q122 — per-document tf-idf keyword extraction (top 5): the
+    * classic lexical summarizer every corpus curator runs to label or
+    * route documents before anything neural exists — and the exact
+    * scoring a BM25-lite retrieval filter shares (q59 is the
+    * query-side sibling). Score = `tf · ln(N/df)`, one division and
+    * one ln on exact integer inputs (q117's hash-proof rule), rounded
+    * to 4 decimals; ranking runs ON the rounded score with a token
+    * tiebreak so ranks are deterministic across engines.
+    *
+    * Scale shape: tf = one (doc,tok) agg with map-side combine; df
+    * derives from tf by a tok-keyed agg; tf⋈df is a tok-keyed
+    * shuffle join (both sides already partitioned alike — at web
+    * scale the vocab is too big to broadcast, and this join never
+    * touches raw text); top-5 per doc via the bounded-heap
+    * [[graft.functions.TopKRows]] native aggregate — heaps through
+    * the exchange, no window sort of the score table.
+    */
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")), 4)
+          .as("score"))
+      .select(col("doc_id"),
+        struct((-col("score")).as("ns"), col("tok")).as("key"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TopKRows(s, col("key"), 5).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("r0", "kv")))
+      .select(col("doc_id"), (col("r0") + 1).cast("long").as("rank"),
+        col("kv.tok").as("tok"), (-col("kv.ns")).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val q122Sql: String =
+    """WITH t AS (
+      | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |sc AS (
+      | SELECT doc_id, tok,
+      |  round(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 4)
+      |    AS score
+      | FROM tf JOIN df USING (tok), n),
+      |r AS (
+      | SELECT doc_id, tok, score,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+      | FROM sc)
+      |SELECT doc_id, rank, tok, score FROM r WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** q123 — document novelty scoring: the fraction of a document's
+    * distinct word trigrams that occur in NO other document — the
+    * memorization/duplication risk signal dedup audits report per doc
+    * (a doc of all-unique n-grams is fresh prose; novelty ≈ 0 means
+    * boilerplate assembled from corpus-common fragments). Complements
+    * q90 (overlap vs an external benchmark) with overlap vs the corpus
+    * ITSELF, and q44 (self-repetition) with cross-doc repetition.
+    *
+    * Scale shape: distinct (doc, gram) pairs from a map-side HOF
+    * trigram build; gram-keyed df agg with map-side combine; pairs⋈df
+    * is gram-keyed on both sides (never broadcast — the gram universe
+    * scales with the corpus); one doc-keyed count agg back. Docs too
+    * short for a trigram surface with zero counts and NULL novelty
+    * via the left join — surfaced, not dropped.
+    */
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(zip_with(
+        zip_with(slice(col("w"), lit(1), size(col("w")) - 2),
+          slice(col("w"), lit(2), size(col("w")) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(col("w"), lit(3), size(col("w")) - 2),
+        (ab, c) => concat(ab, lit(" "), c))).as("gram"))
+      .distinct()
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val per = grams.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(col("n_unique").cast("double") /
+          col("n_grams").cast("double"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val q123Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |g AS (
+      | SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+      | FROM w, unnest(range(1, len(w) - 1)) AS t(i)),
+      |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+      |per AS (
+      | SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      | FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+      |SELECT d.doc_id,
+      | CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+      | CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+      | round(CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS novelty
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_tfidf_keywords" -> (q122 _),
+    "q123_doc_novelty" -> (q123 _),
     "q117_pmi_collocations" -> (q117 _),
     "q113_kmv_overlap" -> (q113 _),
     "q111_kneser_ney" -> (q111 _),
@@ -1845,6 +1965,8 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q122_tfidf_keywords" -> q122Sql,
+    "q123_doc_novelty" -> q123Sql,
     "q117_pmi_collocations" -> q117Sql,
     "q111_kneser_ney" -> q111Sql,
     "q101_nb_classifier" -> q101Sql,

@@ -695,20 +695,30 @@ object RelationalQueries {
 
   /** q110 — per-node triangle counts over the part co-purchase graph
     * ([[graft.operators.Triangles]]): parts are linked when they appear
-    * in the same order (pair fanout bounded by TPC-H's ≤7 lineitems
-    * per order), and each node's triangle count — the local clustering
-    * ingredient — is computed with the degree-oriented wedge join, the
-    * shape that bounds per-key fanout by sqrt(m) instead of letting a
-    * celebrity node emit degree² wedges. The oracle replays the naive
-    * a<b<c three-way join in SQL: green proves the oriented plan counts
+    * in the same order, and each node's triangle count — the local
+    * clustering ingredient — comes from the degree-oriented
+    * edge-iterator (adjacency intersection), the shape that bounds
+    * per-key fanout by sqrt(m) instead of letting a celebrity node emit
+    * degree² wedges. The edge list itself is built WITHOUT a fact-table
+    * self-join: one groupBy collects each order's distinct parts
+    * (map-side partial sets, lists bounded by TPC-H's ≤7 lineitems per
+    * order) and the pairs form map-side from the sorted list — at
+    * 100 TB the fact table shuffles once, keyed by order, instead of
+    * twice through a join. The oracle replays the naive a<b<c
+    * three-way join in SQL: green proves the oriented plan counts
     * exactly the same triangles while never materializing a hot node's
     * quadratic wedge set.
     */
   def q110(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
-    val a = li.toDF("ok", "u")
-    val b = li.toDF("ok", "v")
-    val edges = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v")
+    val edges = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("p"))
+      .filter(size(col("p")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(p) - 2),
+          |  i -> transform(sequence(i + 1, size(p) - 1),
+          |       j -> struct(p[i] AS u, p[j] AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     graft.operators.Triangles.perNodeTriangles(edges, "u", "v")
   }
 

@@ -316,7 +316,58 @@ object TextQueries {
       |  AND len(list_intersect(a.sh, b.sh)) * 10 >= least(len(a.sh), len(b.sh)) * 6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q124 — WITHIN-document segment dedup with rebuild: cut each doc
+    * into q50's non-overlapping 8-token segments and drop every repeat
+    * of a segment already seen earlier in the SAME document — the
+    * in-doc half of C4/Gopher repetition removal (q44 measures
+    * self-repetition; this is the ACTION that rewrites the doc; q50/q95
+    * are the cross-doc siblings). Keep-first is positional:
+    * `array_position` finds each segment's first occurrence index, and
+    * the filter keeps exactly the occurrences that ARE their own first.
+    *
+    * Scale shape: the entire operator is per-row higher-order
+    * functions — segment build, keep-first filter, rejoin — so the
+    * plan is ONE map-only codegen stage with ZERO shuffles and no
+    * state: it scales linearly to any corpus size and composes with
+    * any downstream pass for free.
+    */
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $k.0) as int) - 1),
+           |          i -> array_join(slice(w, i * $k + 1, $k), ' '))""".stripMargin)
+        .as("segs"))
+      .select(col("doc_id"), col("segs"),
+        filter(col("segs"), (x, i) => array_position(col("segs"), x) === i + 1)
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segments"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  val q124Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, list_transform(
+      |   range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+      |   i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')) AS segs
+      | FROM w),
+      |f AS (
+      | SELECT doc_id, segs,
+      |  list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+      | FROM s)
+      |SELECT doc_id, len(segs) AS n_segments, len(kept) AS n_kept,
+      | array_to_string(kept, ' ') AS text_kept
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_indoc_dedup" -> (q124 _),
     "q121_containment_dedup" -> (q121 _),
     "q89_char_entropy" -> (q89 _),
     "q38_dedup_clusters" -> (q38 _),
@@ -333,6 +384,7 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q124_indoc_dedup" -> q124Sql,
     "q121_containment_dedup" -> q121Sql,
     "q89_char_entropy" -> q89Sql,
     "q38_dedup_clusters" -> q38Sql,

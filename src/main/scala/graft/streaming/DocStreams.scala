@@ -269,6 +269,66 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming trending-terms monitor — cross-batch heavy hitters over
+    * an unbounded token stream, the streaming form of q71's
+    * Misra–Gries shape: each micro-batch builds a DISTRIBUTED MG
+    * sketch (the [[graft.functions.MisraGries]] native aggregate —
+    * map-side partial sketches, one `width`-bounded map to the
+    * driver), which merges into a persistent cross-batch sketch via
+    * the mergeable-summaries merge (Agarwal et al., PODS'12 — the
+    * SAME `merge` the aggregate uses internally, so the cross-batch
+    * bound is the single-pass bound: for every term,
+    * `true − N/(width−1) ≤ est ≤ true` over the whole stream so far).
+    * The sink receives each batch's top-`topK` terms by estimate with
+    * their ranks, tagged with the batch id — the "what is trending in
+    * the crawl TODAY" feed a curation dashboard polls.
+    *
+    * State is the sketch itself: ≤ `width−1` (term, est) rows at
+    * `stateDir`, regardless of stream length — never vocab-sized.
+    * Sink-before-state (the [[streamingDedupAgainst]] rule): a crash
+    * between the two re-processes the batch; a replayed merge
+    * double-counts one batch's tokens, inflating estimates by at most
+    * that batch's mass — estimates stay upper-bounds of a stream with
+    * the replay included, and the guarantee degrades gracefully
+    * instead of silently losing mass.
+    */
+  def streamingTrendingTerms(incoming: DataFrame, stateDir: String,
+                             textCol: String, width: Int, topK: Int,
+                             checkpoint: String)
+                            (sink: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val row = batch.toDF()
+          .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+          .agg(graft.functions.MisraGries(s, col("tok"), width).as("mg"))
+          .collect()(0)
+        val batchSketch =
+          if (row.isNullAt(0)) Map.empty[String, Long]
+          else row.getMap[String, Long](0).toMap
+        val prior: Map[String, Long] =
+          try s.read.parquet(stateDir).as[(String, Long)].collect().toMap
+          catch { // first batch: no state yet
+            case _: org.apache.spark.sql.AnalysisException => Map.empty
+          }
+        // Reuse the aggregate's own merge so the cross-batch trim is
+        // bit-for-bit the algorithm the bound is proved for.
+        val merger = graft.functions.MisraGries(
+          org.apache.spark.sql.catalyst.expressions.Literal("x"), width)
+        val merged = merger.merge(
+          scala.collection.mutable.HashMap.from(prior),
+          scala.collection.mutable.HashMap.from(batchSketch))
+        val top = merged.toSeq.sortBy { case (t, c) => (-c, t) }.take(topK)
+        sink(top.zipWithIndex
+          .map { case ((t, c), i) => (batchId, (i + 1).toLong, t, c) }
+          .toDF("batch_id", "rank", "term", "est_count"))
+        merged.toSeq.toDF("term", "est")
+          .coalesce(1).write.mode("overwrite").parquet(stateDir)
+      }
+      .start()
+
   /** `stateTtl`: evict a bucket's occupants after this much processing
     * time without new arrivals. None = keep forever (drain-style runs,
     * e.g. Trigger.AvailableNow over a bounded backlog); endless streams

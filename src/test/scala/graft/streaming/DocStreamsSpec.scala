@@ -14,6 +14,75 @@ class DocStreamsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("streaming trending terms: exact when width is ample; ranked sink output") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tmp = Files.createTempDirectory("trending").toFile.getAbsolutePath
+    def write(path: String, rows: Row*): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.parquet(path)
+    write(s"$tmp/src/b1", Row(1L, "a a b c"))
+    write(s"$tmp/src/b2", Row(2L, "a b b d"))
+
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, String, Long)]]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingTrendingTerms(
+      stream, s"$tmp/state", "text", width = 10, topK = 3,
+      checkpoint = s"$tmp/ckpt") { df =>
+      perBatch += df.collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    // width 10 over ≤4 distinct terms: no counter ever evicts, so the
+    // sketch is EXACT cumulative counts and ranks are deterministic
+    // (count desc, term asc).
+    assert(perBatch.map(_.sortBy(_._1)) == Seq(
+      Seq((1L, "a", 2L), (2L, "b", 1L), (3L, "c", 1L)),
+      Seq((1L, "a", 3L), (2L, "b", 3L), (3L, "c", 1L))))
+    import spark.implicits._
+    val state = spark.read.parquet(s"$tmp/state")
+      .as[(String, Long)].collect().toMap
+    assert(state == Map("a" -> 3L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
+  }
+
+  test("streaming trending terms: MG bound holds under trimming") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tmp = Files.createTempDirectory("trendbound").toFile.getAbsolutePath
+    def write(path: String, rows: Row*): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.parquet(path)
+    // N = 20 tokens, width 3 (2 counters): bound = N/(width-1) = 10.
+    // 'x' has true count 12 > 10, so it MUST survive the stream with
+    // 12 - 10 <= est <= 12, no matter how batches/partitions split.
+    write(s"$tmp/src/b1", Row(1L, "x x x x x x p q r s"))
+    write(s"$tmp/src/b2", Row(2L, "x x x x x x t u v w"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingTrendingTerms(
+      stream, s"$tmp/state", "text", width = 3, topK = 2,
+      checkpoint = s"$tmp/ckpt") { _ => () }
+    q.processAllAvailable()
+    q.stop()
+
+    import spark.implicits._
+    val state = spark.read.parquet(s"$tmp/state")
+      .as[(String, Long)].collect().toMap
+    assert(state.size <= 2, s"state exceeded width-1 counters: $state")
+    assert(state.contains("x"), s"guaranteed heavy hitter evicted: $state")
+    assert(state("x") >= 2L && state("x") <= 12L,
+      s"estimate outside MG bound: ${state("x")}")
+  }
+
   test("streaming cluster counts equal the batch assignment, across batches") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
