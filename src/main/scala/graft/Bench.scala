@@ -67,7 +67,8 @@ object Bench {
     "q112_minhash_doph", "q113_kmv_overlap", "q114_fuzzy_lookup",
     "q115_equidepth_hist", "q116_cdc_apply", "q117_pmi_collocations",
     "q118_sorted_neighborhood", "q119_robust_outliers",
-    "q120_markov_transitions", "q121_containment_dedup")
+    "q120_markov_transitions", "q121_containment_dedup",
+    "q122_tfidf_keywords", "q123_doc_novelty", "q124_indoc_dedup")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

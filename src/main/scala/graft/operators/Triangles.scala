@@ -77,13 +77,18 @@ object Triangles {
         array_intersect(col("la"),
           coalesce(col("lb"), array().cast("array<long>"))).as("common"))
       .filter(size(col("common")) > 0)
-    // credit all three corners: src and dst once per common w; each w once
-    val tri = withLists
-      .select(col("src"), col("dst"), explode(col("common")).as("w"))
-    tri.select(col("src").as("node"))
-      .union(tri.select(col("dst").as("node")))
-      .union(tri.select(col("w").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // credit all three corners in ONE pass: src and dst get the edge's
+    // whole intersection count, each closing node w gets 1 — a single
+    // explode feeding a single count agg, instead of a 3-way union that
+    // would re-derive the join+intersect pipeline once per corner.
+    withLists
+      .select(explode(concat(
+        array(
+          struct(col("src").as("node"), size(col("common")).cast("long").as("c")),
+          struct(col("dst").as("node"), size(col("common")).cast("long").as("c"))),
+        transform(col("common"), w => struct(w.as("node"), lit(1L).as("c")))))
+        .as("e"))
+      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
       .orderBy("node")
   }
 }
