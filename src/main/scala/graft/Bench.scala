@@ -68,7 +68,8 @@ object Bench {
     "q115_equidepth_hist", "q116_cdc_apply", "q117_pmi_collocations",
     "q118_sorted_neighborhood", "q119_robust_outliers",
     "q120_markov_transitions", "q121_containment_dedup",
-    "q122_tfidf_keywords", "q123_doc_novelty", "q124_indoc_dedup")
+    "q122_tfidf_keywords", "q123_doc_novelty", "q124_indoc_dedup",
+    "q125_snapshot_diff")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

@@ -503,7 +503,51 @@ object EventQueries {
       | round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS p
       |FROM c JOIN tot USING (cur) ORDER BY cur, nxt""".stripMargin
 
+  /** q125 — keyed snapshot diff ([[graft.operators.Diff.snapshotDiff]]):
+    * per-(user, event_type) activity state observed in the first half of
+    * January vs the second, classified added / removed / changed /
+    * unchanged with old and new counts side by side — the table-diff
+    * every replication checker and backfill audit runs, and the INVERSE
+    * of q116 (CDC applies a log; the diff derives one). All four
+    * classes are genuinely populated: users active only-early, only-late,
+    * with shifted counts, and with identical counts.
+    *
+    * Scale shape: each snapshot is one keyed agg with map-side combine;
+    * the diff itself is ONE full outer join with both sides
+    * co-partitioned on the same key — the minimal movement a keyed diff
+    * can have; classification is a map-side CASE.
+    */
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val split = "2024-01-16"
+    val ev = Tables.events(s, dir)
+    def counts(f: org.apache.spark.sql.Column): DataFrame = ev.filter(f)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    graft.operators.Diff.snapshotDiff(
+      counts(col("ts") < lit(split)), counts(col("ts") >= lit(split)),
+      Seq("user_id", "event_type"), Seq("cnt"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q125Sql: String =
+    """WITH a AS (
+      | SELECT user_id, event_type, COUNT(*) AS cnt FROM events
+      | WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+      |b AS (
+      | SELECT user_id, event_type, COUNT(*) AS cnt FROM events
+      | WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2)
+      |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      | coalesce(a.event_type, b.event_type) AS event_type,
+      | CASE WHEN a.user_id IS NULL THEN 'added'
+      |      WHEN b.user_id IS NULL THEN 'removed'
+      |      WHEN a.cnt = b.cnt THEN 'unchanged'
+      |      ELSE 'changed' END AS change,
+      | a.cnt AS old_cnt, b.cnt AS new_cnt
+      |FROM a FULL OUTER JOIN b
+      |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_snapshot_diff" -> (q125 _),
     "q120_markov_transitions" -> (q120 _),
     "q16_hourly_rollup" -> (q16 _),
     "q17_sessionization" -> (q17 _),
@@ -520,6 +564,7 @@ object EventQueries {
     "q79_share_of_user" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    "q125_snapshot_diff" -> q125Sql,
     "q120_markov_transitions" -> q120Sql,
     "q16_hourly_rollup" -> q16Sql,
     "q17_sessionization" -> q17Sql,
