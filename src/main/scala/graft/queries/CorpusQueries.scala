@@ -1917,7 +1917,88 @@ object CorpusQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q126 — exact duplicated-substring coverage (the report behind
+    * suffix-array dedup, Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, how many of its
+    * character positions sit inside a substring of length ≥ L that
+    * occurs ANYWHERE else in the corpus (other docs or the same doc).
+    * The suffix-array-free formulation: a position is duplicated iff
+    * its L-char window occurs ≥ 2 times corpus-wide, and the covered
+    * char count is the measure of the union of the [p, p+L−1]
+    * intervals — computed WITHOUT materializing interval merges as
+    * `Σ min(p − prev_p, L)` over the per-doc sorted duplicated
+    * positions (first position contributes L). All-integer arithmetic;
+    * only the final fraction divides (one division, round 4 — q117's
+    * rule). Winnowing (q82) samples this signal; q126 is the exact
+    * ground truth at ~L× the data amplification.
+    *
+    * Scale shape: position table = total_chars rows built map-side
+    * (explode of a per-row transform) carrying a 128-bit md5 of each
+    * window, computed INSIDE the generate so the raw 40-char grams
+    * never leave the map stage (2.5× less shuffle than raw grams;
+    * md5 is bit-identical in both engines, so the oracle replays the
+    * same hashes and a cross-engine mismatch is impossible short of a
+    * 2⁻¹²⁸ collision); ONE hash-keyed count agg with map-side combine;
+    * positions⋈hot hash-keyed on both sides; per-doc lag window runs
+    * only over DUPLICATED positions, bounded by doc length (q17's
+    * sessionization class). Clean and sub-L docs surface with zero
+    * coverage via the left join.
+    */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val L = 40
+    val docs = Tables.documents(s, dir)
+    val pos = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, length(text) - $L + 1),
+           |          i -> struct(i AS p, unhex(md5(substring(text, i, $L))) AS g))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+    val hot = pos.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val cov = pos.join(hot, "g")
+      .withColumn("prev", lag(col("p"), 1).over(w))
+      .withColumn("contrib",
+        when(col("prev").isNull, lit(L.toLong))
+          .otherwise(least(col("p") - col("prev"), lit(L.toLong))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_positions"),
+        sum(col("contrib")).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("len").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q126Sql: String =
+    """WITH pos AS (
+      | SELECT doc_id, i AS p, unhex(md5(substring(text, i, 40))) AS g
+      | FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)
+      | WHERE length(text) >= 40),
+      |hot AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+      |dup AS (
+      | SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+      | FROM pos WHERE g IN (SELECT g FROM hot)),
+      |cov AS (
+      | SELECT doc_id, COUNT(*) AS n_dup_positions,
+      |  CAST(SUM(CASE WHEN prev IS NULL THEN 40
+      |                ELSE least(p - prev, 40) END) AS BIGINT) AS dup_chars
+      | FROM dup GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | CAST(coalesce(n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+      | CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+      | round(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+      |   / CAST(length(d.text) AS DOUBLE), 4) AS dup_frac
+      |FROM documents d LEFT JOIN cov USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_dup_substring_coverage" -> (q126 _),
     "q122_tfidf_keywords" -> (q122 _),
     "q123_doc_novelty" -> (q123 _),
     "q117_pmi_collocations" -> (q117 _),
@@ -1965,6 +2046,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q126_dup_substring_coverage" -> q126Sql,
     "q122_tfidf_keywords" -> q122Sql,
     "q123_doc_novelty" -> q123Sql,
     "q117_pmi_collocations" -> q117Sql,

@@ -129,6 +129,41 @@ class CorpusQueriesSpec extends AnyFunSuite {
       s"winnowing missed the planted passage: ${q82Hits.toSeq}")
   }
 
+  test("q126 reports exact coverage of a planted shared passage") {
+    // Two docs share one 100-char passage at different offsets inside
+    // otherwise-random text (seeded, so no accidental 40-gram repeats).
+    // Every L-gram fully inside the passage occurs twice corpus-wide:
+    // run of 100-40+1 = 61 duplicated positions per doc, and the
+    // interval-union measure is exactly the 100 passage chars
+    // (L + 60 overlapping single-char extensions). A third random doc
+    // must report zero.
+    val docs = graft.Tables.documents(spark, dir)
+    def rand(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val shared = rand(3, 100)
+    val a = rand(1, 60) + shared + rand(4, 30)  // passage at pos 61
+    val b = rand(2, 45) + shared + rand(5, 40)  // passage at pos 46
+    val c = rand(6, 150)
+    val rows = Seq((1L, a), (2L, b), (3L, c)).map { case (id, t) =>
+      org.apache.spark.sql.Row(id, t, "en", "s", t.length.toLong)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), docs.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("q126").toFile.getAbsolutePath
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = CorpusQueries.q126(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 61L, 100L, BigDecimal(100.0 / 190).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 61L, 100L, BigDecimal(100.0 / 185).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (3L, 0L, 0L, 0.0)))
+  }
+
   test("q51 scores: uniform-corpus doc scores ln(V), rarer tokens score higher") {
     val rows = CorpusQueries.q51(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
