@@ -69,7 +69,8 @@ object Bench {
     "q118_sorted_neighborhood", "q119_robust_outliers",
     "q120_markov_transitions", "q121_containment_dedup",
     "q122_tfidf_keywords", "q123_doc_novelty", "q124_indoc_dedup",
-    "q125_snapshot_diff", "q126_dup_substring_coverage")
+    "q125_snapshot_diff", "q126_dup_substring_coverage",
+    "q127_dup_substring_cut")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

@@ -1997,7 +1997,138 @@ object CorpusQueries {
       |FROM documents d LEFT JOIN cov USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q127 — exact duplicated-substring CUT (the ACTION to q126's
+    * report, completing Lee et al. 2022's ExactSubstr dedup): every
+    * occurrence of a duplicated L-char window EXCEPT the corpus-wide
+    * first (min (doc_id, position) per gram — the canonical copy
+    * survives) is cut, and each document's remaining text is rebuilt.
+    * Char-exact and offset-exact where q95 (segment rebuild) is
+    * segment-quantized and q124 is within-doc only.
+    *
+    * The whole text surgery is relational — no UDF: cut positions →
+    * maximal cut intervals via gaps-and-islands (q17's shape; windows
+    * within L of each other merge), complement segments via lag over
+    * islands plus a per-doc tail row, fragment extraction with a
+    * plain `substring`, and reassembly by `array_sort(collect_list)`
+    * + concat (q95's deterministic-rebuild rule). A fully-cut doc
+    * emits empty text — distinguished from an untouched doc by the
+    * cut-count row, not by absence.
+    *
+    * Scale shape: q126's position/hash pipeline (raw grams never
+    * leave the map stage) plus one min-struct agg for canonicals; the
+    * windows run per doc over CUT positions and islands only — both
+    * bounded by doc length. Only documents WITH cuts flow through the
+    * rebuild; untouched docs pass by on the left join.
+    */
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val L = 40
+    val docs = Tables.documents(s, dir)
+    // Cut set in ONE pass over the position table: rank occurrences
+    // within each gram (window keyed by the 128-bit hash — partitions
+    // are gram-occurrence-sized, overwhelmingly 1–2 rows) and cut every
+    // occurrence ranked past the corpus-wide first under (doc_id, p).
+    // An agg+join-back form would re-derive the whole md5 position
+    // pipeline on the probe side; the window shares the single shuffle.
+    val pos = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, length(text) - $L + 1),
+           |          i -> struct(i AS p, unhex(md5(substring(text, i, $L))) AS g))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("doc_id", "p")
+    val cuts = pos
+      .withColumn("rn", row_number().over(wG))
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("c") >= 2 && col("rn") > 1)
+      .select("doc_id", "p")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val isl = cuts
+      .withColumn("prev", lag(col("p"), 1).over(wOrd))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("p") - col("prev") > L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wOrd))
+      .groupBy("doc_id", "island")
+      .agg(min("p").as("s"), (max("p") + lit(L - 1).cast("long")).as("e"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s")
+    val between = isl.withColumn("pe", lag(col("e"), 1).over(wIsl))
+      .select(col("doc_id"), (coalesce(col("pe"), lit(0L)) + 1).as("ks"),
+        (col("s") - 1).as("ke"))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val perDoc = isl.groupBy("doc_id")
+      .agg(max("e").as("me"), sum(col("e") - col("s") + 1).as("n_cut"))
+    val tail = perDoc.join(lens, "doc_id")
+      .select(col("doc_id"), (col("me") + 1).as("ks"), col("len").as("ke"))
+    val segs = between.union(tail).filter(col("ke") >= col("ks"))
+    val kept = segs.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("ks"),
+        expr("substring(text, ks, ke - ks + 1)").as("frag"))
+      .groupBy("doc_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ks, frag))), x -> x.frag)"),
+        "").as("kept_text"))
+    docs.select(col("doc_id"), col("text"))
+      .join(perDoc.select("doc_id", "n_cut"), Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut_chars"),
+        when(col("n_cut").isNotNull && col("kept_text").isNull, lit(""))
+          .otherwise(coalesce(col("kept_text"), col("text"))).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  val q127Sql: String =
+    """WITH pos AS (
+      | SELECT doc_id, i AS p, unhex(md5(substring(text, i, 40))) AS g
+      | FROM documents, unnest(range(1, length(text) - 40 + 2)) AS t(i)
+      | WHERE length(text) >= 40),
+      |dup AS (
+      | SELECT doc_id, p,
+      |  row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+      |  count(*) OVER (PARTITION BY g) AS c
+      | FROM pos),
+      |cuts AS (SELECT doc_id, p FROM dup WHERE c >= 2 AND rn > 1),
+      |i0 AS (
+      | SELECT doc_id, p,
+      |  CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 40
+      |       THEN 1 ELSE 0 END AS brk
+      | FROM cuts WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      |i1 AS (SELECT doc_id, p,
+      |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM i0),
+      |isl AS (SELECT doc_id, island, min(p) AS s, max(p) + 39 AS e
+      |        FROM i1 GROUP BY 1, 2),
+      |betw AS (
+      | SELECT doc_id,
+      |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+      |  s - 1 AS ke
+      | FROM isl),
+      |perdoc AS (SELECT doc_id, max(e) AS me,
+      |  CAST(SUM(e - s + 1) AS BIGINT) AS n_cut FROM isl GROUP BY doc_id),
+      |tl AS (
+      | SELECT p.doc_id, p.me + 1 AS ks, length(d.text) AS ke
+      | FROM perdoc p JOIN documents d USING (doc_id)),
+      |segs AS (
+      | SELECT * FROM betw WHERE ke >= ks
+      | UNION ALL SELECT * FROM tl WHERE ke >= ks),
+      |kept AS (
+      | SELECT s.doc_id,
+      |  string_agg(substring(d.text, CAST(s.ks AS INT),
+      |    CAST(s.ke - s.ks + 1 AS INT)), '' ORDER BY s.ks) AS kept_text
+      | FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)
+      |SELECT d.doc_id,
+      | CAST(coalesce(p.n_cut, 0) AS BIGINT) AS n_cut_chars,
+      | CASE WHEN p.doc_id IS NOT NULL AND k.kept_text IS NULL THEN ''
+      |      ELSE coalesce(k.kept_text, d.text) END AS text_kept
+      |FROM documents d
+      |LEFT JOIN perdoc p USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_dup_substring_cut" -> (q127 _),
     "q126_dup_substring_coverage" -> (q126 _),
     "q122_tfidf_keywords" -> (q122 _),
     "q123_doc_novelty" -> (q123 _),
@@ -2046,6 +2177,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q127_dup_substring_cut" -> q127Sql,
     "q126_dup_substring_coverage" -> q126Sql,
     "q122_tfidf_keywords" -> q122Sql,
     "q123_doc_novelty" -> q123Sql,

@@ -164,6 +164,35 @@ class CorpusQueriesSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0.0)))
   }
 
+  test("q127 cuts non-canonical copies exactly and keeps the first occurrence") {
+    val docs = graft.Tables.documents(spark, dir)
+    def rand(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val shared = rand(3, 100)
+    val a = rand(1, 60) + shared + rand(4, 30)   // canonical copy (doc 1)
+    val b = rand(2, 45) + shared + rand(5, 40)   // later copy loses the span
+    val rows = Seq((1L, a), (2L, b), (3L, a)).map { case (id, t) =>
+      org.apache.spark.sql.Row(id, t, "en", "s", t.length.toLong)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), docs.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("q127").toFile.getAbsolutePath
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = CorpusQueries.q127(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // doc 1 is canonical everywhere: untouched. doc 2 loses exactly the
+    // 100 shared chars (cut interval = the span, rebuilt text = its
+    // unique prefix + suffix). doc 3 duplicates doc 1 wholesale: every
+    // window is non-canonical, the islands merge to the full doc, and
+    // the rebuilt text is EMPTY — not mistaken for untouched.
+    assert(got == Seq(
+      (1L, 0L, a),
+      (2L, 100L, rand(2, 45) + rand(5, 40)),
+      (3L, a.length.toLong, "")))
+  }
+
   test("q51 scores: uniform-corpus doc scores ln(V), rarer tokens score higher") {
     val rows = CorpusQueries.q51(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
