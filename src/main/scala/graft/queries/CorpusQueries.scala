@@ -1938,11 +1938,12 @@ object CorpusQueries {
     * never leave the map stage (2.5× less shuffle than raw grams;
     * md5 is bit-identical in both engines, so the oracle replays the
     * same hashes and a cross-engine mismatch is impossible short of a
-    * 2⁻¹²⁸ collision); ONE hash-keyed count agg with map-side combine;
-    * positions⋈hot hash-keyed on both sides; per-doc lag window runs
-    * only over DUPLICATED positions, bounded by doc length (q17's
-    * sessionization class). Clean and sub-L docs surface with zero
-    * coverage via the left join.
+    * 2⁻¹²⁸ collision); duplicated positions from ONE window pass over
+    * the gram partitions (occurrence-sized — an agg + join-back would
+    * re-derive the md5 pipeline on the probe side at 2× the cost);
+    * per-doc lag window runs only over DUPLICATED positions, bounded
+    * by doc length (q17's sessionization class). Clean and sub-L docs
+    * surface with zero coverage via the left join.
     */
   def q126(s: SparkSession, dir: String): DataFrame = {
     val L = 40
@@ -1953,11 +1954,15 @@ object CorpusQueries {
            |          i -> struct(i AS p, unhex(md5(substring(text, i, $L))) AS g))"""
           .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
-    val hot = pos.groupBy("g").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("g")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
-    val cov = pos.join(hot, "g")
+    // duplicated positions in ONE pass: count over the gram partition
+    // (q127's rule — an agg + join-back would re-derive the md5
+    // position pipeline on the probe side)
+    val cov = pos
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("c") >= 2)
       .withColumn("prev", lag(col("p"), 1).over(w))
       .withColumn("contrib",
         when(col("prev").isNull, lit(L.toLong))
