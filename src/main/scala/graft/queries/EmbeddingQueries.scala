@@ -627,7 +627,68 @@ object EmbeddingQueries {
       |  / sqrt(16.0) AS value
       |FROM v, ml ORDER BY vec_id, k""".stripMargin
 
+  /** q128 — hard-negative mining: for each query vector, the top-3
+    * most-similar vectors carrying a DIFFERENT label — the contrastive
+    * training-pair prep every embedding-model pipeline runs (the
+    * negatives that are hard precisely because they're close). Query
+    * set = the deterministic `vec_id % 17` slice (no RNG, the q114
+    * rule); similarity = the codegen [[graft.functions.CosineSimilarity]]
+    * kernel (same left-to-right fold the oracle replays — bit-identical
+    * values), rounded to 4 decimals with a neg-id tiebreak so ranks
+    * are deterministic across engines.
+    *
+    * Scale shape: the query slice BROADCASTS (queries are the small
+    * side by construction); the corpus streams through ONE map-side
+    * scan against it — the label filter and cosine run inside the
+    * broadcast join, and per-query top-3 rides the bounded-heap
+    * [[graft.functions.TopKRows]] aggregate, heaps through the
+    * exchange. The corpus is never shuffled and never self-joined; a
+    * query set too big to broadcast swaps the scan for the IVF path
+    * (q34) with a label-mismatch post-filter.
+    */
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"),
+        col("label").as("q_label"))
+    emb.select(col("vec_id").as("neg_id"), col("embedding").as("n_e"),
+        col("label").as("n_label"))
+      .join(broadcast(q), col("n_label") =!= col("q_label"))
+      .select(col("q_id"),
+        struct((-round(graft.functions.CosineSimilarity(
+          s, col("q_e"), col("n_e")), 4)).as("nc"), col("neg_id")).as("key"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKRows(s, col("key"), 3).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "kv")))
+      .select(col("q_id"), (col("r0") + 1).cast("long").as("rank"),
+        col("kv.neg_id").as("neg_id"), (-col("kv.nc")).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q128Sql: String =
+    """WITH q AS (
+      | SELECT vec_id AS q_id, embedding AS qe, label AS ql
+      | FROM embeddings WHERE vec_id % 17 = 0),
+      |sc AS (
+      | SELECT q.q_id, e.vec_id AS neg_id,
+      |  round(
+      |   list_sum(list_transform(range(1, len(qe) + 1),
+      |     i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+      |        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+      |      * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+      |   4) AS cos
+      | FROM embeddings e, q WHERE e.label <> q.ql),
+      |r AS (
+      | SELECT q_id, neg_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id) AS rank
+      | FROM sc)
+      |SELECT q_id, rank, neg_id, cos FROM r WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_hard_negatives" -> (q128 _),
     "q105_srp_project" -> (q105 _),
     "q104_robust_stats" -> (q104 _),
     "q100_int8_quantize" -> (q100 _),
@@ -649,6 +710,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q128_hard_negatives" -> q128Sql,
     "q105_srp_project" -> q105Sql,
     "q104_robust_stats" -> q104Sql,
     "q100_int8_quantize" -> q100Sql,
