@@ -70,7 +70,8 @@ object Bench {
     "q120_markov_transitions", "q121_containment_dedup",
     "q122_tfidf_keywords", "q123_doc_novelty", "q124_indoc_dedup",
     "q125_snapshot_diff", "q126_dup_substring_coverage",
-    "q127_dup_substring_cut", "q128_hard_negatives")
+    "q127_dup_substring_cut", "q128_hard_negatives",
+    "q129_quality_ensemble")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

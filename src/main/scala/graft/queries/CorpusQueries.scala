@@ -2132,7 +2132,78 @@ object CorpusQueries {
       |LEFT JOIN kept k USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q129 — multi-signal quality-ensemble selection (the
+    * DataComp/FineWeb pattern): no single heuristic is trusted alone;
+    * each document is percentile-ranked on several independent quality
+    * signals, the ranks blend, and the top quarter of the blend is
+    * selected. Signals here: token count, mean token length, and
+    * type-token ratio (vocabulary richness) — each computed map-side
+    * from one tokenization. Ranks are EXACT global positions under a
+    * total (signal, doc_id) order — rank arithmetic is all integers,
+    * so the blend and the cut are bit-deterministic across engines;
+    * only the reported blend score divides (once, round 4).
+    *
+    * Scale shape: every global rank rides [[graft.operators.PrefixSum]]'s
+    * two-pass parallel scan (the no-single-task-window rule: q115/q118);
+    * four rank passes total (three signals + the blend cut), each a
+    * range-repartition of the per-DOC signal table — never the corpus
+    * text (at 100 TB you'd checkpoint the signal table once rather
+    * than re-derive tokens per pass; the plan is otherwise identical).
+    */
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sig = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("s1"),
+        (expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double") /
+          size(col("w")).cast("double")).as("s2"),
+        (size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double")).as("s3"))
+    def rank(df: DataFrame, sCol: String, out: String): DataFrame =
+      graft.operators.PrefixSum.withRunningTotalOrdered(
+        df.withColumn("__one", lit(1L)), Seq(sCol, "doc_id"), "__one", out)
+        .drop("__one")
+    val ranked = rank(rank(rank(sig, "s1", "r1"), "s2", "r2"), "s3", "r3")
+      .withColumn("bn", col("r1") + col("r2") + col("r3"))
+      .withColumn("negbn", -col("bn"))
+    rank(ranked, "negbn", "brank")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .filter(col("brank") <= ceil(col("n") / lit(4.0)).cast("long"))
+      .select(col("doc_id"), col("r1"), col("r2"), col("r3"), col("brank"),
+        round(col("bn").cast("double") /
+          (col("n") * 3).cast("double"), 4).as("blend"))
+      .orderBy("doc_id")
+  }
+
+  val q129Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |sig AS (
+      | SELECT doc_id, len(w) AS s1,
+      |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+      |    / len(w) AS s2,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS s3
+      | FROM w),
+      |r AS (
+      | SELECT doc_id,
+      |  row_number() OVER (ORDER BY s1, doc_id) AS r1,
+      |  row_number() OVER (ORDER BY s2, doc_id) AS r2,
+      |  row_number() OVER (ORDER BY s3, doc_id) AS r3,
+      |  count(*) OVER () AS n
+      | FROM sig),
+      |b AS (
+      | SELECT doc_id, r1, r2, r3, r1 + r2 + r3 AS bn, n,
+      |  row_number() OVER (ORDER BY r1 + r2 + r3 DESC, doc_id) AS brank
+      | FROM r)
+      |SELECT doc_id, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+      | CAST(r3 AS BIGINT) AS r3, CAST(brank AS BIGINT) AS brank,
+      | round(CAST(bn AS DOUBLE) / (n * 3), 4) AS blend
+      |FROM b WHERE brank <= CAST(ceil(n / 4.0) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_quality_ensemble" -> (q129 _),
     "q127_dup_substring_cut" -> (q127 _),
     "q126_dup_substring_coverage" -> (q126 _),
     "q122_tfidf_keywords" -> (q122 _),
@@ -2182,6 +2253,7 @@ object CorpusQueries {
     "q90_contamination_rate" -> (q90 _))
 
   val oracles: Map[String, String] = Map(
+    "q129_quality_ensemble" -> q129Sql,
     "q127_dup_substring_cut" -> q127Sql,
     "q126_dup_substring_coverage" -> q126Sql,
     "q122_tfidf_keywords" -> q122Sql,
