@@ -109,12 +109,18 @@ object Bench {
     // that failed in any pass, and the JSON carries an explicit errors key.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def runOne(name: String, dir: String): Boolean =
-      SparkEntry.queries.get(name).forall { fn =>
-        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      SparkEntry.queries.get(name) match {
+        case None =>
+          // an unregistered headline name must fail loudly, not record
+          // a ~0s/0-shuffle "success" (the round-7 artifact-lie mode)
+          System.err.println(s"[bench] $name is not in SparkEntry.queries")
           false
-        }
+        case Some(fn) =>
+          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
       }
 
     // Untimed warmup: run every headline plan once at the smallest SF so

@@ -67,15 +67,15 @@ object Triangles {
     // edge iterator: for oriented (src, dst), every w in
     // adj(src) ∩ adj(dst) closes the triangle (src, dst, w) — and the
     // orientation guarantees each triangle is found at exactly one edge
-    // (the one leaving its unique two-out-edge node). dst may have no
-    // out-edges (left join + empty-array coalesce keeps the row).
+    // (the one leaving its unique two-out-edge node). The dst adjacency
+    // attach is an INNER join: a dst with no out-edges yields an empty
+    // intersection and is dropped by the size filter anyway, and inner
+    // keeps the operator id-dtype-generic (no hardcoded empty-array cast).
     val withLists = oriented
       .join(adjSide.select(col("node").as("src"), col("nbrs").as("la")), Seq("src"))
-      .join(adjSide.select(col("node").as("dst"), col("nbrs").as("lb")),
-        Seq("dst"), "left")
+      .join(adjSide.select(col("node").as("dst"), col("nbrs").as("lb")), Seq("dst"))
       .select(col("src"), col("dst"),
-        array_intersect(col("la"),
-          coalesce(col("lb"), array().cast("array<long>"))).as("common"))
+        array_intersect(col("la"), col("lb")).as("common"))
       .filter(size(col("common")) > 0)
     // credit all three corners in ONE pass: src and dst get the edge's
     // whole intersection count, each closing node w gets 1 — a single

@@ -1746,9 +1746,15 @@ object CorpusQueries {
     * BEFORE the model joins, so the rare-pair tail never reaches the
     * join. Scale shape = q111's: map-side `zip_with` bigrams into one
     * (w1,w2)-keyed agg with map-side combine, unigram model broadcast
-    * back, scalars on a broadcast cross join; PMI is a fixed IEEE op
-    * chain mirrored in the oracle and rounded to 4 decimals so
-    * engine-ulp can't flip the hash.
+    * back, scalars on a broadcast cross join.
+    *
+    * Hash stability: the emitted score is the exact PMI *ratio*
+    * `(c12·N·N)/(B·c1·c2)` — i.e. e^PMI — rounded to 4 decimals, NOT
+    * its logarithm. ln is monotone, so ranking by the ratio is
+    * ranking by PMI; but `Math.log` (JVM) and libm (DuckDB) are each
+    * ≤1 ulp and not identically rounded, which flipped `round(ln x,
+    * 4)` on boundary rows. One division of integer-derived products
+    * (q115's rule) is IEEE-exact in both engines.
     */
   def q117(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
@@ -1769,12 +1775,12 @@ object CorpusQueries {
       .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
       .crossJoin(broadcast(n)).crossJoin(broadcast(b))
       .select(col("w1"), col("w2"), col("c12"),
-        // ONE division of two left-assoc products inside ONE ln — the
-        // identical IEEE op chain the oracle runs, so engine hashes can't
-        // diverge on intermediate rounding: ln((c12·n·n)/(b·c1·c2)).
-        round(log(((col("c12").cast("double") * col("n")) * col("n")) /
+        // ONE division of two left-assoc integer-derived products — no
+        // transcendental in the hash-compared column (see scaladoc):
+        // (c12·n·n)/(b·c1·c2) = e^PMI, monotone in PMI.
+        round(((col("c12").cast("double") * col("n")) * col("n")) /
           ((col("b") * col("c1").cast("double")) *
-            col("c2").cast("double"))), 4).as("pmi"))
+            col("c2").cast("double")), 4).as("pmi_ratio"))
       .orderBy("w1", "w2")
   }
 
@@ -1791,8 +1797,8 @@ object CorpusQueries {
       |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
       |b AS (SELECT CAST(SUM(c12) AS DOUBLE) AS b FROM big)
       |SELECT w1, w2, c12,
-      | round(ln(((CAST(c12 AS DOUBLE) * n) * n) /
-      |   ((b * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+      | round(((CAST(c12 AS DOUBLE) * n) * n) /
+      |   ((b * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE)), 4) AS pmi_ratio
       |FROM big
       |JOIN uni u1 ON u1.tok = w1
       |JOIN uni u2 ON u2.tok = w2, n, b
@@ -1938,12 +1944,19 @@ object CorpusQueries {
     * never leave the map stage (2.5× less shuffle than raw grams;
     * md5 is bit-identical in both engines, so the oracle replays the
     * same hashes and a cross-engine mismatch is impossible short of a
-    * 2⁻¹²⁸ collision); duplicated positions from ONE window pass over
-    * the gram partitions (occurrence-sized — an agg + join-back would
-    * re-derive the md5 pipeline on the probe side at 2× the cost);
-    * per-doc lag window runs only over DUPLICATED positions, bounded
-    * by doc length (q17's sessionization class). Clean and sub-L docs
-    * surface with zero coverage via the left join.
+    * 2⁻¹²⁸ collision); duplicated positions via a map-side-combined
+    * `groupBy(g).count` + semi join-back — NOT `count(*) over
+    * (partition by g)`: a boilerplate gram duplicated 10⁸ times
+    * corpus-wide (license headers, nav chrome) would land every
+    * occurrence in ONE window task (straggler/OOM), whereas the agg
+    * collapses it map-side to one row and AQE skew-split handles the
+    * join's probe side. The join does NOT re-derive the md5 pipeline:
+    * both the agg input and the probe side hash-partition `pos` by g
+    * identically, so Catalyst reuses one Exchange (ReusedExchange in
+    * the plan). Per-doc lag window runs only over DUPLICATED
+    * positions, bounded by doc length (q17's sessionization class).
+    * Clean and sub-L docs surface with zero coverage via the left
+    * join.
     */
   def q126(s: SparkSession, dir: String): DataFrame = {
     val L = 40
@@ -1956,13 +1969,12 @@ object CorpusQueries {
       .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
-    // duplicated positions in ONE pass: count over the gram partition
-    // (q127's rule — an agg + join-back would re-derive the md5
-    // position pipeline on the probe side)
+    // hot grams via map-side-combined agg (skew-safe; the probe-side
+    // Exchange of `pos` by g is reused for the agg input — see scaladoc)
+    val hot = pos.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
     val cov = pos
-      .withColumn("c", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .filter(col("c") >= 2)
+      .join(hot, Seq("g"), "left_semi")
       .withColumn("prev", lag(col("p"), 1).over(w))
       .withColumn("contrib",
         when(col("prev").isNull, lit(L.toLong))
@@ -2020,33 +2032,38 @@ object CorpusQueries {
     * cut-count row, not by absence.
     *
     * Scale shape: q126's position/hash pipeline (raw grams never
-    * leave the map stage) plus one min-struct agg for canonicals; the
-    * windows run per doc over CUT positions and islands only — both
-    * bounded by doc length. Only documents WITH cuts flow through the
-    * rebuild; untouched docs pass by on the left join.
+    * leave the map stage); the cut set comes from ONE map-side-combined
+    * per-gram agg — `min(struct(doc_id, p))` picks the corpus-wide
+    * canonical occurrence and `count ≥ 2` gates duplication — joined
+    * back to the position table (skew-safe: a 10⁸-occurrence
+    * boilerplate gram collapses map-side to one agg row and AQE
+    * skew-splits the join, where the former per-gram row_number/count
+    * windows would funnel it into one task; the probe Exchange of
+    * `pos` by g is reused for the agg input, so the md5 pipeline runs
+    * once). The remaining windows run per doc over CUT positions and
+    * islands only — both bounded by doc length. Only documents WITH
+    * cuts flow through the rebuild; untouched docs pass by on the
+    * left join.
     */
   def q127(s: SparkSession, dir: String): DataFrame = {
     val L = 40
     val docs = Tables.documents(s, dir)
-    // Cut set in ONE pass over the position table: rank occurrences
-    // within each gram (window keyed by the 128-bit hash — partitions
-    // are gram-occurrence-sized, overwhelmingly 1–2 rows) and cut every
-    // occurrence ranked past the corpus-wide first under (doc_id, p).
-    // An agg+join-back form would re-derive the whole md5 position
-    // pipeline on the probe side; the window shares the single shuffle.
+    // Cut set via per-gram agg + join-back (skew-safe — see scaladoc):
+    // min(struct(doc_id, p)) is the corpus-wide canonical occurrence;
+    // every other occurrence of a gram with count ≥ 2 is cut.
     val pos = docs.filter(length(col("text")) >= L)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, length(text) - $L + 1),
            |          i -> struct(i AS p, unhex(md5(substring(text, i, $L))) AS g))"""
           .stripMargin)).as("x"))
       .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
-    val wG = org.apache.spark.sql.expressions.Window
-      .partitionBy("g").orderBy("doc_id", "p")
-    val cuts = pos
-      .withColumn("rn", row_number().over(wG))
-      .withColumn("c", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("g")))
-      .filter(col("c") >= 2 && col("rn") > 1)
+    val canon = pos.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("g"), col("first.doc_id").as("f_doc"), col("first.p").as("f_p"))
+    val cuts = pos.join(canon, Seq("g"))
+      .filter(!(col("doc_id") === col("f_doc") && col("p") === col("f_p")))
       .select("doc_id", "p")
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")

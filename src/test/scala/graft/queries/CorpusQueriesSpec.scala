@@ -193,6 +193,54 @@ class CorpusQueriesSpec extends AnyFunSuite {
       (3L, a.length.toLong, "")))
   }
 
+  test("q126/q127 survive a planted hot gram (1e5 occurrences, no per-gram window)") {
+    // A single 40-gram duplicated ~10^5 times corpus-wide — the
+    // license-header/boilerplate shape that at 100 TB lands every
+    // occurrence in ONE task if duplication is counted with a window
+    // partitioned by gram. The skew-safe form (map-side-combined
+    // groupBy(g) + join-back) must (a) produce the exact same answer
+    // and (b) contain NO window partitioned on the gram column.
+    val docs = graft.Tables.documents(spark, dir)
+    def rand(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val n = 100000
+    val hot = "x" * n                 // every 40-window = the same gram
+    val clean = rand(11, 500)
+    val rows = Seq((1L, hot), (2L, clean)).map { case (id, t) =>
+      org.apache.spark.sql.Row(id, t, "en", "s", t.length.toLong)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), docs.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("hotgram").toFile.getAbsolutePath
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // no per-gram window in either physical plan
+    for (q <- Seq(CorpusQueries.q126 _, CorpusQueries.q127 _)) {
+      val plan = q(spark, tmp).queryExecution.executedPlan.toString
+      val gramWindows = "windowspecdefinition\\(g#\\d".r.findAllIn(plan).toSeq
+      assert(gramWindows.isEmpty,
+        s"plan still contains a per-gram window: $gramWindows")
+    }
+
+    // q126: all n-39 positions of the hot doc are duplicated; the
+    // interval union is the whole doc (first window 40 chars + one new
+    // char per subsequent position). The clean doc reports zero.
+    val cov = CorpusQueries.q126(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(cov == Seq((1L, (n - 39).toLong, n.toLong, 1.0),
+      (2L, 0L, 0L, 0.0)))
+
+    // q127: the canonical occurrence is (doc 1, p=1); positions
+    // 2..n-39 are cut, merging to one island [2, n] — the rebuilt
+    // text is the single uncovered char "x" at position 1.
+    val cut = CorpusQueries.q127(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(cut == Seq((1L, (n - 1).toLong, "x"), (2L, 0L, clean)))
+  }
+
   test("q51 scores: uniform-corpus doc scores ln(V), rarer tokens score higher") {
     val rows = CorpusQueries.q51(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))

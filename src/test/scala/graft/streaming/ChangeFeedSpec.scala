@@ -50,13 +50,38 @@ class ChangeFeedSpec extends AnyFunSuite {
       Set((1L, 2L, "changed", Some(1L), Some(2L)),
         (1L, 3L, "added", None, Some(1L)))))
 
-    // one surviving state version, equal to a whole-stream recompute
+    // latest version + its predecessor survive (the predecessor is the
+    // crash-replay rebuild input); anything older is rotated away
     val versions = new java.io.File(s"$tmp/state").listFiles()
-      .filter(_.getName.startsWith("v"))
-    assert(versions.length == 1)
-    val state = spark.read.parquet(versions.head.getAbsolutePath)
+      .filter(_.getName.startsWith("v")).sortBy(_.getName.drop(1).toLong)
+    assert(versions.map(_.getName).toSeq == Seq("v0", "v1"))
+    val state = spark.read.parquet(versions.last.getAbsolutePath)
       .collect().map(r => (r.getLong(r.fieldIndex("user")),
         r.getLong(r.fieldIndex("cnt")), r.getLong(r.fieldIndex("total")))).toSet
     assert(state == Set((1L, 2L, 15L), (2L, 2L, 10L), (3L, 1L, 4L)))
+
+    // crash-replay: re-deliver batch 1 (v1 already committed). The feed
+    // must be rebuilt identically from diff(v0, v1) — not re-merged
+    // (which would double-count and overwrite v1 while reading it).
+    import org.apache.spark.sql.DataFrame
+    val replayBatch = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, 3L), Row(3L, 4L)), schema)
+    var replayFeed = Set.empty[(Long, Long, String, Option[Long], Option[Long])]
+    ChangeFeed.processBatch(replayBatch, 1L, s"$tmp/state", Seq("user"),
+      Seq(("cnt", "sum"), ("total", "sum")),
+      (b: DataFrame) => b.groupBy("user")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("total"))) { df =>
+      replayFeed = df.collect().map(r => (
+        r.getLong(r.fieldIndex("batch_id")),
+        r.getLong(r.fieldIndex("user")),
+        r.getString(r.fieldIndex("change")),
+        Option(r.get(r.fieldIndex("old_cnt"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("new_cnt"))).map(_.asInstanceOf[Long]))).toSet
+    }
+    assert(replayFeed == perBatch(1), "replayed feed must equal the original")
+    val stateAfter = spark.read.parquet(s"$tmp/state/v1")
+      .collect().map(r => (r.getLong(r.fieldIndex("user")),
+        r.getLong(r.fieldIndex("cnt")), r.getLong(r.fieldIndex("total")))).toSet
+    assert(stateAfter == state, "replay must not re-merge the delta")
   }
 }
