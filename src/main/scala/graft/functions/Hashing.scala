@@ -238,6 +238,25 @@ object Hashing {
     out
   }
 
+  /** Oracle-replayable 64-bit token hashes: the little-endian uint64 of
+    * each token's FIRST 8 md5 bytes — bit-for-bit DuckDB's
+    * `md5_number_upper`, so SQL can recompute signatures exactly. Used
+    * by the SimHash operators (q26/q35), whose OUTPUT is the hash bits
+    * themselves; the MinHash/KMV paths keep FNV+SplitMix because their
+    * oracles verify semantics (Jaccard / distinct counts), not bits,
+    * and FNV is ~10× cheaper per token. One MessageDigest per call
+    * (per document), reset between tokens.
+    */
+  def md5TokenHashes(toks: Array[String]): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    toks.map { t =>
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+    }
+  }
+
   /** 64-bit SimHash over token hashes, as a Long (bit k set iff the
     * weighted bit-k vote over tokens is positive).
     */

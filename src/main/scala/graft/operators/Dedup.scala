@@ -235,7 +235,7 @@ object Dedup {
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sigUdf = udf { text: String =>
       val toks = text.trim.toLowerCase.split("\\s+")
-      Hashing.simhash64(toks.map(Hashing.stringHash64))
+      Hashing.simhash64(Hashing.md5TokenHashes(toks))
     }
     val sigs = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -252,7 +252,7 @@ object Dedup {
       .withColumn("hamming",
         graft.functions.HammingDistance(docs.sparkSession, col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .distinct()
   }
 
@@ -686,11 +686,13 @@ object Dedup {
   /** SimHash per doc: 64-bit signature as a bit string. Near-dups have
     * small Hamming distance; bucketing on bit-prefixes gives an LSH analog.
     * JVM function per row for the same recompute reason as [[minhashLsh]].
+    * Token hashes are [[Hashing.md5TokenHashes]] (= DuckDB
+    * `md5_number_upper`) so the oracle recomputes the bits exactly.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val simhashUdf = udf { text: String =>
       val toks = text.trim.toLowerCase.split("\\s+")
-      Hashing.simhashBits(toks.map(Hashing.stringHash64))
+      Hashing.simhashBits(Hashing.md5TokenHashes(toks))
     }
     docs.select(col(idCol).as("doc_id"), simhashUdf(col(textCol)).as("simhash_bits"))
   }

@@ -1138,10 +1138,11 @@ object CorpusQueries {
   /** q83 — BPE tokenizer training ([[graft.functions.Bpe]]): the learned
     * merge table, in merge order, with each merged symbol's vocabulary
     * id. Fully deterministic (exact word counts, lexicographic
-    * tiebreaks, no RNG) but iterative — no single SQL oracle exists, so
-    * the driver records the rows-only check and BpeSpec pins the exact
-    * merge sequence against the hand-computed Sennrich-corpus golden
-    * plus round-trip and byte-fallback properties.
+    * tiebreaks, no RNG) but iterative — no closed-form SQL oracle
+    * exists, so the oracle is a committed golden parquet (see
+    * `goldenSql`); BpeSpec pins the ALGORITHM against the
+    * hand-computed Sennrich-corpus merge sequence plus round-trip and
+    * byte-fallback properties.
     */
   def q83(s: SparkSession, dir: String): DataFrame = {
     val m = bpeModel(s, dir)
@@ -2269,7 +2270,21 @@ object CorpusQueries {
     "q87_source_quota" -> (q87 _),
     "q90_contamination_rate" -> (q90 _))
 
+  // Golden-parquet oracles for the deterministic-but-iterative BPE trio
+  // (no closed-form SQL exists for an iterative merge loop). The goldens
+  // are committed sf0.01 outputs whose ALGORITHM is independently pinned
+  // by BpeSpec's hand-computed Sennrich-corpus merge sequence plus
+  // round-trip/byte-fallback properties; the oracle row pins bit-exact
+  // regression. Regenerate after an intentional change or a testdata
+  // refresh: run graft.Verify at sf0.01 and copy the three part files to
+  // goldens/<name>.parquet.
+  private def goldenSql(name: String): String =
+    s"SELECT * FROM '/root/repo/goldens/$name.parquet'"
+
   val oracles: Map[String, String] = Map(
+    "q83_bpe_train" -> goldenSql("q83_bpe_train"),
+    "q84_bpe_encode" -> goldenSql("q84_bpe_encode"),
+    "q85_pack_bpe" -> goldenSql("q85_pack_bpe"),
     "q129_quality_ensemble" -> q129Sql,
     "q127_dup_substring_cut" -> q127Sql,
     "q126_dup_substring_coverage" -> q126Sql,

@@ -180,21 +180,62 @@ object TextQueries {
     Dedup.minhashLshDoph(Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
       .orderBy("doc_a", "doc_b")
 
-  /** q26 — 64-bit SimHash signatures (bit-string form). No SQL oracle:
-    * xxhash64 has no DuckDB twin; pinned instead by ScalaTest (near-dup
-    * pairs from q24's truth have small Hamming distance).
+  /** q26 — 64-bit SimHash signatures (bit-string form). Exact SQL
+    * oracle: token hashes are [[graft.functions.Hashing.md5TokenHashes]]
+    * — bit-for-bit DuckDB's `md5_number_upper` — so the oracle replays
+    * the full bit-vote (explode tokens × 64 bit positions, sign of the
+    * per-bit sum) and rebuilds the MSB-first bit string. ScalaTest
+    * additionally pins the semantic property (near-dup pairs from
+    * q24's truth have small Hamming distance).
     */
   def q26(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  val q26Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+      |th AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
+      |bits AS (
+      | SELECT doc_id, i,
+      |  CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |       THEN '1' ELSE '0' END AS b
+      | FROM th, (SELECT unnest(range(0, 64)) AS i) k
+      | GROUP BY doc_id, i)
+      |SELECT doc_id, string_agg(b, '' ORDER BY i DESC) AS simhash_bits
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q35 — SimHash banded near-dup search (Hamming ≤ 7, pigeonhole-exact
-    * recall with 8 bands). Engine-hash-dependent ⇒ rows-only check;
-    * equality with brute-force Hamming search pinned by OperatorsSpec.
+    * recall with 8 bands). The oracle replays the md5-based signature
+    * (q26's bit-vote, reassembled as a uint64) and brute-forces
+    * `bit_count(xor) ≤ 7` over all pairs — green means the banded scale
+    * path loses no pair vs exhaustive search. Brute equality is also
+    * pinned JVM-side by OperatorsSpec.
     */
   def q35(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxDist = 7)
       .orderBy("doc_a", "doc_b")
+
+  val q35Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+      |th AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
+      |bits AS (
+      | SELECT doc_id, i,
+      |  CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |       THEN 1::UBIGINT ELSE 0::UBIGINT END AS b
+      | FROM th, (SELECT unnest(range(0, 64)) AS i) k
+      | GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id, SUM(b << i)::UBIGINT AS sig FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 7
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q38 — near-dup clustering: LSH-verified pairs → transitive connected
     * components → (doc_id, cluster_id = min id in component). The oracle
@@ -396,5 +437,7 @@ object TextQueries {
     "q23_fingerprint" -> q23Sql,
     "q24_ngram_jaccard" -> jaccardOracle,
     "q25_minhash_lsh" -> jaccardOracle,
-    "q112_minhash_doph" -> jaccardOracle)
+    "q112_minhash_doph" -> jaccardOracle,
+    "q26_simhash" -> q26Sql,
+    "q35_simhash_neardup" -> q35Sql)
 }

@@ -52,15 +52,15 @@ class OperatorsSpec extends AnyFunSuite {
     import graft.functions.Hashing
     val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
     val sigs = texts.map { case (id, t) =>
-      id -> Hashing.simhash64(t.trim.toLowerCase.split("\\s+").map(Hashing.stringHash64))
+      id -> Hashing.simhash64(Hashing.md5TokenHashes(t.trim.toLowerCase.split("\\s+")))
     }.toMap
     val ids = sigs.keys.toSeq.sorted
     val brute = (for {
       a <- ids; b <- ids if a < b
-      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 7
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong if d <= 7
     } yield (a, b, d)).toSet
     val got = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 7, bands = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute)
     assert(brute.nonEmpty) // the planted near-dups are simhash-close too
   }
