@@ -40,6 +40,8 @@ object Main {
     Seq("sierra_active_new", "sierra_active_updated", "sierra_deleted")
       .foreach(PollClientRegistry.get) // fail fast with a clear message
 
+    streaming.StateStores.configure(spark, cfg.stateStoreProvider)
+
     // The source polls strictly `> startMicros`; the reference's scans are
     // `>= start` (helpers/query_helper.py:22,36), so the configured instant
     // itself must be included — start one micro before it.
@@ -79,9 +81,15 @@ object Main {
       iphlcLookup = rsLookup(Seq("patron_id", "initial_patron_home_library_code"),
         "patron_id"))
 
+    // Sink resolution: dev toggle > explicit binding > KINESIS_STREAM_ARN
+    // (the reference's wiring, lib/pipeline_controller.py:79-82 — the
+    // ARN arrives KMS-decrypted from the deployment).
     val sink: AvroSink.RecordSink =
       if (cfg.ignoreKinesis) new AvroSink.LoggingSink
-      else required("Main.recordSink", recordSink)
+      else recordSink
+        .orElse(cfg.kinesisStreamArn.map(KinesisSink.fromStreamArn(_)))
+        .getOrElse(throw new IllegalStateException(
+          "bind Main.recordSink or set KINESIS_STREAM_ARN before launching graft.Main"))
 
     // S5: the registry is authoritative for the output schema when
     // configured (reference fetches PATRON_INFO_SCHEMA_URL at startup,

@@ -14,6 +14,7 @@ final case class Config(
     activePatronBatchSize: Int,
     deletedPatronBatchSize: Int,
     kinesisBatchSize: Int,
+    kinesisStreamArn: Option[String],
     maxBatches: Option[Int],
     ignoreCache: Boolean,
     ignoreKinesis: Boolean,
@@ -21,7 +22,8 @@ final case class Config(
     startingUpdateDt: String,
     startingDeletionDate: String,
     checkpointDir: String,
-    sourceNumPartitions: Int)
+    sourceNumPartitions: Int,
+    stateStoreProvider: String)
 
 object Config {
 
@@ -38,6 +40,8 @@ object Config {
     activePatronBatchSize = env.getOrElse("ACTIVE_PATRON_BATCH_SIZE", "10000").toInt,
     deletedPatronBatchSize = env.getOrElse("DELETED_PATRON_BATCH_SIZE", "500000").toInt,
     kinesisBatchSize = env.getOrElse("KINESIS_BATCH_SIZE", "500").toInt,
+    // reference lib/pipeline_controller.py:81 (KMS-decrypted at deploy)
+    kinesisStreamArn = env.get("KINESIS_STREAM_ARN"),
     maxBatches = env.get("MAX_BATCHES").map(_.toInt),
     ignoreCache = env.get("IGNORE_CACHE").contains("True"),
     ignoreKinesis = env.get("IGNORE_KINESIS").contains("True"),
@@ -45,7 +49,9 @@ object Config {
     startingUpdateDt = env.getOrElse("STARTING_UPDATE_DT", "2020-01-01 00:00:00-05"),
     startingDeletionDate = env.getOrElse("STARTING_DELETION_DATE", "2020-01-01"),
     checkpointDir = env.getOrElse("CHECKPOINT_DIR", "/tmp/graft-checkpoint"),
-    sourceNumPartitions = env.getOrElse("SOURCE_NUM_PARTITIONS", "1").toInt)
+    sourceNumPartitions = env.getOrElse("SOURCE_NUM_PARTITIONS", "1").toInt,
+    // rocksdb | hdfs — see graft.streaming.StateStores for the tradeoff
+    stateStoreProvider = env.getOrElse("STATE_STORE_PROVIDER", "hdfs"))
 
   /** Reference default watermark parsed to epoch micros (for the polling
     * source's startMicros when no checkpoint exists; `IGNORE_CACHE` resets

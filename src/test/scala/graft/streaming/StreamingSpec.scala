@@ -261,6 +261,56 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sessions == q17 && sessions.nonEmpty)
   }
+
+  test("stateful dedup is provider-agnostic: RocksDB matches HDFS state store") {
+    // The long-running dedup states are the 100 TB streaming scale risk
+    // under the on-heap default; StateStores.configure selects RocksDB
+    // (disk-backed + changelog checkpoints). Same planted stream under
+    // both providers must produce identical first-seen output, and the
+    // RocksDB run must actually write RocksDB artifacts.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val segA = "a b c d e f g h"
+    def run(provider: String, name: String): Set[(Long, String)] = {
+      val tmp = Files.createTempDirectory(s"ss-$name").toFile.getAbsolutePath
+      spark.createDataFrame(
+        Seq(Row(1L, s"$segA x y z w", t(0))).asJava, schema)
+        .write.parquet(s"$tmp/src/b1")
+      Thread.sleep(20)
+      spark.createDataFrame(
+        Seq(Row(2L, s"$segA p q r s t u v n", t(1))).asJava, schema)
+        .write.parquet(s"$tmp/src/b2")
+      StateStores.configure(spark, provider)
+      try {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+        val q = DocStreams.streamingSegmentDedup(stream, "doc_id", "text", "ts")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .format("memory").queryName(s"ssdedup_$name").start()
+        q.processAllAvailable()
+        q.stop()
+        if (provider == "rocksdb") {
+          val stateFiles = java.nio.file.Files
+            .walk(java.nio.file.Paths.get(s"$tmp/ckpt/state"))
+            .iterator().asScala.map(_.getFileName.toString).toSeq
+          assert(stateFiles.exists(f =>
+            f.endsWith(".changelog") || f.endsWith(".zip")),
+            s"no RocksDB state artifacts under ckpt/state: $stateFiles")
+        }
+        spark.table(s"ssdedup_$name").collect()
+          .map(r => (r.getLong(0), r.getString(2))).toSet
+      } finally StateStores.configure(spark, "hdfs")
+    }
+    val hdfs = run("hdfs", "h")
+    val rocks = run("rocksdb", "r")
+    assert(rocks == hdfs && hdfs.size == 3,
+      s"provider outputs diverge: hdfs=$hdfs rocksdb=$rocks")
+  }
 }
 
 /** Static sink log (local mode: executors share the JVM). */
