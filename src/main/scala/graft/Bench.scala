@@ -8,12 +8,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs the headline queries on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
   *
-  * Headline set = the queries that exercise the heavy paths (shuffle
-  * aggregation, multi-join, windows, LSH dedup, vector search). q24 (the
-  * deliberately O(n²) brute-force Jaccard oracle) is excluded — q25 is the
-  * scale path for the same semantics and IS measured. Likewise q30 (the
-  * all-pairs embedding near-dup oracle) is excluded in favor of q36, its
-  * LSH-bucketed scale path.
+  * Headline set = EVERY registered query (since r9), so each one has
+  * wall-clock + shuffle-bytes regression tracking. The deliberately-
+  * brute oracle forms (q24 all-pairs Jaccard — 260 s at sf0.1 — and q30
+  * all-pairs embedding near-dup) are measured ONCE in a separate
+  * oracle tier, excluded from the 3-pass loop and the headline total:
+  * their cost sits in the artifact next to their scale paths (q25/q112,
+  * q36) as a measured statement of what the banded plans avoid, without
+  * letting a quarantined O(n²) oracle triple the bench wall-clock or
+  * masquerade as a total-time regression.
   *
   * Robustness (the r2/r3 artifacts were poisoned by machine contention —
   * different queries spiked each round with byte-identical plans):
@@ -33,16 +36,23 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
-    "q04_dedup_keepfirst", "q09_left_join_enrich", "q14_multikey_sort",
+    "q04_dedup_keepfirst", "q05_incremental_scan", "q06_inlist_filter",
+    "q07_anti_join", "q08_semi_join", "q09_left_join_enrich",
+    "q10_norm_casewhen", "q11_concat_hash", "q12_minmax_guard",
+    "q13_conditional_count", "q14_multikey_sort", "q15_scalar_shaping",
     "q16_hourly_rollup", "q17_sessionization", "q18_json_extract",
     "q19_dedup_exact", "q20_token_stats", "q21_quality_score",
-    "q22_langid", "q25_minhash_lsh", "q26_simhash",
+    "q22_langid", "q23_fingerprint", "q24_ngram_jaccard",
+    "q25_minhash_lsh", "q26_simhash",
     "q27_knn_brute", "q28_embed_stats", "q29_ann_lsh",
+    "q30_embed_neardup", "q34_ann_ivf",
     "q35_simhash_neardup", "q36_embed_neardup_lsh",
-    "q31_set_ops", "q32_rollup", "q33_asof_join", "q38_dedup_clusters",
-    "q39_subqueries", "q40_sliding_window",
+    "q31_set_ops", "q32_rollup", "q33_asof_join", "q37_pii_redact",
+    "q38_dedup_clusters", "q39_subqueries", "q40_sliding_window",
+    "q41_embed_clusters",
     "q42_stratified_sample", "q43_corpus_stats", "q44_repetition_stats",
-    "q45_vocab_df", "q47_decontaminate", "q48_pack_offsets",
+    "q45_vocab_df", "q46_leakage_safe_split", "q47_decontaminate",
+    "q48_pack_offsets", "q49_mixing_weights",
     "q50_segment_dedup", "q51_unigram_logprob", "q52_filter_funnel",
     "q53_topk_per_group", "q54_global_shuffle",
     "q55_sketches", "q56_event_deltas", "q57_pivot", "q58_cube",
@@ -72,6 +82,11 @@ object Bench {
     "q125_snapshot_diff", "q126_dup_substring_coverage",
     "q127_dup_substring_cut", "q128_hard_negatives",
     "q129_quality_ensemble")
+
+  /** Quarantined brute-force oracle forms: measured once (not 3-pass),
+    * excluded from the headline total (see class doc).
+    */
+  val oracleTier: Set[String] = Set("q24_ngram_jaccard", "q30_embed_neardup")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run
@@ -130,27 +145,83 @@ object Bench {
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
       headline.foreach(runOne(_, warmupDir))
 
-    def timedPass(): Seq[(String, Double, Long)] = headline.map { name =>
+    def timeOne(name: String): (String, Double, Long) = {
       val b0 = shuffle.bytes.get()
       val t0 = System.nanoTime()
       val ok = runOne(name, sfDir)
       if (!ok) failed += name
       (name, (System.nanoTime() - t0) / 1e9, shuffle.bytes.get() - b0)
     }
+    def timedPass(): Seq[(String, Double, Long)] =
+      headline.filterNot(oracleTier).map(timeOne)
     val passes = Seq.fill(3)(timedPass())
-    val results = passes.transpose.map { samples =>
+    val passResults = passes.transpose.map { samples =>
       val name = samples.head._1
       if (failed.contains(name)) (name, -1.0, -1L)
       else (name, samples.map(_._2).min, samples.map(_._3).min)
+    }
+    // oracle tier: one measurement each, reported but not totaled
+    val oracleResults = headline.filter(oracleTier).map { name =>
+      val r = timeOne(name)
+      if (failed.contains(name)) (name, -1.0, -1L) else r
+    }
+    val results = passResults ++ oracleResults
+
+    // Scale rehearsal (VERDICT r8 #5): run the heaviest operators once at
+    // a derived 10× of sf0.1 (disjoint replicas — see ScaleData) and
+    // report each one's empirical scaling exponent log10(t_10x / t_1x) —
+    // the check on every "occurrence-sized partition" claim. ~1.0 =
+    // linear; the per-op documented bounds allow n log n (~1.1). Budgeted
+    // so a pathological query can't eat the round's bench slot; opt out
+    // with SPARK_GRAFT_SCALE_REHEARSAL=0.
+    val rehearse = sys.env.getOrElse("SPARK_GRAFT_SCALE_REHEARSAL", "1") == "1" &&
+      sfDir.endsWith("sf0.1")
+    val rehearsalJson: String = if (!rehearse) "null" else {
+      val factor = 10
+      val scaledDir = "scale/sf1"
+      val names = Seq("q107_fuzzy_join", "q109_profile", "q110_triangle_count",
+        "q114_fuzzy_lookup", "q119_robust_outliers", "q121_containment_dedup",
+        "q123_doc_novelty", "q126_dup_substring_coverage",
+        "q127_dup_substring_cut", "q129_quality_ensemble")
+      try {
+        ScaleData.ensure(spark, sfDir, scaledDir, factor)
+        val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }.toMap
+        val budgetNanos = 900e9.toLong
+        val t0 = System.nanoTime()
+        val timed = names.map { name =>
+          if (System.nanoTime() - t0 > budgetNanos) name -> -1.0
+          else {
+            val q0 = System.nanoTime()
+            val ok = runOne(name, scaledDir)
+            name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
+          }
+        }
+        val ts = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        val exps = timed.map { case (k, v) =>
+          val e = base.get(k) match {
+            case Some(b) if v > 0 && b > 0 =>
+              f"${math.log10(v / b) / math.log10(factor.toDouble)}%.3f"
+            case _ => "-1"
+          }
+          "\"" + k + "\":" + e
+        }.mkString("{", ",", "}")
+        s"""{"factor":$factor,"queries":$ts,"exponent":$exps}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale rehearsal failed: ${e.getMessage}")
+        "null"
+      }
     }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sb = results.map { case (k, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val total = passResults.filter(_._2 >= 0).map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"sf":"$sfDir"}"""
+    val oracleList = headline.filter(oracleTier)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"oracle_tier":$oracleList,"scale_rehearsal":$rehearsalJson,"sf":"$sfDir"}"""
     println(line)
     // Durability: ALWAYS persist to a repo-local file too — round 6's
     // driver artifact was tail-truncated (the JSON line outgrew the

@@ -13,13 +13,18 @@ import org.apache.spark.sql.types._
   *  - Container/header-level operators (format sniffing, image dimensions,
   *    WAV audio properties) are REAL — pure-JVM byte parsing, no codecs.
   *  - Pixel/sample-level operators (resize, frame sampling, pixel hashing,
-  *    feature extraction) are REAL for every format `javax.imageio`
-  *    decodes on a stock JVM (PNG, BMP, GIF incl. multi-frame, JPEG,
-  *    WBMP) via [[ImageIoCodec]], the default codec. Formats ImageIO
-  *    cannot decode (video containers, exotic codecs) and corrupt
-  *    payloads fall back per-record to the deterministic [[StubCodec]] —
-  *    the swappable `MediaCodec` boundary stays, now as the EXOTIC-format
-  *    escape hatch rather than the whole implementation.
+  *    feature extraction) are REAL for every format a stock JVM can
+  *    decode: images via `javax.imageio` (PNG, BMP, GIF incl.
+  *    multi-frame, JPEG, WBMP — [[ImageIoCodec]]), WAV/PCM audio samples
+  *    via [[Audio]] (decode + curation features + gain-invariant
+  *    fingerprint), and MJPEG-in-AVI video via [[AviMjpeg]] +
+  *    [[AviAwareCodec]] (the default operator codec — real frame
+  *    extraction/sampling/embedding/pixel-hash from the RIFF container).
+  *    Formats with no JVM decoder (H.264/VP9 video, mp3/aac audio,
+  *    exotic image codecs) and corrupt payloads fall back per-record to
+  *    the deterministic [[StubCodec]] — the swappable `MediaCodec`
+  *    boundary stays, now as the EXOTIC-format escape hatch rather than
+  *    the whole implementation.
   */
 object Multimodal {
 
@@ -50,6 +55,8 @@ object Multimodal {
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "avi"
     else "unknown"
 
   /** Image dimensions from container headers (PNG IHDR, GIF logical screen,
@@ -311,13 +318,112 @@ object Multimodal {
       }
   }
 
+  /** REAL video frame access for MJPEG-in-AVI — the one video container
+    * a stock JVM can truly decode (AVI is a plain RIFF chunk list; MJPEG
+    * frames are independent JPEGs ImageIO reads). Sample-level ops on
+    * other video codecs (H.264/VP9/AV1) have no JVM decoder and keep the
+    * stub fallback — but the CONTAINER walk below is real for every AVI.
+    *
+    * Frame extraction walks the RIFF tree to the 'movi' LIST and
+    * collects compressed/uncompressed video chunks (ids `##dc`/`##db`)
+    * that carry a JPEG SOI marker; no index ('idx1') is required, so
+    * streaming-written AVIs parse too.
+    */
+  object AviMjpeg {
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** All MJPEG frame payloads, in stream order (empty for non-AVI or
+      * non-MJPEG AVIs).
+      */
+    def extractJpegFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+      if (sniffFormat(b) != "avi") return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, to: Int): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val id = new String(b, i, 4, "US-ASCII")
+          val len = le32(b, i + 4)
+          if (len < 0 || i + 8 + len > to) return
+          if (id == "LIST" && len >= 4) walk(i + 12, i + 8 + len)
+          else if (id.length == 4 && id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') &&
+            len >= 3 && b(i + 8) == 0xFF.toByte && b(i + 9) == 0xD8.toByte)
+            out += java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          i += 8 + len + (len & 1)
+        }
+      }
+      walk(12, b.length)
+      out.toSeq
+    }
+  }
+
+  /** Default operator codec: routes AVI payloads through the real
+    * [[AviMjpeg]] frame walk (frames then decode via [[ImageIoCodec]]),
+    * everything else straight to [[ImageIoCodec]]. Frame sampling picks
+    * n evenly spaced frames; a video's embedding is the mean of up to 3
+    * sampled frame embeddings; its pixel hash chains the frame pixel
+    * hashes (container-invariant like the image hash). Non-MJPEG AVIs
+    * have no decodable frames and fall back to the stub, keeping the
+    * operators total.
+    */
+  object AviAwareCodec extends MediaCodec {
+    import graft.functions.Hashing
+
+    private def pickEven(count: Int, n: Int): Seq[Int] =
+      if (count <= n) 0 until count
+      else if (n == 1) Seq(0)
+      else (0 until n).map(i => i * (count - 1) / (n - 1))
+
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      ImageIoCodec.resize(bytes, w, h)
+
+    override def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      if (sniffFormat(bytes) != "avi") ImageIoCodec.sampleFrames(bytes, n)
+      else {
+        val frames = AviMjpeg.extractJpegFrames(bytes)
+        if (frames.isEmpty || n <= 0) StubCodec.sampleFrames(bytes, n)
+        else pickEven(frames.length, n)
+          // each frame is a standalone JPEG: decode + re-encode PNG so
+          // downstream hashing is byte-stable (same policy as GIF frames)
+          .map(i => ImageIoCodec.sampleFrames(frames(i), 1).head)
+      }
+
+    override def embed(bytes: Array[Byte], dim: Int): Array[Float] =
+      if (sniffFormat(bytes) != "avi") ImageIoCodec.embed(bytes, dim)
+      else {
+        val frames = AviMjpeg.extractJpegFrames(bytes)
+        if (frames.isEmpty) StubCodec.embed(bytes, dim)
+        else {
+          val picks = pickEven(frames.length, 3).map(frames)
+          val out = new Array[Float](dim)
+          picks.foreach { f =>
+            val e = ImageIoCodec.embed(f, dim)
+            var i = 0
+            while (i < dim) { out(i) += e(i) / picks.length; i += 1 }
+          }
+          out
+        }
+      }
+
+    override def pixelHash(bytes: Array[Byte]): Long =
+      if (sniffFormat(bytes) != "avi") ImageIoCodec.pixelHash(bytes)
+      else {
+        val frames = AviMjpeg.extractJpegFrames(bytes)
+        if (frames.isEmpty) StubCodec.pixelHash(bytes)
+        else frames.foldLeft(0x9167E1L) { (h, f) =>
+          Hashing.splitmix64(h ^ ImageIoCodec.pixelHash(f))
+        }
+      }
+  }
+
   /** Resize every image payload. mapPartitions shape: the codec is
     * initialized once per partition; rows stream through without
     * collecting the partition (media rows are large — never materialize a
     * whole partition of payloads).
     */
   def resizeImages(df: DataFrame, binCol: String, w: Int, h: Int,
-                   codec: MediaCodec = ImageIoCodec): DataFrame = {
+                   codec: MediaCodec = AviAwareCodec): DataFrame = {
     val u = udf { b: Array[Byte] => if (b == null) null else codec.resize(b, w, h) }
     df.withColumn(s"${binCol}_resized", u(col(binCol)))
   }
@@ -326,7 +432,7 @@ object Multimodal {
     * shape: posexplode keeps the frame index).
     */
   def sampleFrames(df: DataFrame, binCol: String, n: Int,
-                   codec: MediaCodec = ImageIoCodec): DataFrame = {
+                   codec: MediaCodec = AviAwareCodec): DataFrame = {
     val u = udf { b: Array[Byte] =>
       if (b == null) Seq.empty[Array[Byte]] else codec.sampleFrames(b, n) }
     df.withColumn("__frames", u(col(binCol)))
@@ -336,7 +442,7 @@ object Multimodal {
 
   /** Media → embedding column (feeds graft.operators.Similarity). */
   def embedMedia(df: DataFrame, binCol: String, dim: Int,
-                 codec: MediaCodec = ImageIoCodec): DataFrame = {
+                 codec: MediaCodec = AviAwareCodec): DataFrame = {
     val u = udf { b: Array[Byte] => if (b == null) null else codec.embed(b, dim) }
     df.withColumn("embedding", u(col(binCol)))
   }
@@ -348,7 +454,7 @@ object Multimodal {
     * Feed to an exact-dedup groupBy exactly like Dedup.exactGroups.
     */
   def withPixelHash(df: DataFrame, binCol: String,
-                    codec: MediaCodec = ImageIoCodec): DataFrame = {
+                    codec: MediaCodec = AviAwareCodec): DataFrame = {
     val u = udf { b: Array[Byte] =>
       if (b == null) null else java.lang.Long.valueOf(codec.pixelHash(b)) }
     df.withColumn("pixel_hash", u(col(binCol)))

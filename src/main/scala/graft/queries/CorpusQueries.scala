@@ -1949,15 +1949,18 @@ object CorpusQueries {
     * `groupBy(g).count` + semi join-back — NOT `count(*) over
     * (partition by g)`: a boilerplate gram duplicated 10⁸ times
     * corpus-wide (license headers, nav chrome) would land every
-    * occurrence in ONE window task (straggler/OOM), whereas the agg
-    * collapses it map-side to one row and AQE skew-split handles the
-    * join's probe side. The join does NOT re-derive the md5 pipeline:
-    * both the agg input and the probe side hash-partition `pos` by g
-    * identically, so Catalyst reuses one Exchange (ReusedExchange in
-    * the plan). Per-doc lag window runs only over DUPLICATED
-    * positions, bounded by doc length (q17's sessionization class).
-    * Clean and sub-L docs surface with zero coverage via the left
-    * join.
+    * occurrence in ONE window task, which must SORT and materialize
+    * the whole partition (straggler/OOM), whereas the agg collapses it
+    * map-side to one row and AQE skew-split handles the join's probe
+    * side. The price is real and deliberate: the md5 position pipeline
+    * is derived twice (agg input + probe side — map-side partial
+    * aggregation sits under the agg's exchange, so exchange reuse
+    * cannot fire), measured 3.6 → 6.2 s at sf0.1. A 2× map stage is a
+    * constant; the window's hot-key cliff is unbounded, and at 100 TB
+    * the cliff kills the job. Per-doc lag window runs only over
+    * DUPLICATED positions, bounded by doc length (q17's sessionization
+    * class). Clean and sub-L docs surface with zero coverage via the
+    * left join.
     */
   def q126(s: SparkSession, dir: String): DataFrame = {
     val L = 40
@@ -1970,8 +1973,8 @@ object CorpusQueries {
       .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
-    // hot grams via map-side-combined agg (skew-safe; the probe-side
-    // Exchange of `pos` by g is reused for the agg input — see scaladoc)
+    // hot grams via map-side-combined agg (skew-safe; costs a second
+    // derivation of `pos` — the deliberate trade, see scaladoc)
     val hot = pos.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("g")
     val cov = pos
@@ -2039,12 +2042,14 @@ object CorpusQueries {
     * back to the position table (skew-safe: a 10⁸-occurrence
     * boilerplate gram collapses map-side to one agg row and AQE
     * skew-splits the join, where the former per-gram row_number/count
-    * windows would funnel it into one task; the probe Exchange of
-    * `pos` by g is reused for the agg input, so the md5 pipeline runs
-    * once). The remaining windows run per doc over CUT positions and
-    * islands only — both bounded by doc length. Only documents WITH
-    * cuts flow through the rebuild; untouched docs pass by on the
-    * left join.
+    * windows would sort-and-materialize every occurrence in one task).
+    * Like q126, the md5 pipeline is deliberately derived twice (the
+    * partial agg under the exchange rules out exchange reuse; measured
+    * 4.0 → 10.1 s at sf0.1) — the constant 2× map cost buys away the
+    * window's unbounded hot-key cliff. The remaining windows run per
+    * doc over CUT positions and islands only — both bounded by doc
+    * length. Only documents WITH cuts flow through the rebuild;
+    * untouched docs pass by on the left join.
     */
   def q127(s: SparkSession, dir: String): DataFrame = {
     val L = 40
