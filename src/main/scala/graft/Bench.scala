@@ -182,7 +182,11 @@ object Bench {
       val names = Seq("q107_fuzzy_join", "q109_profile", "q110_triangle_count",
         "q114_fuzzy_lookup", "q119_robust_outliers", "q121_containment_dedup",
         "q123_doc_novelty", "q126_dup_substring_coverage",
-        "q127_dup_substring_cut", "q129_quality_ensemble")
+        "q127_dup_substring_cut", "q129_quality_ensemble",
+        // the 100 TB dedup family: banded LSH (classic + DOPH), winnowing,
+        // cluster canonicalization, and embedding SemDeDup
+        "q25_minhash_lsh", "q112_minhash_doph", "q82_winnow_dedup",
+        "q38_dedup_clusters", "q99_semantic_dedup")
       try {
         ScaleData.ensure(spark, sfDir, scaledDir, factor)
         val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }.toMap

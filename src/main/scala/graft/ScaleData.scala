@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   *    name pairs sit at edit distance 2 — outside q107's dist-1
   *    predicate — and the fuzzy-join output scales linearly like a real
   *    bigger dictionary (verbatim copies would add O(factor²·n) exact-dup
-  *    pairs).
+  *    pairs);
+  *  - `embeddings.embedding` is circularly dimension-rotated by the
+  *    replica index: cosine is invariant under a permutation applied to
+  *    both sides, so WITHIN-replica near-dup/cluster structure is
+  *    exactly the original's, while rotated replicas are mutually
+  *    uncorrelated — verbatim copies (or tiny perturbations) would make
+  *    every vector a factor-wide near-dup clique and blow the candidate
+  *    set up O(factor²).
   *
   * Synthetic-performance data only — never a correctness input (the
   * oracle gate runs exclusively on the driver's parquet).
@@ -33,7 +40,7 @@ object ScaleData {
     */
   def ensure(spark: SparkSession, srcDir: String, outDir: String,
              factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_SCALED_OK")
+    val marker = new java.io.File(s"$outDir/_SCALED_OK_v2")
     if (marker.exists()) return
     val caesar = udf { (text: String, shift: Int) =>
       if (text == null) null
@@ -64,6 +71,20 @@ object ScaleData {
     replicate("documents") { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * 1000000000L))
         .withColumn("text", caesar(col("text"), lit(i)))
+    }
+    val rotate = udf { (v: Seq[Float], k: Int) =>
+      if (v == null) null
+      else {
+        val n = v.length
+        val r = k % math.max(1, n)
+        (v.drop(r) ++ v.take(r)).toArray
+      }
+    }
+    replicate("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
+        // shift i·7 is distinct mod 64 for i ∈ 0..9 (no replica collides
+        // with another's rotation)
+        .withColumn("embedding", rotate(col("embedding"), lit(i * 7)))
     }
     marker.getParentFile.mkdirs()
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
