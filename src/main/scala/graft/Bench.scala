@@ -10,13 +10,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Headline set = EVERY registered query (since r9), so each one has
   * wall-clock + shuffle-bytes regression tracking. The deliberately-
-  * brute oracle forms (q24 all-pairs Jaccard — 260 s at sf0.1 — and q30
-  * all-pairs embedding near-dup) are measured ONCE in a separate
-  * oracle tier, excluded from the 3-pass loop and the headline total:
-  * their cost sits in the artifact next to their scale paths (q25/q112,
-  * q36) as a measured statement of what the banded plans avoid, without
-  * letting a quarantined O(n²) oracle triple the bench wall-clock or
-  * masquerade as a total-time regression.
+  * brute oracle form (q30 all-pairs embedding near-dup) is measured
+  * ONCE in a separate oracle tier, excluded from the 3-pass loop and
+  * the headline total: its cost sits in the artifact next to its scale
+  * path (q36) as a measured statement of what the banded plan avoids,
+  * without letting a quarantined O(n²) oracle triple the bench
+  * wall-clock or masquerade as a total-time regression. (q24 exact
+  * Jaccard was in this tier through r8 at 260–306 s; its r9
+  * prefix-filtered rewrite is exact AND bench-speed, so it rejoined
+  * the headline loop.)
   *
   * Robustness (the r2/r3 artifacts were poisoned by machine contention —
   * different queries spiked each round with byte-identical plans):
@@ -84,9 +86,11 @@ object Bench {
     "q129_quality_ensemble")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
-    * excluded from the headline total (see class doc).
+    * excluded from the headline total (see class doc). q24 left this
+    * tier in r9 — its exact path is now the prefix-filtered join
+    * (Dedup.jaccardPrefixJoin), no longer O(n²).
     */
-  val oracleTier: Set[String] = Set("q24_ngram_jaccard", "q30_embed_neardup")
+  val oracleTier: Set[String] = Set("q30_embed_neardup")
 
   /** Accumulates shuffle read+write bytes across all tasks; snapshot the
     * counter around a query to attribute its shuffle volume (queries run

@@ -102,6 +102,74 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** EXACT all-pairs shingle-Jaccard ≥ threshold WITHOUT the cross join:
+    * prefix-filtered similarity join (Bayardo/Ma/Srikant, WWW'07
+    * "Scaling Up All Pairs Similarity Search"; Xiao et al.'s PPJoin
+    * prefix-filtering principle). Identical output to [[jaccardBrute]]
+    * — this is a candidate-pruning rewrite, not an approximation — at a
+    * cost proportional to genuinely-colliding pairs instead of n².
+    *
+    * How the pruning stays exact:
+    *  - Size filter: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t.
+    *  - Overlap bound: with the size filter in force,
+    *    |A∩B| ≥ t·(|A|+|B|)/(1+t) ≥ t·max(|A|,|B|).
+    *  - Prefix-filtering lemma: order every shingle set by ONE global
+    *    total order; if |A∩B| ≥ α, the (|A|−α+1)-prefixes of A and B
+    *    must share an element. With α = ⌈t·n⌉ per doc, each doc indexes
+    *    only its first n − ⌈t·n⌉ + 1 shingles (~(1−t)·n of them), and
+    *    any qualifying pair is guaranteed to collide on some indexed
+    *    shingle. Candidates are then verified with the exact Jaccard on
+    *    the full sets — false candidates are dropped, so the rewrite
+    *    can only equal the brute result.
+    *
+    * The global order is (document frequency ASC, shingle ASC) —
+    * rare-first, the standard choice: corpus-boilerplate shingles with
+    * huge posting lists sort LAST and almost never land inside a
+    * prefix, so the inverted index's per-key fan-out stays small and
+    * the candidate join is skew-resistant by construction (residual
+    * hot keys are AQE-split like any other join). ⌈t·n⌉ is computed as
+    * `ceil(t·n − 1e-9)`: any IEEE upward drift in t·n would SHORTEN the
+    * prefix and risk a miss, so the epsilon biases toward a
+    * one-longer prefix (conservative, never wrong).
+    *
+    * Scale shape: shingling is map-only; df is one map-side-combined
+    * count; prefix extraction is per-row; the only pair-producing
+    * shuffle is the prefix-index self-join keyed by shingle; the
+    * verify join touches candidate pairs only.
+    */
+  def jaccardPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val t = withShingles(docs, idCol, textCol, k)
+    val posts = t.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    // Rare-first total order: sort each doc's shingles by (df, sh).
+    val ordered = posts.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+    val pref = ordered.select(
+      col("doc_id"),
+      size(col("ord")).as("n"),
+      expr(s"""transform(
+             |  slice(ord, 1, greatest(1,
+             |    cast(size(ord) - ceil($threshold * size(ord) - 1e-9) + 1 as int))),
+             |  x -> x.sh)""".stripMargin).as("prefix"))
+    val px = pref.select(col("doc_id"), col("n"), explode(col("prefix")).as("sh"))
+    val eps = 1e-9
+    val cand = px.toDF("doc_a", "n_a", "sh")
+      .join(px.toDF("doc_b", "n_b", "sh"), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("n_b").cast("double") >= col("n_a") * threshold - eps &&
+              col("n_a").cast("double") >= col("n_b") * threshold - eps)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(docs.sparkSession, col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact shingle-CONTAINMENT join: pairs where
     * `|A∩B| / min(|A|,|B|) ≥ thetaNum/thetaDen` — the asymmetric
     * near-dup measure that catches a document embedded verbatim in a

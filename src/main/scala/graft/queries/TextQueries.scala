@@ -132,11 +132,18 @@ object TextQueries {
       | md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS bow_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** q24 — exact all-pairs 3-shingle Jaccard ≥ 0.7 (near-dup ground truth;
-    * O(n²) oracle path — see q25 for the scale path).
+  /** q24 — EXACT all-pairs 3-shingle Jaccard ≥ 0.7 (near-dup ground
+    * truth) via the prefix-filtered similarity join
+    * ([[graft.operators.Dedup.jaccardPrefixJoin]], Bayardo WWW'07):
+    * identical output to the cross-join brute form — the rewrite only
+    * prunes pairs that provably cannot reach the threshold — but the
+    * only pair-producing shuffle is a rare-first prefix inverted-index
+    * self-join, so the EXACT path is itself corpus-scale. q25/q112
+    * remain the probabilistic (MinHash) alternatives; OperatorsSpec
+    * pins prefix == brute on real data.
     */
   def q24(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardBrute(Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
+    Dedup.jaccardPrefixJoin(Tables.documents(s, dir), "doc_id", "text", 3, 0.7)
       .orderBy("doc_a", "doc_b")
 
   /** Shared oracle: brute-force shingle Jaccard in DuckDB. Both q24 and q25

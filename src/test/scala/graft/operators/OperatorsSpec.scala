@@ -21,6 +21,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("prefix-filtered exact Jaccard join equals brute-force truth (pairs AND scores)") {
+    val brute = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty)
+    assert(pref == brute)
+    // The rewrite must not reintroduce a quadratic plan: no cartesian /
+    // nested-loop join anywhere in the physical plan.
+    val plan = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 3, 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("prefix-filtered Jaccard join: boundary prefix lengths still catch every pair") {
+    // Tiny synthetic sets where ceil(t*n) sits exactly on an integer
+    // (the IEEE-drift corner the 1e-9 epsilon guards): 10 shingles at
+    // t=0.7 -> prefix 4; a pair sharing exactly 7 of 10 tokens has
+    // J = 7/13 < 0.7, while 9-of-10 overlap (J = 9/11 >= 0.7) must
+    // surface even if the shared tokens sort LAST in the global order.
+    import spark.implicits._
+    val a = (1 to 10).map(i => s"t$i").mkString(" ")            // t1..t10
+    val b = (2 to 10).map(i => s"t$i").mkString(" ") + " t11"   // 9 shared
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // k=1 shingles = tokens
+    val brute = Dedup.jaccardBrute(df, "doc_id", "text", 1, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.jaccardPrefixJoin(df, "doc_id", "text", 1, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((1L, 2L)))
+    assert(pref == brute)
+  }
+
   test("DOPH minhash-LSH matches brute-force truth (one-pass signature, same recall)") {
     val brute = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
