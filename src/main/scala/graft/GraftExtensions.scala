@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CentroidPackedArgmin, CosineSimilarity, HammingDistance, MisraGries, SetOverlap, TopKRows}
+import graft.functions.{CentroidPackedArgmin, CosineSimilarity, HammingDistance, MisraGries, SetOverlap, TopKRows, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"${CentroidPackedArgmin.functionName} takes exactly 2 arguments")
         CentroidPackedArgmin(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier(UnicodeNormalize.functionName),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        UnicodeNormalize.functionName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"${UnicodeNormalize.functionName} takes exactly 1 argument")
+        UnicodeNormalize(exprs.head)
       }))
     extensions.injectFunction((
       FunctionIdentifier(TopKRows.functionName),

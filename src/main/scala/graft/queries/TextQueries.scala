@@ -414,7 +414,40 @@ object TextQueries {
       | array_to_string(kept, ' ') AS text_kept
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** q130 — text normalization: Unicode NFC (custom codegen expression
+    * [[graft.functions.UnicodeNormalize]] — DuckDB replays it with its
+    * native `nfc_normalize`, so the oracle is an exact cross-engine
+    * parity check of the expression), then C0/DEL control stripping and
+    * ASCII-whitespace collapse. The whitespace class is written out
+    * explicitly (`[ \t\n\r\f]`) because Java's `\s` and RE2's `\s`
+    * disagree on VT (0x0B); VT is removed by the control strip instead.
+    * Map-only — the one shuffle is the output sort.
+    */
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val nfc = graft.functions.UnicodeNormalize(s, col("text"))
+    val stripped = regexp_replace(nfc,
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    val norm = trim(regexp_replace(stripped, "[ \\t\\n\\r\\f]+", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("norm_text"),
+        (norm =!= col("text")).as("changed"),
+        (length(col("text")) - length(norm)).cast("long").as("delta_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q130Sql: String =
+    """WITH n AS (
+      | SELECT doc_id, text,
+      |  trim(regexp_replace(
+      |    regexp_replace(nfc_normalize(text), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      |    '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+      | FROM documents)
+      |SELECT doc_id, norm_text, norm_text <> text AS changed,
+      | length(text) - length(norm_text) AS delta_chars
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_normalize_text" -> (q130 _),
     "q124_indoc_dedup" -> (q124 _),
     "q121_containment_dedup" -> (q121 _),
     "q89_char_entropy" -> (q89 _),
@@ -432,6 +465,7 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q130_normalize_text" -> q130Sql,
     "q124_indoc_dedup" -> q124Sql,
     "q121_containment_dedup" -> q121Sql,
     "q89_char_entropy" -> q89Sql,
