@@ -83,7 +83,7 @@ object Bench {
     "q122_tfidf_keywords", "q123_doc_novelty", "q124_indoc_dedup",
     "q125_snapshot_diff", "q126_dup_substring_coverage",
     "q127_dup_substring_cut", "q128_hard_negatives",
-    "q129_quality_ensemble", "q130_normalize_text")
+    "q129_quality_ensemble", "q130_normalize_text", "q131_knn_label_eval")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this
@@ -190,7 +190,10 @@ object Bench {
         // the 100 TB dedup family: banded LSH (classic + DOPH), winnowing,
         // cluster canonicalization, and embedding SemDeDup
         "q25_minhash_lsh", "q112_minhash_doph", "q82_winnow_dedup",
-        "q38_dedup_clusters", "q99_semantic_dedup")
+        "q38_dedup_clusters", "q99_semantic_dedup",
+        // r9: the EXACT Jaccard path (prefix-filtered join) — its
+        // scaling claim is the whole point of the rewrite
+        "q24_ngram_jaccard")
       try {
         ScaleData.ensure(spark, sfDir, scaledDir, factor)
         val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }.toMap

@@ -687,7 +687,65 @@ object EmbeddingQueries {
       |SELECT q_id, rank, neg_id, cos FROM r WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
 
+  /** q131 — kNN label-consistency evaluation (embedding-quality /
+    * label-noise audit): for every vector, its exact top-10 cosine
+    * neighbors (self excluded, ties by vec_id), then per label the
+    * fraction of neighbor slots that share the query's label —
+    * `precision@10`, the standard proxy for "does this embedding space
+    * separate the classes". Fully deterministic (exact kNN, integer
+    * match counts, ONE final division rounded to 4 — q115's
+    * hash-stable rule), so the DuckDB oracle replays it exactly.
+    *
+    * Scale: eval-tier like q27/q30 — exact kNN is quadratic, and an
+    * embedding-quality metric is ALWAYS computed on a bounded sample
+    * (10⁴–10⁵ rows) at corpus scale; the per-query top-k runs through a
+    * vec-id-partitioned window (never a global sort), so the bounded
+    * sample is the only knob needed.
+    */
+  def q131(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val a = e.toDF("qa", "ea", "la")
+    val b = e.toDF("qb", "eb", "lb")
+    val pairs = a.crossJoin(b).filter(col("qa") =!= col("qb"))
+      .select(col("qa"), col("la"), col("qb"), col("lb"),
+        graft.functions.CosineSimilarity(s, col("ea"), col("eb")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+    val top = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    top.groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_slots"),
+        sum(when(col("lb") === col("la"), 1L).otherwise(0L)).as("n_matches"))
+      .select(col("label"), (col("n_slots") / k).cast("long").as("n_queries"),
+        col("n_matches"),
+        round(col("n_matches").cast("double") / col("n_slots").cast("double"), 4)
+          .as("precision_at_k"))
+      .orderBy("label")
+  }
+
+  val q131Sql: String =
+    """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |sims AS (
+      | SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS qb, b.label AS lb,
+      |  list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+      |   / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])))
+      |      * sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cos
+      | FROM v a, v b WHERE a.vec_id <> b.vec_id),
+      |ranked AS (
+      | SELECT *, row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rk
+      | FROM sims),
+      |top AS (SELECT * FROM ranked WHERE rk <= 10)
+      |SELECT la AS label,
+      | CAST(COUNT(*) // 10 AS BIGINT) AS n_queries,
+      | CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+      | round(CAST(SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+      |   AS precision_at_k
+      |FROM top GROUP BY la ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_knn_label_eval" -> (q131 _),
     "q128_hard_negatives" -> (q128 _),
     "q105_srp_project" -> (q105 _),
     "q104_robust_stats" -> (q104 _),
@@ -710,6 +768,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q131_knn_label_eval" -> q131Sql,
     "q128_hard_negatives" -> q128Sql,
     "q105_srp_project" -> q105Sql,
     "q104_robust_stats" -> q104Sql,

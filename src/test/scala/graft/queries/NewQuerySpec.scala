@@ -187,4 +187,33 @@ class NewQuerySpec extends AnyFunSuite {
       .mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq).toMap
     assert(alt == proj)
   }
+
+  test("q131: precision@10 agrees with a driver-side exact kNN replay") {
+    val got = EmbeddingQueries.q131(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    // exact replay in plain Scala
+    val vecs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 10
+    val byLabel = vecs.flatMap { case (qa, ea, la) =>
+      vecs.filter(_._1 != qa)
+        .map { case (qb, eb, lb) => (cos(ea, eb), qb, lb) }
+        .sortBy { case (c, qb, _) => (-c, qb) }
+        .take(k).map { case (_, _, lb) => (la, lb == la) }
+    }.groupBy(_._1)
+    byLabel.foreach { case (label, slots) =>
+      val (nq, nm, p) = got(label)
+      assert(nq == slots.length / k, s"label $label n_queries")
+      assert(nm == slots.count(_._2), s"label $label n_matches")
+      assert(math.abs(p - slots.count(_._2).toDouble / slots.length) < 5e-5,
+        s"label $label precision")
+    }
+    assert(got.keySet == byLabel.keySet)
+  }
 }
