@@ -118,4 +118,47 @@ object TextFns {
     }
     text => statsUdf(text)
   }
+
+  /** Unicode script-mix histogram (q132): per-CODEPOINT counts over
+    * explicit block ranges — deliberately block-based, not the ICU
+    * Script property, so any engine replays it from plain integer
+    * range tests (DuckDB: `unicode()` over a char split). One fused
+    * JVM pass; iterates by code point (surrogate pairs count once,
+    * matching DuckDB's per-codepoint split). Returns
+    * (n_cp, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit,
+    *  n_space, n_other, dominant_script); dominant is the max script
+    * count with ties resolved latin > cyrillic > greek > cjk > arabic,
+    * 'none' when no script char occurs.
+    */
+  val scriptStats: Column => Column = {
+    val u = udf { text: String =>
+      var i = 0; val n = text.length
+      var ncp = 0L; var lat = 0L; var cyr = 0L; var grk = 0L; var cjk = 0L
+      var ara = 0L; var dig = 0L; var spc = 0L
+      while (i < n) {
+        val cp = text.codePointAt(i)
+        ncp += 1
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+            (cp >= 0xC0 && cp <= 0x24F)) lat += 1       // Latin-1 Sup..Latin Ext-B
+        else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1   // Cyrillic
+        else if (cp >= 0x370 && cp <= 0x3FF) grk += 1   // Greek and Coptic
+        else if (cp >= 0x2E80 && cp <= 0x9FFF) cjk += 1 // CJK radicals..Unified
+        else if (cp >= 0x600 && cp <= 0x6FF) ara += 1   // Arabic
+        else if (cp >= '0' && cp <= '9') dig += 1
+        else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == '\f') spc += 1
+        i += Character.charCount(cp)
+      }
+      val oth = ncp - lat - cyr - grk - cjk - ara - dig - spc
+      val mx = math.max(lat, math.max(cyr, math.max(grk, math.max(cjk, ara))))
+      val dom =
+        if (mx == 0L) "none"
+        else if (lat == mx) "latin"
+        else if (cyr == mx) "cyrillic"
+        else if (grk == mx) "greek"
+        else if (cjk == mx) "cjk"
+        else "arabic"
+      (ncp, lat, cyr, grk, cjk, ara, dig, spc, oth, dom)
+    }
+    text => u(text)
+  }
 }

@@ -446,7 +446,56 @@ object TextQueries {
       | length(text) - length(norm_text) AS delta_chars
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** q132 — script-mix detection ([[graft.functions.TextFns.scriptStats]]):
+    * per-codepoint counts over explicit Unicode block ranges plus the
+    * dominant script — the mixed-script / mojibake / wrong-langid audit
+    * signal that complements q22's stopword langid. All-integer output;
+    * DuckDB replays the identical range tests over `unicode()`
+    * codepoints, so the oracle is exact. Map-only (one fused JVM pass).
+    */
+  def q132(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.scriptStats(col("text")).as("sc"))
+      .select(col("doc_id"),
+        col("sc._1").as("n_cp"), col("sc._2").as("n_latin"),
+        col("sc._3").as("n_cyrillic"), col("sc._4").as("n_greek"),
+        col("sc._5").as("n_cjk"), col("sc._6").as("n_arabic"),
+        col("sc._7").as("n_digit"), col("sc._8").as("n_space"),
+        col("sc._9").as("n_other"), col("sc._10").as("dominant_script"))
+      .orderBy("doc_id")
+
+  val q132Sql: String =
+    """WITH cp AS (
+      | SELECT doc_id, list_transform(
+      |   list_filter(string_split(text, ''), c -> c <> ''),
+      |   c -> unicode(c)) AS cps
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, len(cps) AS n_cp,
+      |  len(list_filter(cps, x -> (x BETWEEN 65 AND 90) OR (x BETWEEN 97 AND 122)
+      |    OR (x BETWEEN 192 AND 591))) AS n_latin,
+      |  len(list_filter(cps, x -> x BETWEEN 1024 AND 1279)) AS n_cyrillic,
+      |  len(list_filter(cps, x -> x BETWEEN 880 AND 1023)) AS n_greek,
+      |  len(list_filter(cps, x -> x BETWEEN 11904 AND 40959)) AS n_cjk,
+      |  len(list_filter(cps, x -> x BETWEEN 1536 AND 1791)) AS n_arabic,
+      |  len(list_filter(cps, x -> x BETWEEN 48 AND 57)) AS n_digit,
+      |  len(list_filter(cps, x -> x IN (32, 9, 10, 13, 12))) AS n_space
+      | FROM cp)
+      |SELECT doc_id, n_cp, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+      | n_digit, n_space,
+      | n_cp - n_latin - n_cyrillic - n_greek - n_cjk - n_arabic - n_digit - n_space AS n_other,
+      | CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic) = 0 THEN 'none'
+      |      WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_cjk
+      |       AND n_latin >= n_arabic THEN 'latin'
+      |      WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+      |       AND n_cyrillic >= n_arabic THEN 'cyrillic'
+      |      WHEN n_greek >= n_cjk AND n_greek >= n_arabic THEN 'greek'
+      |      WHEN n_cjk >= n_arabic THEN 'cjk'
+      |      ELSE 'arabic' END AS dominant_script
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_script_mix" -> (q132 _),
     "q130_normalize_text" -> (q130 _),
     "q124_indoc_dedup" -> (q124 _),
     "q121_containment_dedup" -> (q121 _),
@@ -465,6 +514,7 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q132_script_mix" -> q132Sql,
     "q130_normalize_text" -> q130Sql,
     "q124_indoc_dedup" -> q124Sql,
     "q121_containment_dedup" -> q121Sql,

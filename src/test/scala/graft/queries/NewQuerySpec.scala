@@ -188,6 +188,32 @@ class NewQuerySpec extends AnyFunSuite {
     assert(alt == proj)
   }
 
+  test("q132: script histogram exact on crafted multi-script strings") {
+    import spark.implicits._
+    def cps(points: Int*): String =
+      points.map(p => new String(Character.toChars(p))).mkString
+    val cyr = cps(0x43F, 0x440, 0x438)            // three Cyrillic letters
+    val cjkAstral = cps(0x4E2D, 0x6587, 0x1D11E)  // 2 CJK + astral symbol
+    val mixed = "ab " + cyr + " 12" + cps(0x3B1)  // 2 latin 1 greek 3 cyr 2 digit 2 sp
+    val df = Seq((1L, mixed), (2L, cjkAstral), (3L, ""), (4L, "only ascii"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFns.scriptStats(col("text")).as("sc"))
+      .select(col("doc_id"), col("sc._1"), col("sc._2"), col("sc._3"),
+        col("sc._4"), col("sc._5"), col("sc._6"), col("sc._7"), col("sc._8"),
+        col("sc._9"), col("sc._10"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // (n_cp, latin, cyr, greek, cjk, arabic, digit, space, other, dominant)
+    assert(df(1L) == Seq(10L, 2L, 3L, 1L, 0L, 0L, 2L, 2L, 0L, "cyrillic"))
+    assert(df(2L) == Seq(3L, 0L, 0L, 0L, 2L, 0L, 0L, 0L, 1L, "cjk"))
+    assert(df(3L) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "none"))
+    assert(df(4L) == Seq(10L, 9L, 0L, 0L, 0L, 0L, 0L, 1L, 0L, "latin"))
+    // dominant tie: equal latin and cyrillic counts -> latin (documented order)
+    val tie = Seq((9L, "ab" + cps(0x43F, 0x440))).toDF("doc_id", "text")
+      .select(graft.functions.TextFns.scriptStats(col("text")).as("sc"))
+      .select(col("sc._10")).collect().head.getString(0)
+    assert(tie == "latin")
+  }
+
   test("q131: precision@10 agrees with a driver-side exact kNN replay") {
     val got = EmbeddingQueries.q131(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
