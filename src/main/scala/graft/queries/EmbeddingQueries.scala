@@ -744,7 +744,42 @@ object EmbeddingQueries {
       |   AS precision_at_k
       |FROM top GROUP BY la ORDER BY label""".stripMargin
 
+  /** q133 — greedy k-center coreset selection
+    * ([[graft.operators.Coreset.kCenter]], Gonzalez farthest-point):
+    * diversity-based data selection — k=8 centers spreading over the
+    * embedding space. O(n·k), map-only passes against broadcast
+    * centers; deterministic (min-vec_id seed, ties by vec_id), so the
+    * DuckDB oracle unrolls the same 8 greedy steps as a WITH chain and
+    * matches bit-for-bit.
+    */
+  def q133(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreset.kCenter(Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+      .orderBy("sel_rank")
+
+  val q133Sql: String = {
+    val k = 8
+    def dist(vt: String, st: String) =
+      s"list_sum(list_transform(range(1, len($vt.e) + 1), i -> ($vt.e[i] - $st.e[i]) * ($vt.e[i] - $st.e[i])))"
+    val sb = new StringBuilder
+    sb.append("WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),\n")
+    sb.append("s1 AS (SELECT vec_id, e, CAST(NULL AS DOUBLE) AS d FROM v ORDER BY vec_id LIMIT 1)")
+    for (i <- 2 to k) {
+      val prev = (1 until i).map(j => s"s$j")
+      val dexpr =
+        if (prev.size == 1) dist("v", "s1")
+        else "least(" + prev.map(p => dist("v", p)).mkString(", ") + ")"
+      val notIn = prev.map(p => s"$p.vec_id").mkString(", ")
+      sb.append(s",\nd$i AS (SELECT v.vec_id, v.e, $dexpr AS d FROM v, ${prev.mkString(", ")} WHERE v.vec_id NOT IN ($notIn))")
+      sb.append(s",\ns$i AS (SELECT vec_id, e, d FROM d$i ORDER BY d DESC, vec_id LIMIT 1)")
+    }
+    sb.append("\n" + (1 to k).map(i => s"SELECT $i AS sel_rank, vec_id, d AS dist2 FROM s$i")
+      .mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY sel_rank")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_kcenter_select" -> (q133 _),
     "q131_knn_label_eval" -> (q131 _),
     "q128_hard_negatives" -> (q128 _),
     "q105_srp_project" -> (q105 _),
@@ -768,6 +803,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q133_kcenter_select" -> q133Sql,
     "q131_knn_label_eval" -> q131Sql,
     "q128_hard_negatives" -> q128Sql,
     "q105_srp_project" -> q105Sql,

@@ -214,6 +214,35 @@ class NewQuerySpec extends AnyFunSuite {
     assert(tie == "latin")
   }
 
+  test("q133: k-center selection agrees with a driver-side greedy replay") {
+    val got = EmbeddingQueries.q133(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.length == 8 && got.head._3.isEmpty)
+    // exact greedy replay in plain Scala
+    val vecs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    var sel = Vector((vecs.head._1, vecs.head._2, Option.empty[Double]))
+    while (sel.size < 8) {
+      val chosen = vecs.filter(v => !sel.exists(_._1 == v._1))
+        .map { case (id, e) => (id, e, sel.map(s => d2(e, s._2)).min) }
+        .maxBy { case (id, _, d) => (d, -id) }
+      sel = sel :+ ((chosen._1, chosen._2, Some(chosen._3)))
+    }
+    val expect = sel.zipWithIndex.map { case ((id, _, d), i) => (i + 1, id, d) }
+    assert(got.toSeq == expect)
+    // selected ids are pairwise distinct and spread: every later pick's
+    // dist2 is <= the previous pick's (greedy max-min is non-increasing)
+    val ds = got.flatMap(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a + 1e-12 })
+  }
+
   test("q131: precision@10 agrees with a driver-side exact kNN replay") {
     val got = EmbeddingQueries.q131(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
