@@ -44,12 +44,14 @@ object Coreset {
     val spark = vectors.sparkSession
     val v = vectors.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
 
-    val seedRow = v.orderBy("vec_id").limit(1).collect().head
+    val seedRows = v.orderBy("vec_id").limit(1).collect()
+    require(seedRows.nonEmpty, "kCenter on an empty vector table")
     var selected = Vector[(Long, Array[Double], Option[Double])](
-      (seedRow.getLong(0),
-        seedRow.getSeq[Float](1).map(_.toDouble).toArray, None))
+      (seedRows.head.getLong(0),
+        seedRows.head.getSeq[Float](1).map(_.toDouble).toArray, None))
 
-    while (selected.size < k) {
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
       val dist = selected.map { case (_, c, _) => sqDistConst(col("embedding"), c) }
         .reduce(least(_, _))
       val chosen = v
@@ -59,7 +61,10 @@ object Coreset {
           col("embedding").as("e"))).as("m"))
         .select(col("m.d"), col("m.nid"), col("m.e"))
         .collect().head
-      selected = selected :+ ((-chosen.getLong(1),
+      // max over an empty relation (k > n): a null struct — stop with
+      // the n centers that exist rather than NPE
+      if (chosen.isNullAt(1)) exhausted = true
+      else selected = selected :+ ((-chosen.getLong(1),
         chosen.getSeq[Float](2).map(_.toDouble).toArray,
         Some(chosen.getDouble(0))))
     }

@@ -546,7 +546,55 @@ object EventQueries {
       |  ON a.user_id = b.user_id AND a.event_type = b.event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q134 — recency-decayed user activity score (feature-engineering /
+    * mixing-weight op): per user, `Σ value · 2^-(days since event)`,
+    * anchored at the corpus-wide max event day. Two determinism rules
+    * compose here:
+    *  - the decay base is a POWER OF TWO on an INTEGER day delta —
+    *    division by 2^d is EXACT in IEEE (q117's lesson: no
+    *    transcendental ever reaches a hash-compared column; exp(-λΔ)
+    *    would diverge between libm implementations). Deltas cap at 62
+    *    (shift-safe; far below that the terms vanish numerically);
+    *  - the per-user sum is a FIXED-ORDER left fold over the terms
+    *    sorted by event_id (`sort_array(collect_list)` + `aggregate`,
+    *    replayed by DuckDB `list_sum(list(... ORDER BY event_id))` —
+    *    the q27-family fold-parity pattern). The decimal-sum pattern
+    *    does NOT work for these terms: value/2^d has up to 64 decimal
+    *    digits, so any fixed decimal scale rounds, and the engines'
+    *    tie rules differ (HALF_UP vs HALF_EVEN — observed 1-ulp
+    *    divergence at DECIMAL(18,9)).
+    * Scale: one scan, broadcast one-row max-day, one user-keyed agg
+    * (per-user term list held once during the fold — same memory class
+    * as the per-user sorted windows used across the event queries).
+    */
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("value"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val maxDay = e.agg(max(col("day")).as("maxday"))
+    e.crossJoin(broadcast(maxDay))
+      .withColumn("term", col("value") /
+        expr("cast(shiftleft(1L, cast(least(maxday - day, 62L) as int)) as double)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("event_id"), col("term")))).as("arr"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("decay_score"))
+      .orderBy("user_id")
+  }
+
+  val q134Sql: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, value,
+      |  epoch_us(ts) // 86400000000 AS day FROM events),
+      |m AS (SELECT MAX(day) AS maxday FROM e)
+      |SELECT user_id, COUNT(*) AS n_events,
+      | list_sum(list(value / CAST(1::BIGINT << LEAST(maxday - day, 62) AS DOUBLE)
+      |   ORDER BY event_id)) AS decay_score
+      |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_decay_score" -> (q134 _),
     "q125_snapshot_diff" -> (q125 _),
     "q120_markov_transitions" -> (q120 _),
     "q16_hourly_rollup" -> (q16 _),
@@ -564,6 +612,7 @@ object EventQueries {
     "q79_share_of_user" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    "q134_decay_score" -> q134Sql,
     "q125_snapshot_diff" -> q125Sql,
     "q120_markov_transitions" -> q120Sql,
     "q16_hourly_rollup" -> q16Sql,

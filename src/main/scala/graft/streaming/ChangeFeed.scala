@@ -77,7 +77,12 @@ object ChangeFeed {
       .map(f => s.read.parquet(f.getAbsolutePath))
       .getOrElse(fallback.limit(0))
     val (prior, merged, alreadyCommitted) =
-      versions.find(_.getName == s"v$batchId") match {
+      versions.find(_.getName == s"v$batchId")
+        // a v<batchId> without _SUCCESS is a crash DURING the write —
+        // partial parquet that must be re-merged, not trusted as the
+        // committed snapshot (reading it would silently commit a
+        // truncated view); mode(overwrite) below replaces it cleanly
+        .filter(f => new java.io.File(f, "_SUCCESS").exists()) match {
         case Some(f) =>
           // Crash-replay: v<batchId> committed before the checkpoint
           // advanced. Re-merging would double-count the delta AND

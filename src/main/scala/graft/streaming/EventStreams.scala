@@ -179,4 +179,52 @@ object EventStreams {
           out.iterator
         })(Encoders.scalaLong, enc)
   }
+
+  /** Streaming recency-decayed activity score — q134's incremental form.
+    * Per-user state is (anchorDay, nEvents, rawScore) where rawScore =
+    * Σ value · 2^-(anchorDay − eventDay), anchored at the user's max
+    * event day seen so far; each batch re-anchors by an EXACT
+    * power-of-two rescale (`Math.scalb` — never `pow`, q117's
+    * transcendental rule) and adds the batch's contributions. Emits the
+    * user's current (anchor_day, n_events, decay_score) snapshot each
+    * batch (Update mode). A consumer comparing against the batch q134
+    * (global-max-day anchor) rescales by 2^-(globalMaxDay − anchor_day)
+    * — the parity pinned in StreamingSpec. State is three fixed-width
+    * fields per user: bounded by |users|, not stream length.
+    */
+  def streamingDecayScore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("anchor_day", LongType),
+      StructField("n_events", LongType), StructField("decay_score", DoubleType)))
+    implicit val enc = Encoders.row(outSchema)
+    val uIdx = events.schema.fieldIndex("user_id")
+    val tIdx = events.schema.fieldIndex("ts")
+    val vIdx = events.schema.fieldIndex("value")
+    def dayOf(r: Row): Long = {
+      val t = r.getTimestamp(tIdx)
+      val us = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      us / 86400000000L
+    }
+    def decay(x: Double, days: Long): Double =
+      if (days >= 63) 0.0 else Math.scalb(x, -days.toInt)
+    events
+      .groupByKey(_.getLong(uIdx))(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long, Double)]) => {
+          val batch = rows.toSeq.map(r => (dayOf(r), r.getDouble(vIdx)))
+          val (a0, n0, s0) =
+            if (state.exists) state.get else (Long.MinValue, 0L, 0.0)
+          val anchor = math.max(a0, batch.iterator.map(_._1).max)
+          val rescaled = if (n0 == 0L) 0.0 else decay(s0, anchor - a0)
+          val added = batch.iterator
+            .map { case (d, v) => decay(v, anchor - d) }.sum
+          val next = (anchor, n0 + batch.length, rescaled + added)
+          state.update(next)
+          Row(user, next._1, next._2, next._3)
+        })(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaDouble), enc)
+  }
 }

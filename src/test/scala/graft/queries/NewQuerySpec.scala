@@ -243,6 +243,18 @@ class NewQuerySpec extends AnyFunSuite {
     assert(ds.zip(ds.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("q133: k > n stops at n centers instead of failing") {
+    import spark.implicits._
+    val tiny = Seq(
+      (10L, Seq(1.0f, 0.0f)), (20L, Seq(0.0f, 1.0f)), (30L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Coreset.kCenter(tiny, "vec_id", "embedding", 8)
+      .orderBy("sel_rank").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(1)).toSet == Set(10L, 20L, 30L))
+    assert(got.head.getLong(1) == 10L) // min-id seed
+  }
+
   test("q131: precision@10 agrees with a driver-side exact kNN replay") {
     val got = EmbeddingQueries.q131(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

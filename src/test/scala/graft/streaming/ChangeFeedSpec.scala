@@ -83,5 +83,35 @@ class ChangeFeedSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(r.fieldIndex("user")),
         r.getLong(r.fieldIndex("cnt")), r.getLong(r.fieldIndex("total")))).toSet
     assert(stateAfter == state, "replay must not re-merge the delta")
+
+    // crash DURING the v2 write: a partial version dir (no _SUCCESS)
+    // must be re-merged from v1 + the batch — trusting it would commit
+    // a truncated snapshot. Simulate by writing v2 and deleting its
+    // _SUCCESS marker and half its contents.
+    val b2 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 100L)), schema)
+    val partial = new java.io.File(s"$tmp/state/v2")
+    spark.createDataFrame(java.util.Arrays.asList(Row(99L, 1L)), schema)
+      .coalesce(1).write.parquet(partial.getAbsolutePath)
+    new java.io.File(partial, "_SUCCESS").delete()
+    var feed2 = Set.empty[(Long, Long, String, Option[Long], Option[Long])]
+    ChangeFeed.processBatch(b2, 2L, s"$tmp/state", Seq("user"),
+      Seq(("cnt", "sum"), ("total", "sum")),
+      (b: DataFrame) => b.groupBy("user")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("total"))) { df =>
+      feed2 = df.collect().map(r => (
+        r.getLong(r.fieldIndex("batch_id")),
+        r.getLong(r.fieldIndex("user")),
+        r.getString(r.fieldIndex("change")),
+        Option(r.get(r.fieldIndex("old_cnt"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("new_cnt"))).map(_.asInstanceOf[Long]))).toSet
+    }
+    assert(feed2 == Set((2L, 1L, "changed", Some(2L), Some(3L))),
+      "partial version must be re-merged, not trusted")
+    val v2 = spark.read.parquet(s"$tmp/state/v2")
+      .collect().map(r => (r.getLong(r.fieldIndex("user")),
+        r.getLong(r.fieldIndex("cnt")), r.getLong(r.fieldIndex("total")))).toSet
+    assert(v2 == Set((1L, 3L, 115L), (2L, 2L, 10L), (3L, 1L, 4L)),
+      "re-merged v2 must contain no trace of the partial write")
   }
 }

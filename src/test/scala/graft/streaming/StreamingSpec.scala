@@ -160,6 +160,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(_.isDefined)) // real gaps, not all-first
   }
 
+  test("streamingDecayScore across micro-batches matches batch q134 after re-anchoring") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-decay").toFile.getAbsolutePath
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val cut = events
+      .select(expr(
+        "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY unix_micros(ts)) as long)"))
+      .head().getLong(0)
+    events.filter(unix_micros(col("ts")) <= cut).write.parquet(s"$dir/b1")
+    events.filter(unix_micros(col("ts")) > cut).write.parquet(s"$dir/b2")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStreams.streamingDecayScore(stream).writeStream
+      .outputMode("update").format("memory").queryName("decay_out").start()
+    q.processAllAvailable()
+    q.stop()
+    // last emission per user = final state snapshot
+    val snaps = spark.table("decay_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // final snapshot per user = the emission with the highest n_events
+    // (memory-sink row order across batches is not contractual)
+    val last = snaps.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    val globalMax = last.values.map(_._2).max
+    val batch = graft.queries.EventQueries.q134(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last.keySet == batch.keySet && batch.nonEmpty)
+    last.foreach { case (user, (_, anchor, n, raw)) =>
+      val (bn, bscore) = batch(user)
+      assert(n == bn, s"user $user n_events")
+      val reanchored =
+        if (globalMax - anchor >= 63) 0.0 else Math.scalb(raw, -(globalMax - anchor).toInt)
+      assert(math.abs(reanchored - bscore) < 1e-6,
+        s"user $user: streamed $reanchored vs batch $bscore")
+    }
+    // at least one user must have had cross-batch state (score from both halves)
+    assert(snaps.groupBy(_._1).exists(_._2.length > 1))
+  }
+
   test("stream-stream attribution join matches the batch interval join (q65)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-attrib").toFile.getAbsolutePath
