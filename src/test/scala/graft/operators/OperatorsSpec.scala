@@ -54,6 +54,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pref == brute)
   }
 
+  test("prefix-filtered Jaccard join == brute on randomized corpora across k and thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val params = Seq((1, 0.5), (2, 0.7), (3, 0.8), (2, 0.95), (3, 0.7), (1, 0.9))
+    params.zipWithIndex.foreach { case ((k, t), trial) =>
+      val vocab = (1 to (8 + rnd.nextInt(12))).map(i => s"w$i")
+      val nDocs = 10 + rnd.nextInt(12)
+      val base = (1 to nDocs).map { id =>
+        (id.toLong,
+          Seq.fill(5 + rnd.nextInt(22))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant near-dups: copy ~1/3 of docs with a 0-2 token mutation
+      val planted = base.filter(_._1 % 3 == 0).map { case (id, text) =>
+        val toks = text.split(" ").toBuffer
+        (0 until rnd.nextInt(3)).foreach { _ =>
+          toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+        }
+        (id + 1000L, toks.mkString(" "))
+      }
+      val docs = (base ++ planted).toDF("doc_id", "text")
+      val brute = Dedup.jaccardBrute(docs, "doc_id", "text", k, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", k, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == brute, s"trial $trial (k=$k t=$t): " +
+        s"missing=${(brute -- pref).take(3)} extra=${(pref -- brute).take(3)}")
+    }
+  }
+
   test("DOPH minhash-LSH matches brute-force truth (one-pass signature, same recall)") {
     val brute = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
