@@ -34,20 +34,38 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
-    * deterministic pseudo-random hyperplanes derived from xxhash64(planeIdx,
-    * dimIdx). Returned as a bit string usable as a bucket key — vectors in
-    * the same bucket are cosine-close with high probability, so ANN search
-    * shuffles only per-bucket groups instead of the full O(n²) cross join.
+  /** md5-derived uint64 of a string column — the little-endian value of
+    * the FIRST 8 digest bytes, bit-for-bit DuckDB's `md5_number_upper`
+    * (the [[graft.functions.Hashing.md5TokenHashes]] convention, as an
+    * expression): reverse the first 8 hex byte pairs, then `conv` base
+    * 16 → 10 as an unsigned 64-bit value carried in DECIMAL(20,0).
+    */
+  def md5Num(s: Column): Column = {
+    val hex = md5(s.cast("binary"))
+    val rev = concat((0 until 8).reverse.map(b => substring(hex, b * 2 + 1, 2)): _*)
+    conv(rev, 16, 10).cast(org.apache.spark.sql.types.DecimalType(20, 0))
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes whose components are
+    * md5-derived — `(md5num(plane + "_" + dim) mod 1000)/1000 − 0.5`,
+    * replayable in DuckDB via `md5_number_upper` (the same
+    * md5-for-the-oracle trade q26/q35 made for SimHash: ~10× costlier
+    * per component than a splitmix mix, which the bucketed ANN probe
+    * path q29 can afford, and it buys an EXACT SQL oracle for an
+    * otherwise recall-judged operator). Returned as a bit string usable
+    * as a bucket key — vectors in the same bucket are cosine-close with
+    * high probability, so ANN search shuffles only per-bucket groups
+    * instead of the full O(n²) cross join.
     */
   def hyperplaneSignature(v: Column, bits: Int): Column = {
     val d = toDouble(v)
     concat_ws("",
       (0 until bits).map { p =>
-        // plane component for dim i: xxhash64(p, i) mapped to [-0.5, 0.5)
         val proj = aggregate(
-          zip_with(d, sequence(lit(0), size(d) - 1),
-            (x, i) => x * ((pmod(xxhash64(lit(p), i), lit(1000L)).cast("double") / 1000.0) - 0.5)),
+          zip_with(d, sequence(lit(0), size(d) - 1), (x, i) =>
+            x * ((pmod(md5Num(concat(lit(s"${p}_"), i.cast("string"))),
+              lit(1000)).cast("double") / 1000.0) - 0.5)),
           lit(0.0), (acc, x) => acc + x)
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }: _*)

@@ -52,11 +52,42 @@ object EmbeddingQueries {
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   /** q29 — ANN via random-hyperplane LSH buckets (the 100 TB path: only
-    * the query's bucket is scanned). Approximate ⇒ no SQL oracle; recall
-    * vs q27 is pinned by ScalaTest.
+    * the query's bucket is scanned). Approximate w.r.t. true kNN — the
+    * recall floor vs q27 stays pinned by ScalaTest — but fully
+    * DETERMINISTIC since r9: plane components are md5-derived
+    * ([[graft.functions.VectorFns.md5Num]] = DuckDB `md5_number_upper`),
+    * so the oracle replays the exact 8-bit signature, the bucket
+    * membership, and the in-bucket cosine top-10 in SQL. Same
+    * md5-for-the-oracle trade as q26/q35.
     */
   def q29(s: SparkSession, dir: String): DataFrame =
     Similarity.annHyperplaneLsh(Tables.embeddings(s, dir), 0L, 10, bits = 8)
+
+  /** Exact SQL replay of q29: rebuild every vector's 8-bit hyperplane
+    * signature from `md5_number_upper`, keep the query's bucket, rank
+    * by the identical cosine fold. Generated per bit to keep the fold
+    * order byte-for-byte the Spark expression's.
+    */
+  val q29Sql: String = {
+    val bits = 8
+    def proj(p: Int): String =
+      s"""list_sum(list_transform(range(1, len(e) + 1), i ->
+         | e[i] * (CAST(md5_number_upper('${p}_' || CAST(i - 1 AS VARCHAR)) % 1000 AS DOUBLE)
+         |   / 1000.0 - 0.5)))""".stripMargin
+    val bitExprs = (0 until bits)
+      .map(p => s"CASE WHEN ${proj(p)} >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |sig AS (SELECT vec_id, e, $bitExprs AS sig FROM v),
+       |q AS (SELECT sig AS qsig, e AS qe FROM sig WHERE vec_id = 0)
+       |SELECT s.vec_id,
+       | list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * q.qe[i]))
+       |  / (sqrt(list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * s.e[i])))
+       |     * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i])))) AS cos
+       |FROM sig s, q WHERE s.sig = q.qsig
+       |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin
+  }
 
   /** q30 — embedding-cosine near-duplicate pairs (the vector analogue of
     * q24/q25 text dedup; SURVEY §7.4). All-pairs with the native fused
@@ -803,6 +834,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q29_ann_lsh" -> q29Sql,
     "q133_kcenter_select" -> q133Sql,
     "q131_knn_label_eval" -> q131Sql,
     "q128_hard_negatives" -> q128Sql,
