@@ -17,6 +17,23 @@ object Hashing {
     z ^ (z >>> 31)
   }
 
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Oracle-replayable md5-derived 64-bit hash of one string: the
+    * little-endian uint64 of the FIRST 8 digest bytes — bit-for-bit
+    * DuckDB's `md5_number_upper` (single-value form of
+    * [[md5TokenHashes]]; thread-local digest, reset per call).
+    */
+  def md5Hash64(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes. */
   def stringHash64(s: String): Long = {
     var h = 0xCBF29CE484222325L

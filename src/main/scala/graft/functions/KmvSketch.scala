@@ -61,10 +61,13 @@ case class KmvSketch(
                       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      // FNV alone is not uniform enough for ORDER STATISTICS on
-      // structured keys; the splitmix64 finalizer restores avalanche
-      val h = Hashing.splitmix64(
-        Hashing.stringHash64(v.asInstanceOf[UTF8String].toString)) & Long.MaxValue
+      // md5-derived (r9, was FNV+splitmix): ~10× costlier per value,
+      // but DuckDB's md5_number_upper replays it bit-for-bit, which
+      // upgrades q113 from rows-only to an EXACT SQL oracle — the
+      // sketch is a deterministic function of the input once the hash
+      // is engine-replayable. Uniformity for order statistics is
+      // md5-grade, strictly better than the FNV+splitmix mix.
+      val h = Hashing.md5Hash64(v.asInstanceOf[UTF8String].toString) & Long.MaxValue
       add(buf, h)
     }
     buf
@@ -155,12 +158,16 @@ object KmvSketch {
     if (a.isEmpty || b.isEmpty) return 0.0
     val exactA = a.length < k
     val exactB = b.length < k
-    val thetaA = if (exactA) Long.MaxValue.toDouble else a.last.toDouble
-    val thetaB = if (exactB) Long.MaxValue.toDouble else b.last.toDouble
+    // theta stays a LONG until the one final division: the long→double
+    // promotion loses low bits above 2^53, so a double theta makes
+    // `h < theta` engine-dependent at the boundary; integer compares
+    // are exact and replay identically in SQL
+    val thetaA = if (exactA) Long.MaxValue else a.last
+    val thetaB = if (exactB) Long.MaxValue else b.last
     val theta = math.min(thetaA, thetaB)
     val sa = a.filter(_ < theta).toSet
     val common = b.filter(_ < theta).count(sa.contains)
     if (exactA && exactB) common.toDouble
-    else common.toDouble / (theta / HashSpace)
+    else common.toDouble / (theta.toDouble / HashSpace)
   }
 }

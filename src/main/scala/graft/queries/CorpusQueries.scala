@@ -1708,10 +1708,17 @@ object CorpusQueries {
     * then every pairwise estimate — per-source distinct counts and
     * their INTERSECTION, the operation HLL cannot do — is computed from
     * the collected kilobyte sketches on the driver, which is the design
-    * (sketch algebra never needs the cluster). No SQL oracle: estimates
-    * are hash-dependent (rows-only check); the estimator's error
-    * bounds, merge partition-invariance, and intersection accuracy are
-    * pinned by KmvSketchSpec.
+    * (sketch algebra never needs the cluster).
+    *
+    * EXACT SQL oracle since r9: the sketch hash became md5-derived
+    * ([[graft.functions.Hashing.md5Hash64]] & Long.MaxValue = DuckDB
+    * `md5_number_upper & 2^63−1`), which makes the whole sketch — k
+    * smallest distinct hashes per source — and therefore every
+    * estimate a deterministic, engine-replayable function of the
+    * input: the oracle rebuilds the k-min sets with a window rank and
+    * replays the θ-sketch estimator arithmetic (integer θ compares;
+    * one division; floor(x+0.5) = Scala `math.round`). The error-bound
+    * / merge-invariance properties stay pinned by KmvSketchSpec.
     */
   def q113(s: SparkSession, dir: String): DataFrame = {
     val k = 1024
@@ -1736,6 +1743,52 @@ object CorpusQueries {
       .toDF("source_a", "source_b", "est_distinct_a", "est_distinct_b",
         "est_overlap")
       .orderBy("source_a", "source_b")
+  }
+
+  /** Exact replay of q113: k-min distinct md5 hashes per source via a
+    * window rank, then the θ-sketch estimator with integer θ compares
+    * and `floor(x+0.5)` rounding (= Scala `math.round`). */
+  val q113Sql: String = {
+    val k = 1024
+    val L = "9223372036854775807" // Long.MaxValue; CAST(...) AS DOUBLE = 2^63
+    s"""WITH w AS (
+       | SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+       | FROM documents),
+       |sh AS (
+       | SELECT doc_id, source,
+       |  CASE WHEN len(w) >= 5
+       |       THEN list_distinct(list_transform(range(1, len(w) - 3),
+       |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+       |       ELSE [array_to_string(w, ' ')] END AS sh
+       | FROM w),
+       |h AS (SELECT DISTINCT source,
+       |        CAST(md5_number_upper(t) & CAST($L AS UBIGINT) AS BIGINT) AS h
+       |      FROM (SELECT source, unnest(sh) AS t FROM sh)),
+       |km AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |       FROM h),
+       |sk AS (SELECT source, list(h ORDER BY h) AS ks, MAX(h) AS kth,
+       |         COUNT(*) AS kn
+       |       FROM km WHERE rk <= $k GROUP BY source),
+       |st AS (SELECT source, ks, kn, kn < $k AS ex,
+       |         CASE WHEN kn < $k THEN CAST(kn AS DOUBLE)
+       |              ELSE CAST(${k - 1} AS DOUBLE)
+       |                / (CAST(kth AS DOUBLE) / CAST($L AS DOUBLE)) END AS est,
+       |         CASE WHEN kn < $k THEN $L ELSE kth END AS theta
+       |       FROM sk)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       | CAST(floor(a.est + 0.5) AS BIGINT) AS est_distinct_a,
+       | CAST(floor(b.est + 0.5) AS BIGINT) AS est_distinct_b,
+       | CAST(floor(
+       |   CASE WHEN a.ex AND b.ex
+       |        THEN CAST(len(list_intersect(a.ks, b.ks)) AS DOUBLE)
+       |        ELSE CAST(len(list_intersect(
+       |               list_filter(a.ks, x -> x < least(a.theta, b.theta)),
+       |               list_filter(b.ks, x -> x < least(a.theta, b.theta)))) AS DOUBLE)
+       |          / (CAST(least(a.theta, b.theta) AS DOUBLE) / CAST($L AS DOUBLE))
+       |   END + 0.5) AS BIGINT) AS est_overlap
+       |FROM st a, st b WHERE a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
   }
 
   /** q117 — PMI collocation mining: rank adjacent word pairs by
@@ -2287,6 +2340,7 @@ object CorpusQueries {
     s"SELECT * FROM '/root/repo/goldens/$name.parquet'"
 
   val oracles: Map[String, String] = Map(
+    "q113_kmv_overlap" -> q113Sql,
     "q83_bpe_train" -> goldenSql("q83_bpe_train"),
     "q84_bpe_encode" -> goldenSql("q84_bpe_encode"),
     "q85_pack_bpe" -> goldenSql("q85_pack_bpe"),
