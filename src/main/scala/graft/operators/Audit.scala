@@ -39,4 +39,45 @@ object Audit {
         |) AS (check_name, target, metric, passed)""".stripMargin))
       .orderBy("check_name", "target")
   }
+
+  /** Join-key skew audit: one report row per audited key — row count,
+    * distinct keys, the heaviest key and its share, and the Gini
+    * coefficient of the key-frequency distribution (0 = uniform,
+    * → 1 = one key owns everything). The pre-join diagnosis for every
+    * shuffle-key decision this library makes (salting thresholds, AQE
+    * skew-join expectations): run it BEFORE keying a 100 TB join.
+    *
+    * Exact, deterministic, scale-shaped: one map-side-combined
+    * frequency agg per key (the only corpus-sized shuffle), then the
+    * Gini rank Σ rank·cnt over the DISTINCT-KEY table via
+    * [[PrefixSum]]'s two-pass scan in total (cnt, key) order — never a
+    * single-task global window (the distinct-key table can be billions
+    * of rows when auditing a user-id key). Heaviest key via one
+    * `max(struct)` agg (ties → larger key value, mirrored in the
+    * oracle). Gini = (2·Σrank·cnt)/(k·n) − (k+1)/k — integer sums
+    * until two final divisions, rounded at 4 like every reported
+    * ratio.
+    */
+  def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    val freq = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = PrefixSum.withRunningTotalOrdered(
+      freq.withColumn("one", lit(1L)), Seq("cnt", "k"), "one", "rank")
+    ranked.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(struct(col("cnt"), col("k"))).as("top"),
+      sum(col("rank") * col("cnt")).as("s"))
+      .select(
+        lit(label).as("dataset"),
+        col("n_rows"), col("n_keys"),
+        col("top.k").as("top_key"), col("top.cnt").as("top_cnt"),
+        round(col("top.cnt").cast("double") / col("n_rows").cast("double"), 4)
+          .as("top_share"),
+        round((lit(2.0) * col("s").cast("double")) /
+          (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+          (col("n_keys") + lit(1L)).cast("double") / col("n_keys").cast("double"), 4)
+          .as("gini"))
+  }
 }

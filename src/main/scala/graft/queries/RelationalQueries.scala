@@ -542,6 +542,44 @@ object RelationalQueries {
     graft.operators.Audit.ordersContract(
       Tables.orders(s, dir), Tables.customer(s, dir))
 
+  /** q135 — join-key skew audit ([[graft.operators.Audit.keySkew]]):
+    * heaviest-key share and key-frequency Gini for the two keys this
+    * schema would actually shuffle on at scale (events.user_id — fan-in
+    * stream key; lineitem.l_suppkey — fact-to-dim join key). The
+    * pre-join skew diagnosis that decides whether a key needs
+    * `Skew.adaptiveSaltedAggregate` before a 100 TB shuffle. Oracle
+    * replays the rank with a window (oracle-side only; the operator
+    * uses PrefixSum's two-pass scan precisely to avoid that single-task
+    * global window at scale).
+    */
+  def q135(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Audit.keySkew(Tables.events(s, dir), "user_id", "events.user_id")
+      .unionAll(graft.operators.Audit.keySkew(
+        Tables.lineitem(s, dir), "l_suppkey", "lineitem.l_suppkey"))
+      .orderBy("dataset")
+
+  val q135Sql: String = {
+    def ctes(i: Int, table: String, key: String): String =
+      s"""f$i AS (SELECT CAST($key AS BIGINT) AS k, COUNT(*) AS cnt
+         |        FROM $table WHERE $key IS NOT NULL GROUP BY 1),
+         |r$i AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt, k) AS rk FROM f$i),
+         |t$i AS (SELECT k AS top_key, cnt AS top_cnt FROM f$i
+         |        ORDER BY cnt DESC, k DESC LIMIT 1),
+         |a$i AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         |          CAST(SUM(rk * cnt) AS BIGINT) AS s FROM r$i)""".stripMargin
+    def sel(i: Int, label: String): String =
+      s"""SELECT '$label' AS dataset, n_rows, n_keys, top_key, top_cnt,
+         | round(CAST(top_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 4) AS top_share,
+         | round((2.0 * CAST(s AS DOUBLE))
+         |     / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+         |   - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 4) AS gini
+         |FROM a$i, t$i""".stripMargin
+    "WITH " + ctes(1, "events", "user_id") + ",\n" +
+      ctes(2, "lineitem", "l_suppkey") + "\n" +
+      sel(1, "events.user_id") + "\nUNION ALL\n" +
+      sel(2, "lineitem.l_suppkey") + "\nORDER BY dataset"
+  }
+
   val q103Sql: String =
     """WITH b AS (
       | SELECT count(*) AS n, count(o_custkey) AS nn_cust,
@@ -909,6 +947,7 @@ object RelationalQueries {
     "q107_fuzzy_join" -> (q107 _),
     "q106_incremental_agg" -> (q106 _),
     "q103_data_audit" -> (q103 _),
+    "q135_key_skew" -> (q135 _),
     "q102_zorder_code" -> (q102 _),
     "q62_running_total" -> (q62 _),
     "q39_subqueries" -> (q39 _),
@@ -942,6 +981,7 @@ object RelationalQueries {
     "q107_fuzzy_join" -> q107Sql,
     "q106_incremental_agg" -> q106Sql,
     "q103_data_audit" -> q103Sql,
+    "q135_key_skew" -> q135Sql,
     "q102_zorder_code" -> q102Sql,
     "q62_running_total" -> q62Sql,
     "q39_subqueries" -> q39Sql,

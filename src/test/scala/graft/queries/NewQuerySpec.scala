@@ -243,6 +243,25 @@ class NewQuerySpec extends AnyFunSuite {
     assert(ds.zip(ds.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("q135: key-skew audit matches hand-computed Gini and top-share") {
+    import spark.implicits._
+    // frequencies: key 1 -> 1 row, key 2 -> 1 row, key 3 -> 6 rows (+ a null)
+    val df = (Seq(1L, 2L) ++ Seq.fill(6)(3L)).map(k => Tuple1(Option(k)))
+      .toDF("k").union(Seq(Tuple1(Option.empty[Long])).toDF("k"))
+    val r = graft.operators.Audit.keySkew(df, "k", "t").collect().head
+    assert(r.getString(0) == "t")
+    assert(r.getLong(1) == 8L && r.getLong(2) == 3L)       // 8 rows, 3 keys
+    assert(r.getLong(3) == 3L && r.getLong(4) == 6L)       // top key 3, cnt 6
+    assert(r.getDouble(5) == 0.75)                         // 6/8
+    // ranks in (cnt, key) asc: (1,k1)->1, (1,k2)->2, (6,k3)->3
+    // gini = 2*(1*1 + 2*1 + 3*6) / (3*8) - 4/3 = 42/24 - 4/3 = 0.4167
+    assert(math.abs(r.getDouble(6) - 0.4167) < 1e-9)
+    // uniform distribution -> gini 0
+    val u = Seq(1L, 2L, 3L, 4L).map(k => Tuple1(Option(k))).toDF("k")
+    val g0 = graft.operators.Audit.keySkew(u, "k", "u").collect().head.getDouble(6)
+    assert(math.abs(g0 - 0.0) < 1e-9)
+  }
+
   test("q133: k > n stops at n centers instead of failing") {
     import spark.implicits._
     val tiny = Seq(
