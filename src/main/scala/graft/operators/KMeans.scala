@@ -342,7 +342,28 @@ object KMeans {
     */
   def kmeansSql(table: String, id: String, vec: String,
                 k: Int, iterations: Int, scale: Long = 1000000L,
-                seeding: Seeding = Seeding.LowestId): String = {
+                seeding: Seeding = Seeding.LowestId): String =
+    kmeansChainSql(table, id, vec, k, iterations, scale, seeding) +
+      s"""
+         |SELECT $id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist
+         |FROM a$iterations""".stripMargin
+
+  /** Like [[kmeansSql]] but yields the POST-update centroids of the
+    * last iteration — `(cid, d, v)` in fixed-point units — i.e. what
+    * [[fit]] returns as `Model.centroids`. Used by oracles that replay
+    * a consumer of the trained model (q34's IVF probe ranking).
+    */
+  def kmeansCentroidsSql(table: String, id: String, vec: String,
+                         k: Int, iterations: Int, scale: Long = 1000000L,
+                         seeding: Seeding = Seeding.LowestId): String =
+    kmeansChainSql(table, id, vec, k, iterations, scale, seeding) +
+      s"\nSELECT cid, d, v FROM c$iterations"
+
+  /** The shared `WITH fx …, c0 …, a1/c1 … a<n>/c<n>` CTE chain (no
+    * final SELECT). */
+  private def kmeansChainSql(table: String, id: String, vec: String,
+                             k: Int, iterations: Int, scale: Long,
+                             seeding: Seeding): String = {
     val iters = (1 to iterations).map { i =>
       s"""a$i AS (
          | SELECT $id, cid, dist FROM (
@@ -366,9 +387,7 @@ object KMeans {
        |   CAST(floor(CAST($vec[d] AS DOUBLE) * $scale) AS BIGINT) AS v
        | FROM $table, unnest(range(1, len($vec) + 1)) AS t(d)),
        |$seedCtes,
-       |$iters
-       |SELECT $id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist
-       |FROM a$iterations""".stripMargin
+       |$iters""".stripMargin
   }
 
   /** The `c0` seed-centroid CTE chain (assumes a preceding `fx` CTE),

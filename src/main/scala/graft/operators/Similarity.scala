@@ -101,16 +101,45 @@ object Similarity {
     centroids
   }
 
+  /** Sequential left-to-right double cosine — the fold the SQL oracle
+    * replays elementwise (list_sum over i), for probe ranking against
+    * fixed-point centroids scaled back to doubles.
+    */
+  private def cosLocalD(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF ANN over the BIT-DETERMINISTIC coarse quantizer: since r9 the
+    * nlist centroids come from [[KMeans.fit]]'s fixed-point integer
+    * Lloyd (q92's engine) instead of the float-mean loop — an avg() of
+    * doubles is partition-order-dependent, which is exactly why q34
+    * could not have an exact oracle before. Now every step replays in
+    * SQL: the Lloyd chain ([[KMeans.kmeansCentroidsSql]]), the
+    * assignment pass (exact integer distances, ties to lower cid), the
+    * probe ranking (cosine of the query against centroids/scale — one
+    * deterministic double fold per centroid, ties to lower cid), and
+    * the in-list exact cosine top-k. Approximate w.r.t. true kNN as any
+    * IVF is (recall floor pinned by spec); the COMPUTATION is exact.
+    */
   def annIvf(corpus: DataFrame, queryId: Long, k: Int,
              nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = trainCoarse(corpus, nlist, iters)
-    val tagged = assignClusters(corpus, centroids)
+    val model = KMeans.fit(corpus, nlist, iters).model
+    val tagged = corpus.join(
+      KMeans.assign(corpus, model).select(col("vec_id"), col("cluster_id").as("cluster")),
+      "vec_id")
 
     val qv = corpus.filter(col("vec_id") === queryId).head()
-      .getAs[Seq[Float]]("embedding").toArray
-    val probeClusters = centroids
-      .map { case (cid, c) => cid -> cosLocal(qv, c) }
+      .getAs[Seq[Float]]("embedding").toArray.map(_.toDouble)
+    val cents = model.centroids.map(_.map(_.toDouble / model.scale))
+    val probeClusters = cents.zipWithIndex
+      .map { case (c, cid) => cid -> cosLocalD(qv, c) }
       .sortBy(-_._2).take(nProbe).map(_._1).toSet
 
     val qDf = corpus.filter(col("vec_id") === queryId)

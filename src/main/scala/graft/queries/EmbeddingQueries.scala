@@ -114,11 +114,60 @@ object EmbeddingQueries {
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** q34 — IVF-indexed ANN (coarse k-means quantizer, nProbe lists
-    * scanned). Approximate ⇒ rows-only check; recall pinned by
-    * OperatorsSpec.
+    * scanned). EXACT SQL oracle since r9: the quantizer is
+    * [[graft.operators.KMeans.fit]]'s fixed-point integer Lloyd (the
+    * float-mean trainer it replaced was partition-order-dependent —
+    * the one thing that kept q34 estimate-tier), so the oracle replays
+    * train + assign + probe-rank + in-list top-k end to end. Recall
+    * vs exact kNN stays pinned by OperatorsSpec (IVF is approximate by
+    * design; the computation is not).
     */
   def q34(s: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(Tables.embeddings(s, dir), 0L, 10)
+
+  /** Exact replay of q34: the kmeans centroid chain, the integer
+    * assignment pass (kmeansSql's a-CTE shape), probe ranking by
+    * centroid cosine (ties to lower cid), exact cosine top-10 within
+    * the probed lists.
+    */
+  val q34Sql: String = {
+    val cents = graft.operators.KMeans.kmeansCentroidsSql(
+      "embeddings", "vec_id", "embedding", k = 16, iterations = 3)
+    s"""WITH cents AS (
+       |$cents
+       |),
+       |fx2 AS (
+       | SELECT vec_id, CAST(d AS INTEGER) AS d,
+       |   CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS v
+       | FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)),
+       |asg AS (
+       | SELECT vec_id, cid FROM (
+       |   SELECT vec_id, cid,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM (SELECT f.vec_id, c.cid, SUM((f.v - c.v)*(f.v - c.v)) AS dist
+       |         FROM fx2 f JOIN cents c ON f.d = c.d
+       |         GROUP BY f.vec_id, c.cid) dd) r WHERE rn = 1),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |cd AS (SELECT cid, list(CAST(v AS DOUBLE) / 1000000 ORDER BY d) AS ce
+       |       FROM cents GROUP BY cid),
+       |probe AS (
+       | SELECT cid FROM (
+       |   SELECT cid,
+       |    list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i] * qe[i]))
+       |     / (sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i] * ce[i])))
+       |        * sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * qe[i])))) AS cs
+       |   FROM cd, q) ORDER BY cs DESC, cid LIMIT 4)
+       |SELECT s.vec_id,
+       | list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * q.qe[i]))
+       |  / (sqrt(list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * s.e[i])))
+       |     * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i])))) AS cos
+       |FROM v s
+       |JOIN asg ON s.vec_id = asg.vec_id
+       |JOIN probe ON asg.cid = probe.cid, q
+       |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin
+  }
 
   /** q36 — exact embedding near-dup via the ADAPTIVE plan
     * (Dedup.embedNearDup): banded hyperplane LSH when the threshold's
@@ -834,6 +883,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q34_ann_ivf" -> q34Sql,
     "q29_ann_lsh" -> q29Sql,
     "q133_kcenter_select" -> q133Sql,
     "q131_knn_label_eval" -> q131Sql,

@@ -258,7 +258,9 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = Similarity.annIvf(emb, 0L, 10, nlist = 8, nProbe = 3)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), plan.linesIterator.take(10).mkString("\n"))
-    assert(plan.contains("graft_centroid_argmax"))
+    // r9: assignment runs on the fixed-point quantizer's packed argmin
+    // (KMeans.assign) — still a codegen expression, different name
+    assert(plan.contains("graft_centroid_packed_argmin"), plan.take(2000))
   }
 
   test("IVF-PQ: recall >= plain IVF at the same probes, 8x+ smaller scan rows") {
