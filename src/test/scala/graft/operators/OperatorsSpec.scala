@@ -263,6 +263,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("graft_centroid_packed_argmin"), plan.take(2000))
   }
 
+  test("annIvf is partition-invariant (the r9 fixed-point quantizer is bit-deterministic)") {
+    val emb = Tables.embeddings(spark, dir)
+    val a = Similarity.annIvf(emb, 0L, 10, nlist = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Similarity.annIvf(emb.repartition(17), 0L, 10, nlist = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a.nonEmpty && a == b,
+      "IVF results changed under repartitioning — quantizer not deterministic")
+  }
+
   test("IVF-PQ: recall >= plain IVF at the same probes, 8x+ smaller scan rows") {
     val emb = Tables.embeddings(spark, dir)
     val brute10 = Similarity.knnBruteForce(emb, 0L, 10)

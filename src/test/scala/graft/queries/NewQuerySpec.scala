@@ -262,6 +262,15 @@ class NewQuerySpec extends AnyFunSuite {
     assert(math.abs(g0 - 0.0) < 1e-9)
   }
 
+  test("q133: selection is partition-invariant") {
+    val e = graft.Tables.embeddings(spark, dir)
+    val a = graft.operators.Coreset.kCenter(e, "vec_id", "embedding", 8)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.operators.Coreset.kCenter(e.repartition(17), "vec_id", "embedding", 8)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("q133: k > n stops at n centers instead of failing") {
     import spark.implicits._
     val tiny = Seq(
