@@ -515,8 +515,10 @@ object CorpusQueries {
     * HLL state is a few KB per group and merges map-side, where exact
     * `COUNT(DISTINCT)` must shuffle every distinct value; the exact
     * columns exist here so the error bound is measurable (pinned by
-    * CorpusQueriesSpec). No SQL oracle: sketch internals are
-    * engine-specific (rows-only gate, like q26/q29/q34).
+    * CorpusQueriesSpec). No SQL oracle — the LAST such query since r9:
+    * Spark's HLL++/quantile sketch internals are engine-specific,
+    * unlike the md5/fixed-point paths that let q26/q29/q34/q113
+    * graduate to exact oracles.
     */
   def q55(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
