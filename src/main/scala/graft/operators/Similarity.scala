@@ -129,27 +129,82 @@ object Similarity {
     */
   def annIvf(corpus: DataFrame, queryId: Long, k: Int,
              nlist: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
+    val index = buildIvfIndex(corpus, nlist, iters)
+    val qv = corpus.filter(col("vec_id") === queryId).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    searchIvf(index, qv, k, nProbe)
+  }
+
+  /** A built IVF index: the trained fixed-point quantizer plus the
+    * cluster-tagged corpus (the inverted lists). Build ONCE, search
+    * many — [[annIvf]] is the one-shot driver-contract form that
+    * retrains per call; a production consumer holds this instead.
+    */
+  final case class IvfIndex(model: KMeans.Model, tagged: DataFrame)
+
+  /** Train the coarse quantizer and tag every corpus vector with its
+    * list (one deterministic fit + one map-only codegen assignment
+    * pass).
+    */
+  def buildIvfIndex(corpus: DataFrame, nlist: Int = 16,
+                    iters: Int = 3): IvfIndex = {
     val model = KMeans.fit(corpus, nlist, iters).model
     val tagged = corpus.join(
       KMeans.assign(corpus, model).select(col("vec_id"), col("cluster_id").as("cluster")),
       "vec_id")
+    IvfIndex(model, tagged)
+  }
 
-    val qv = corpus.filter(col("vec_id") === queryId).head()
-      .getAs[Seq[Float]]("embedding").toArray.map(_.toDouble)
-    val cents = model.centroids.map(_.map(_.toDouble / model.scale))
+  /** Search a built index with an ARBITRARY query vector (not
+    * restricted to corpus members): rank centroids by cosine (ties to
+    * lower cid), scan the `nProbe` nearest lists, exact cosine top-k.
+    */
+  def searchIvf(index: IvfIndex, queryVec: Array[Float], k: Int,
+                nProbe: Int = 4): DataFrame = {
+    val spark = index.tagged.sparkSession
+    val qv = queryVec.map(_.toDouble)
+    val cents = index.model.centroids.map(_.map(_.toDouble / index.model.scale))
     val probeClusters = cents.zipWithIndex
       .map { case (c, cid) => cid -> cosLocalD(qv, c) }
       .sortBy(-_._2).take(nProbe).map(_._1).toSet
-
-    val qDf = corpus.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"))
-    tagged.filter(col("cluster").isin(probeClusters.toSeq: _*))
+    import spark.implicits._
+    val qDf = Seq(Tuple1(queryVec.toSeq)).toDF("q_embedding")
+    index.tagged.filter(col("cluster").isin(probeClusters.toSeq: _*))
       .crossJoin(broadcast(qDf))
       .select(col("vec_id"),
         CosineSimilarity(spark, col("embedding"), col("q_embedding")).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Persist an index: the tagged corpus as parquet (the inverted
+    * lists, partitioned by list so a probe prunes at the FILE level)
+    * and the fixed-point centroids as one small parquet. The layout IS
+    * the index — no serialization format beyond parquet.
+    */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.tagged.sparkSession
+    index.tagged.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/lists")
+    import spark.implicits._
+    val centroidRows: Seq[(Int, Seq[Long], Long)] =
+      index.model.centroids.zipWithIndex
+        .map { case (c, cid) => (cid, c.toSeq, index.model.scale) }.toSeq
+    centroidRows.toDF("cid", "v", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. Scans of a loaded index prune probed
+    * lists via parquet partition pruning (`cluster=<cid>` directories).
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+    val scale = cents.head.getLong(2)
+    val centroids = cents.sortBy(_.getInt(0))
+      .map(_.getSeq[Long](1).toArray)
+    IvfIndex(KMeans.Model(centroids, scale),
+      spark.read.parquet(s"$path/lists"))
   }
 
   /** Deterministic local k-means for the PQ sub-quantizers (runs on a

@@ -273,6 +273,33 @@ class OperatorsSpec extends AnyFunSuite {
       "IVF results changed under repartitioning — quantizer not deterministic")
   }
 
+  test("IVF index lifecycle: build once, search by vector, save/load parity") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val idx = Similarity.buildIvfIndex(emb, nlist = 8, iters = 3)
+    val qv = emb.filter(col("vec_id") === 0L).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    val direct = Similarity.annIvf(emb, 0L, 10, nlist = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = Similarity.searchIvf(idx, qv, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == direct, "search of a prebuilt index must equal the one-shot form")
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toFile.getAbsolutePath
+    Similarity.saveIvfIndex(idx, tmp)
+    val loaded = Similarity.loadIvfIndex(spark, tmp)
+    assert(loaded.model.scale == idx.model.scale)
+    assert(loaded.model.centroids.map(_.toSeq).toSeq ==
+      idx.model.centroids.map(_.toSeq).toSeq)
+    val viaLoaded = Similarity.searchIvf(loaded, qv, 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaLoaded == direct, "persisted index must search identically")
+    // a NON-corpus query vector works too (the one-shot form can't do this)
+    val perturbed = qv.map(x => x * 0.5f)
+    val alt = Similarity.searchIvf(loaded, perturbed, 5, nProbe = 3).collect()
+    assert(alt.length == 5)
+    assert(alt.head.getLong(0) == 0L) // cosine is scale-invariant: self still nearest
+  }
+
   test("IVF-PQ: recall >= plain IVF at the same probes, 8x+ smaller scan rows") {
     val emb = Tables.embeddings(spark, dir)
     val brute10 = Similarity.knnBruteForce(emb, 0L, 10)
