@@ -85,7 +85,7 @@ object Bench {
     "q127_dup_substring_cut", "q128_hard_negatives",
     "q129_quality_ensemble", "q130_normalize_text", "q131_knn_label_eval",
     "q132_script_mix", "q133_kcenter_select", "q134_decay_score",
-    "q135_key_skew")
+    "q135_key_skew", "q136_ann_multiprobe")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this

@@ -101,6 +101,39 @@ object Similarity {
     centroids
   }
 
+  /** Multi-probe hyperplane-LSH ANN (Lv et al., VLDB'07 lite): scan the
+    * query's bucket AND every bucket whose signature differs in at most
+    * one bit — a sign bit near zero projection is exactly the bit most
+    * likely to differ for a true neighbor, so probing the `bits`
+    * Hamming-1 neighbors recovers most of what a single bucket misses
+    * at (bits+1)× the scan cost, still ~2^bits/(bits+1) cheaper than
+    * brute force. Deterministic (md5-derived planes, same as
+    * [[annHyperplaneLsh]]) ⇒ exact SQL oracle: the replay keeps rows
+    * whose replayed signature is within Hamming distance 1 of the
+    * query's. Recall ≥ the single-bucket form by construction
+    * (superset of scanned buckets) — pinned by spec.
+    */
+  def annHyperplaneLshMultiProbe(corpus: DataFrame, queryId: Long, k: Int,
+                                 bits: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val signed = corpus.withColumn("sig",
+      VectorFns.hyperplaneSignature(col("embedding"), bits))
+    val qRow = signed.filter(col("vec_id") === queryId)
+      .select(col("sig"), col("embedding")).head()
+    val qSig = qRow.getString(0)
+    val probes = qSig +: (0 until bits).map { b =>
+      qSig.updated(b, if (qSig.charAt(b) == '1') '0' else '1')
+    }
+    val qDf = corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    signed.filter(col("sig").isin(probes: _*))
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"),
+        CosineSimilarity(spark, col("embedding"), col("q_embedding")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Sequential left-to-right double cosine — the fold the SQL oracle
     * replays elementwise (list_sum over i), for probe ranking against
     * fixed-point centroids scaled back to doubles.

@@ -63,13 +63,12 @@ object EmbeddingQueries {
   def q29(s: SparkSession, dir: String): DataFrame =
     Similarity.annHyperplaneLsh(Tables.embeddings(s, dir), 0L, 10, bits = 8)
 
-  /** Exact SQL replay of q29: rebuild every vector's 8-bit hyperplane
-    * signature from `md5_number_upper`, keep the query's bucket, rank
-    * by the identical cosine fold. Generated per bit to keep the fold
-    * order byte-for-byte the Spark expression's.
+  /** Shared `v`/`sig`/`q` CTE prefix replaying the md5-derived 8-bit
+    * hyperplane signature from `md5_number_upper`, generated per bit so
+    * fold order stays byte-for-byte the Spark expression's. Used by the
+    * q29 (exact-bucket) and q136 (Hamming-≤1 multi-probe) oracles.
     */
-  val q29Sql: String = {
-    val bits = 8
+  private def hyperSigCtes(bits: Int): String = {
     def proj(p: Int): String =
       s"""list_sum(list_transform(range(1, len(e) + 1), i ->
          | e[i] * (CAST(md5_number_upper('${p}_' || CAST(i - 1 AS VARCHAR)) % 1000 AS DOUBLE)
@@ -80,14 +79,38 @@ object EmbeddingQueries {
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |           FROM embeddings),
        |sig AS (SELECT vec_id, e, $bitExprs AS sig FROM v),
-       |q AS (SELECT sig AS qsig, e AS qe FROM sig WHERE vec_id = 0)
-       |SELECT s.vec_id,
+       |q AS (SELECT sig AS qsig, e AS qe FROM sig WHERE vec_id = 0)""".stripMargin
+  }
+
+  private val hyperCosSelect: String =
+    s"""SELECT s.vec_id,
        | list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * q.qe[i]))
        |  / (sqrt(list_sum(list_transform(range(1, len(s.e) + 1), i -> s.e[i] * s.e[i])))
        |     * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i])))) AS cos
-       |FROM sig s, q WHERE s.sig = q.qsig
+       |FROM sig s, q""".stripMargin
+
+  /** Exact SQL replay of q29: signature + exact-bucket + cosine top-10. */
+  val q29Sql: String =
+    s"""${hyperSigCtes(8)}
+       |$hyperCosSelect WHERE s.sig = q.qsig
        |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin
-  }
+
+  /** q136 — multi-probe hyperplane-LSH ANN
+    * ([[graft.operators.Similarity.annHyperplaneLshMultiProbe]]): scan
+    * the query's bucket plus all Hamming-1 neighbor buckets — the
+    * standard recall booster (the near-zero projection bits are exactly
+    * the ones a true neighbor flips). Deterministic ⇒ exact oracle (the
+    * replay keeps rows whose signature differs from the query's in ≤ 1
+    * position); recall ≥ q29's single bucket pinned by spec.
+    */
+  def q136(s: SparkSession, dir: String): DataFrame =
+    Similarity.annHyperplaneLshMultiProbe(Tables.embeddings(s, dir), 0L, 10, bits = 8)
+
+  val q136Sql: String =
+    s"""${hyperSigCtes(8)}
+       |$hyperCosSelect
+       |WHERE len(list_filter(range(1, 9), i -> s.sig[i] <> q.qsig[i])) <= 1
+       |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin
 
   /** q30 — embedding-cosine near-duplicate pairs (the vector analogue of
     * q24/q25 text dedup; SURVEY §7.4). All-pairs with the native fused
@@ -859,6 +882,7 @@ object EmbeddingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_ann_multiprobe" -> (q136 _),
     "q133_kcenter_select" -> (q133 _),
     "q131_knn_label_eval" -> (q131 _),
     "q128_hard_negatives" -> (q128 _),
@@ -883,6 +907,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q136_ann_multiprobe" -> q136Sql,
     "q34_ann_ivf" -> q34Sql,
     "q29_ann_lsh" -> q29Sql,
     "q133_kcenter_select" -> q133Sql,

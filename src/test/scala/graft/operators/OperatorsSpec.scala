@@ -273,6 +273,37 @@ class OperatorsSpec extends AnyFunSuite {
       "IVF results changed under repartitioning — quantizer not deterministic")
   }
 
+  test("multi-probe LSH: results subset of brute ranking, recall >= single bucket") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val brute10 = Similarity.knnBruteForce(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val bruteAll = Similarity.knnBruteForce(emb, 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val single = Similarity.annHyperplaneLsh(emb, 0L, 10, bits = 8)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annHyperplaneLshMultiProbe(emb, 0L, 10, bits = 8)
+      .collect()
+    assert(multi.nonEmpty && multi.head.getLong(0) == 0L)
+    // exact scores (same oracle family as every ANN path)
+    multi.foreach(r =>
+      assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+    // probing a SUPERSET of buckets can only improve recall
+    val rs = multi.map(_.getLong(0)).count(brute10.contains)
+    val rsSingle = single.count(brute10.contains)
+    assert(rs >= rsSingle,
+      s"multi-probe recall $rs < single-bucket $rsSingle")
+    // and the scanned set truly is a superset: every single-bucket hit
+    // appears among the multi-probe candidates when k allows
+    val multiIds = multi.map(_.getLong(0)).toSet
+    val cosOf = bruteAll
+    val worstMulti = multi.map(r => cosOf(r.getLong(0))).min
+    single.foreach { id =>
+      assert(multiIds.contains(id) || cosOf(id) < worstMulti,
+        s"single-bucket hit $id vanished from multi-probe output")
+    }
+  }
+
   test("IVF index lifecycle: build once, search by vector, save/load parity") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, dir)
