@@ -69,7 +69,15 @@ object FuzzyJoin {
     val d = dict
       .select(col(dId).as("d_id"), col(dStr).as("d_s"))
       .withColumn("v", explode(vUdf(col("d_s"))))
-    q.join(d, "v")
+    // shuffle_hash, NOT the planner's choice: size estimates predate the
+    // explode (a UDF generator inflates rows ~len²/2× invisibly), so the
+    // static planner happily BROADCASTS the whole exploded dictionary —
+    // measured 3.4 GiB at the 10× rehearsal, an executor/driver OOM at
+    // real dictionary scale — and AQE can convert shuffle→broadcast at
+    // runtime but never demote a planned broadcast. A shuffled hash join
+    // keyed by variant is bounded by partition size on both sides and
+    // keeps AQE skew-splitting for hot short variants.
+    q.join(d.hint("shuffle_hash"), "v")
       .select("q_id", "d_id", "q_s", "d_s").distinct()
       .withColumn("dist", levenshtein(col("q_s"), col("d_s")).cast("long"))
       .filter(col("dist") <= maxDist)
@@ -126,7 +134,11 @@ object FuzzyJoin {
           | END""".stripMargin)))
     val a = variants.select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
     val b = variants.select(col("id").as("id_b"), col("s").as("s_b"), col("v"))
-    a.join(b, "v")
+    // shuffle_hash for the same reason as lookupDist: the planner's size
+    // estimate predates the ~len× Generate, so it would broadcast the
+    // whole exploded variant table (scale-unbounded; AQE cannot demote
+    // a planned broadcast)
+    a.join(b.hint("shuffle_hash"), "v")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "s_a", "s_b").distinct()
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
