@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CorpusQueries, EmbeddingQueries, EventQueries, RelationalQueries, TextQueries}
+import graft.queries.{CorpusQueries, EmbeddingQueries, EventQueries, IndexQueries, RelationalQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
       TextQueries.queries ++ EmbeddingQueries.queries ++
-      CorpusQueries.queries
+      CorpusQueries.queries ++ IndexQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ EmbeddingQueries.oracles ++
-      CorpusQueries.oracles
+      CorpusQueries.oracles ++ IndexQueries.oracles
 }

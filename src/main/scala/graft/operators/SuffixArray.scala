@@ -1,0 +1,369 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed suffix array by prefix doubling with Larsson–Sadakane
+  * group refinement — the exact-substring substrate behind
+  * suffix-array dedup (Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better"). q126/q127 approximate that paper's
+  * signal with fixed-L grams; the suffix array is the offset-exact,
+  * ANY-length ground truth: it surfaces the longest duplicated
+  * substring without choosing L.
+  *
+  * Suffixes never cross document boundaries (each doc is a terminated
+  * string, the multi-string SA convention), and the order is total:
+  * byte-equal whole suffixes tie-break by (doc_id, position) — exactly
+  * what the DuckDB oracle's `row_number() OVER (ORDER BY suffix,
+  * doc_id, p)` computes (the corpus is ASCII, so JVM char order and
+  * DuckDB byte order agree).
+  *
+  * Algorithm, Spark-first:
+  *  - positions keyed as one long `gid = doc_id·stride + p`; the
+  *    level-3 start key (first 8 chars packed big-endian into a long,
+  *    0-padded past doc end — ASCII < 0x80, so pack order IS string
+  *    order and the pad sorts shorter-prefix first) is computed
+  *    map-side inside the explode, skipping three doubling rounds;
+  *  - initial rank = global row number of each key-group's HEAD
+  *    ([[headRank]], a PrefixSum-style two-pass scan — never a global
+  *    window). Group-head numbering is the Larsson–Sadakane invariant:
+  *    a subgroup's new rank = parent rank + members-before, so settled
+  *    (unique-rank) suffixes NEVER re-rank;
+  *  - each round k doubles the resolved prefix: only the ACTIVE rows
+  *    (groups ≥ 2 — positions inside ≥k-char duplicated regions, a set
+  *    that shrinks every round) look up the rank at p+k in the full
+  *    table T (equi-join on gid; T stays hash-partitioned on gid
+  *    across rounds so only the small active side shuffles), then
+  *    split within each group by that rank. The split is the
+  *    agg+join-back form (per-(group, r2) counts + a running sum over
+  *    the DISTINCT splits), not `rank() OVER (PARTITION BY group)`
+  *    over members — a boilerplate 10⁸-fold duplicate at 100 TB would
+  *    land every occurrence in one window task, while its distinct-r2
+  *    table stays small (q126's skew rule);
+  *  - looking up a settled neighbor's rank compares MORE than k chars
+  *    at once (the Larsson–Sadakane shortcut): a subgroup sorted by a
+  *    fully-resolved neighbor settles immediately;
+  *  - residual ties at k ≥ maxDocLen are byte-equal suffixes; the
+  *    final (doc_id, p) tie-break is a per-group row_number over that
+  *    residue only (duplicate-multiplicity-sized groups, not corpus-
+  *    sized partitions).
+  *
+  * Cost: one n-row scan pass + Σ_k |active_k| join/agg work — at most
+  * the classic O(n log maxLen) doubling bound, and far less on real
+  * corpora where most positions settle in the first rounds.
+  */
+object SuffixArray {
+
+  /** Two-pass distributed head rank over `df(gid, k)`: every row gets
+    * the 1-based GLOBAL ROW NUMBER of the first row of its key-group
+    * in ascending-key order (ties share; sparse, order-embedding).
+    * Range-partition + sort-within (one shuffle, stays parallel),
+    * per-partition row counts and boundary keys to the driver
+    * (numPartitions-sized, not data-sized), then a second pass
+    * assigns `partition row base + local group head index`; a group
+    * split across partitions inherits its head's global index through
+    * the driver-side continuation fold.
+    */
+  def headRank(df: DataFrame, numPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("gid"), col("k"))
+      .repartitionByRange(numPartitions, col("k"))
+      .sortWithinPartitions("k")
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (pid, rowCount, firstKey, lastKey, localIdxOfLastGroupHead) —
+      // the scans only ever test key EQUALITY (Spark did the sorting),
+      // so the key column may be any equatable type (long, string, …)
+      val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L
+        var first: Any = null; var last: Any = null; var lastHead = 0L
+        var any = false
+        it.foreach { r =>
+          val k = r.get(1)
+          if (!any) { first = k; last = k; lastHead = 0L; any = true }
+          else if (k != last) { lastHead = n; last = k }
+          n += 1
+        }
+        if (!any) Iterator.empty else Iterator((pid, n, first, last, lastHead))
+      }.collect().sortBy(_._1)
+      val rowBase = new Array[Long](numPartitions)
+      val leadHead = new Array[Long](numPartitions)
+      var base = 0L
+      var prevLast: Any = null
+      var prevHead = 0L
+      var anyPrev = false
+      stats.foreach { case (pid, n, first, last, lastHeadLocal) =>
+        rowBase(pid) = base
+        leadHead(pid) = if (anyPrev && first == prevLast) prevHead else base
+        // the last group's head: if the whole partition is one key that
+        // continues the previous group, the head carries through
+        prevHead =
+          if (first == last && anyPrev && first == prevLast) prevHead
+          else base + lastHeadLocal
+        prevLast = last
+        base += n
+        anyPrev = true
+      }
+      val rowBaseB = spark.sparkContext.broadcast(rowBase)
+      val leadHeadB = spark.sparkContext.broadcast(leadHead)
+      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val rb = rowBaseB.value(pid)
+        var idx = 0L
+        var prev: Any = null
+        var head = leadHeadB.value(pid)
+        var started = false
+        it.map { r =>
+          val k = r.get(1)
+          if (!started) { started = true; prev = k }
+          else if (k != prev) { head = rb + idx; prev = k }
+          idx += 1
+          Row(r.getLong(0), head + 1L)
+        }
+      }
+      spark.createDataFrame(out,
+          new org.apache.spark.sql.types.StructType()
+            .add("gid", LongType, nullable = false)
+            .add("r", LongType, nullable = false))
+        .localCheckpoint()
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  /** Build the suffix array: (doc_id, p, sa_rank) with 1-based total
+    * suffix order; positions are 1-based (SQL substring convention).
+    */
+  def build(docs: DataFrame, docIdCol: String = "doc_id",
+            textCol: String = "text", numPartitions: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val maxRow = docs.agg(max(length(col(textCol)))).head
+    val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
+    // rank lookups probe gid + k with p ≤ maxLen and k < maxLen, so the
+    // per-doc id range must absorb offsets up to 2·maxLen or a probe
+    // past one doc's end would alias into the NEXT doc's positions
+    val stride = 2L * maxLen + 2L
+    // start key: the raw 32-char window as a STRING (ASCII ⇒ string
+    // order is byte order; truncation at doc end sorts shorter-prefix
+    // first, matching suffix order). A plain substring over an exploded
+    // position column stays inside whole-stage codegen — a packed-long
+    // start key via nested transform/aggregate lambdas is interpreted
+    // row-at-a-time and measured 15× slower — and a 32-char start skips
+    // the first two doubling rounds, which carry most of the active set
+    val k0 = 32L
+    val pos = docs
+      .select(col(docIdCol).as("d"), col(textCol).as("t"),
+        explode(sequence(lit(1), length(col(textCol)))).as("p"))
+      .select((col("d") * stride + col("p")).as("gid"),
+        expr(s"substring(t, p, $k0)").as("k"))
+    var t = headRank(pos, numPartitions)
+      .repartition(numPartitions, col("gid"))
+      .localCheckpoint()
+    // active = members of groups of size >= 2 (agg + join-back, never a
+    // per-group window over members)
+    var active = t.join(
+        t.groupBy("r").agg(count(lit(1)).as("gsz")).filter(col("gsz") >= 2)
+          .select("r"), Seq("r"), "left_semi")
+      .localCheckpoint()
+    var nActive = active.count()
+    var k = k0
+    while (nActive > 0 && k < maxLen) {
+      val lk = t.select(col("gid").as("lgid"), col("r").as("r2"))
+      val withR2 = active.withColumn("lgid", col("gid") + k)
+        .join(lk, Seq("lgid"), "left")
+        .select(col("gid"), col("r"), coalesce(col("r2"), lit(-1L)).as("r2"))
+      // subgroup sizes + running head offsets over the DISTINCT (r, r2)
+      // splits — window partitions are split-table-sized, not member-sized
+      val cnt = withR2.groupBy("r", "r2").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("r").orderBy("r2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val heads = cnt.withColumn("off", coalesce(sum(col("c")).over(w), lit(0L)))
+      val upd = withR2.join(heads, Seq("r", "r2"))
+        .select(col("gid"), (col("r") + col("off")).as("r"), col("c"))
+        .localCheckpoint()
+      val updSlim = upd.select(col("gid"), col("r").as("nr"))
+      t = t.join(updSlim, Seq("gid"), "left")
+        .select(col("gid"), coalesce(col("nr"), col("r")).as("r"))
+        .localCheckpoint()
+      active = upd.filter(col("c") >= 2).select("gid", "r").localCheckpoint()
+      nActive = active.count()
+      k *= 2
+    }
+    // residual ties are byte-equal whole suffixes: (doc_id, p) == gid
+    // order breaks them; per-group row_number over the residue only
+    val wr = Window.partitionBy("r").orderBy("gid")
+    val resid = active
+      .withColumn("fr", col("r") + row_number().over(wr) - 1L)
+      .select(col("gid"), col("fr"))
+    t.join(resid, Seq("gid"), "left")
+      .select(
+        expr(s"gid div $stride").as(docIdCol),
+        (col("gid") % stride).cast("int").as("p"),
+        coalesce(col("fr"), col("r")).as("sa_rank"))
+  }
+
+  /** Exact LCP of each SA-adjacent suffix pair — the LCP array:
+    * max(lcp) is the longest substring occurring ≥2 times corpus-wide,
+    * and every lcp ≥ L reproduces q126's fixed-L signal without
+    * fixing L.
+    *
+    * Both paths run the same binary descent (levels 2^maxJ … 1; a
+    * match at the current offset advances lcp by min(2^j, remaining);
+    * no match at level 0 means the next chars differ — done), and the
+    * dispatch is the adaptive driver/distributed split this repo uses
+    * for connected components and PageRank:
+    *  - corpus text ≤ maxBroadcastTextBytes → [[lcpByBroadcastText]]:
+    *    texts broadcast-joined onto pairs, the whole descent in-row as
+    *    codegen substring equality — one map pass, zero extra shuffles;
+    *  - larger → [[lcpByHashWalk]]: per-position vectors of xxhash64
+    *    block hashes (map-side), fetched at the pair's current offset
+    *    by equi-join; all levels failing at that offset are consumed
+    *    in-row for free, so a pair re-joins only once per MATCH
+    *    (popcount(lcp)+1 rounds, active set shrinks every round).
+    *    Texts are never shipped (suffix shipping would amplify the
+    *    corpus ~maxLen×); xxhash64 equality stands in for string
+    *    equality exactly as q126's md5 grams do.
+    *
+    * Output: (lcp, doc_a, p_a, doc_b, p_b) per adjacent pair, where
+    * (doc_a, p_a) is the rank-r suffix and (doc_b, p_b) rank r+1.
+    */
+  def adjacentLcp(sa: DataFrame, docs: DataFrame, docIdCol: String = "doc_id",
+                  textCol: String = "text", numPartitions: Int = 32,
+                  maxBroadcastTextBytes: Long = 256L << 20): DataFrame = {
+    val totRow = docs.agg(sum(length(col(textCol)))).head
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    if (total <= maxBroadcastTextBytes)
+      lcpByBroadcastText(sa, docs, docIdCol, textCol)
+    else
+      lcpByHashWalk(sa, docs, docIdCol, textCol, numPartitions)
+  }
+
+  /** Small-corpus LCP path: broadcast the doc texts (a 3 MB table at
+    * bench scale — the broadcast-join principle the adaptive
+    * connected-components split uses), attach both suffixes' texts
+    * in-stream, and run the WHOLE binary descent in-row as a chain of
+    * codegen substring equality tests (512, 256, …, 1 chars; each
+    * match advances the offset by min(step, remaining)). Exact string
+    * comparison — no hashes — one map-side pass, zero extra shuffles.
+    */
+  private[operators] def lcpByBroadcastText(sa: DataFrame, docs: DataFrame,
+                                            docIdCol: String,
+                                            textCol: String): DataFrame = {
+    val maxRow = docs.agg(max(length(col(textCol)))).head
+    val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
+    val maxJ = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen.toLong))).toInt
+    val txt = docs.select(col(docIdCol), col(textCol))
+    val a = sa.select(col("sa_rank").as("r"), col(docIdCol).as("doc_a"),
+      col("p").cast("long").as("p_a"))
+    val b = sa.select((col("sa_rank") - 1L).as("r"), col(docIdCol).as("doc_b"),
+      col("p").cast("long").as("p_b"))
+    var cur = a.join(b, Seq("r"))
+      .join(broadcast(txt.withColumnRenamed(docIdCol, "doc_a")
+        .withColumnRenamed(textCol, "ta")), Seq("doc_a"))
+      .join(broadcast(txt.withColumnRenamed(docIdCol, "doc_b")
+        .withColumnRenamed(textCol, "tb")), Seq("doc_b"))
+      .withColumn("sl_a", length(col("ta")).cast("long") - col("p_a") + 1L)
+      .withColumn("sl_b", length(col("tb")).cast("long") - col("p_b") + 1L)
+      .withColumn("lcp", lit(0L))
+    for (j <- maxJ to 0 by -1) {
+      val step = 1L << j
+      // guard both remainders: past-the-end substrings are '' on both
+      // sides and would spuriously compare equal
+      cur = cur.withColumn("lcp",
+        when(col("lcp") < col("sl_a") && col("lcp") < col("sl_b") &&
+          expr(s"substring(ta, CAST(p_a + lcp AS INT), $step) = substring(tb, CAST(p_b + lcp AS INT), $step)"),
+          col("lcp") + least(lit(step), col("sl_a") - col("lcp")))
+          .otherwise(col("lcp")))
+    }
+    cur.select(col("lcp"), col("doc_a"), col("p_a"), col("doc_b"), col("p_b"))
+  }
+
+  /** Large-corpus LCP path (the 100 TB shape: doc texts are never
+    * shipped to pairs or broadcast). See [[adjacentLcp]].
+    */
+  private[operators] def lcpByHashWalk(sa: DataFrame, docs: DataFrame,
+                                       docIdCol: String, textCol: String,
+                                       numPartitions: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val maxRow = docs.agg(max(length(col(textCol)))).head
+    val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
+    val maxJ = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen.toLong))).toInt
+    // per-position vector of ALL level hashes (index j ↔ 2^j-char
+    // block) — explicit columns, not a transform lambda, so the
+    // substring/hash chain stays in whole-stage codegen; partitioned
+    // on its lookup key and checkpointed ONCE so every walk round
+    // streams it without re-shuffling or re-sorting
+    val hv = docs
+      .select(col(docIdCol).as("d"), col(textCol).as("t"),
+        explode(sequence(lit(1), length(col(textCol)))).as("q"))
+      .select(col("d"), col("q").cast("long").as("q"),
+        array((0 to maxJ).map(j =>
+          xxhash64(expr(s"substring(t, q, ${1L << j})"))): _*).as("hv"))
+      .repartition(numPartitions, col("d"), col("q"))
+      .localCheckpoint()
+    val lens = docs.select(col(docIdCol),
+      length(col(textCol)).cast("long").as("len"))
+    val a = sa.select(col("sa_rank").as("r"), col(docIdCol).as("doc_a"),
+      col("p").cast("long").as("p_a"))
+    val b = sa.select((col("sa_rank") - 1L).as("r"), col(docIdCol).as("doc_b"),
+      col("p").cast("long").as("p_b"))
+    var active = a.join(b, Seq("r"))
+      .join(lens.withColumnRenamed(docIdCol, "doc_a").withColumnRenamed("len", "len_a"), Seq("doc_a"))
+      .join(lens.withColumnRenamed(docIdCol, "doc_b").withColumnRenamed("len", "len_b"), Seq("doc_b"))
+      .withColumn("sl_a", col("len_a") - col("p_a") + 1L)
+      .withColumn("sl_b", col("len_b") - col("p_b") + 1L)
+      .drop("len_a", "len_b")
+      .withColumn("lcp", lit(0L))
+      .withColumn("jmax", lit(maxJ))
+      .localCheckpoint()
+    val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var nActive = active.count()
+    while (nActive > 0) {
+      // the a-side lookup can never miss (lcp < sl_a is invariant); a
+      // b-side miss means suffix b is exhausted (lcp == sl_b, b is a
+      // prefix of a) and is decided WITHOUT the join — so both lookups
+      // are INNER joins, and the shrinking active side is the hash
+      // build side (shuffle_hash) while the big checkpointed hv table
+      // streams in place
+      doneParts += active.filter(col("lcp") >= col("sl_b"))
+        .select("lcp", "doc_a", "p_a", "doc_b", "p_b")
+      val live = active.filter(col("lcp") < col("sl_b")).hint("shuffle_hash")
+      val ha = hv.select(col("d").as("doc_a"), col("q").as("qa"), col("hv").as("ha"))
+      val hb = hv.select(col("d").as("doc_b"), col("q").as("qb"), col("hv").as("hb"))
+      var st = live
+        .join(ha, live("doc_a") === ha("doc_a") &&
+          (live("p_a") + live("lcp")) === ha("qa"))
+        .drop(ha("doc_a")).drop("qa")
+      st = st.hint("shuffle_hash")
+      st = st
+        .join(hb, st("doc_b") === hb("doc_b") &&
+          (st("p_b") + st("lcp")) === hb("qb"))
+        .drop(hb("doc_b")).drop("qb")
+      // highest still-untested level matching at the current offset —
+      // every higher level already failed (in-row, free); no match at
+      // any level ⟹ level 0 failed ⟹ the next chars differ ⟹ done
+      val stepped = st
+        .withColumn("jm", expr(
+          "array_max(filter(sequence(0, jmax), j -> element_at(ha, j + 1) = element_at(hb, j + 1)))"))
+        .withColumn("lcp",
+          when(col("jm").isNotNull,
+            col("lcp") + least(expr("shiftleft(CAST(1 AS BIGINT), jm)"), col("sl_a") - col("lcp")))
+            .otherwise(col("lcp")))
+        .withColumn("jmax",
+          when(col("jm").isNotNull && col("lcp") < col("sl_a") && col("lcp") < col("sl_b"),
+            col("jm") - 1)
+            .otherwise(lit(-1)))
+        .select("r", "doc_a", "p_a", "doc_b", "p_b", "sl_a", "sl_b", "lcp", "jmax")
+        .localCheckpoint()
+      doneParts += stepped.filter(col("jmax") < 0)
+        .select("lcp", "doc_a", "p_a", "doc_b", "p_b")
+      active = stepped.filter(col("jmax") >= 0)
+      nActive = active.count()
+    }
+    doneParts.reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame
+        .withColumn("lcp", lit(0L)).withColumn("doc_a", lit(0L))
+        .withColumn("p_a", lit(0L)).withColumn("doc_b", lit(0L))
+        .withColumn("p_b", lit(0L)))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Prefix-doubling (Larsson–Sadakane refined) suffix array vs a
+  * driver-side brute sort, the two-pass head rank vs brute (including
+  * keys split across partition boundaries), exact adjacent-pair LCPs,
+  * and partition-count invariance of every rank.
+  */
+class SuffixArraySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Brute reference: global suffix order (string, doc_id, p). */
+  private def bruteSa(docs: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+    docs.flatMap { case (id, t) =>
+      (1 to t.length).map(p => (t.substring(p - 1), id, p.toLong))
+    }.sortBy { case (s, id, p) => (s, id, p) }
+      .zipWithIndex
+      .map { case ((_, id, p), i) => (i + 1L, id, p) }
+
+  private def bruteLcp(a: String, b: String): Long = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    i.toLong
+  }
+
+  private def buildSa(docs: Seq[(Long, String)], parts: Int) = {
+    import spark.implicits._
+    SuffixArray.build(docs.toDF("doc_id", "text"), numPartitions = parts)
+  }
+
+  test("matches the brute suffix order on a duplicated-passage corpus") {
+    val docs = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with the quick brown fox inside",
+      2L -> "banana bandana banana",
+      3L -> "aaaaaaaa")
+    val got = buildSa(docs, 3).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getInt(1).toLong)).sorted
+    assert(got.toSeq == bruteSa(docs))
+  }
+
+  test("byte-equal suffixes across docs tie-break by (doc_id, p)") {
+    val docs = Seq(0L -> "xyz end", 1L -> "abc end", 2L -> "end")
+    val got = buildSa(docs, 2).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getInt(1).toLong)).sorted
+    assert(got.toSeq == bruteSa(docs))
+  }
+
+  test("adjacent LCPs are exact, including full-suffix and zero cases") {
+    val docs = Seq(
+      0L -> "abcabcabcx",
+      1L -> "zzabcabcq",
+      2L -> "qrs")
+    val saDf = buildSa(docs, 3)
+    import spark.implicits._
+    val got = SuffixArray.adjacentLcp(saDf, docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)), r.getLong(0)))
+      .toSet
+    val text = docs.toMap
+    val sa = bruteSa(docs)
+    val expected = sa.zip(sa.tail).map { case ((_, da, pa), (_, db, pb)) =>
+      ((da, pa), (db, pb),
+        bruteLcp(text(da).substring(pa.toInt - 1), text(db).substring(pb.toInt - 1)))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("ranks are partition-count invariant") {
+    val docs = Seq(
+      0L -> "repeat repeat repeat repeat",
+      1L -> "repeat repeat something else",
+      2L -> "wholly different text")
+    val a = buildSa(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val b = buildSa(docs, 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("headRank numbers group heads across partition boundaries") {
+    import spark.implicits._
+    // one heavy key guaranteed to straddle range partitions
+    val keys = Seq.fill(40)(5L) ++ Seq(1L, 1L, 9L, 9L, 9L, 3L)
+    val rows = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("gid", "k").repartition(5)
+    val ranked = SuffixArray.headRank(df, 5)
+    val got = ranked.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // sorted: 1,1,3,5×40,9,9,9 → heads at rows 1, 3, 4, 44
+    val expected = rows.map { case (gid, k) =>
+      gid -> (k match {
+        case 1L => 1L; case 3L => 3L; case 5L => 4L; case 9L => 44L
+      })
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("broadcast-text and hash-walk LCP paths agree exactly") {
+    val docs = Seq(
+      0L -> "shared shared shared prefix tail one",
+      1L -> "shared shared shared prefix tail two",
+      2L -> "entirely different words here",
+      3L -> "shared shared shared prefix tail one")
+    import spark.implicits._
+    val ddf = docs.toDF("doc_id", "text")
+    val sa = SuffixArray.build(ddf, numPartitions = 3).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    val viaText = canon(SuffixArray.lcpByBroadcastText(sa, ddf, "doc_id", "text"))
+    val viaHash = canon(SuffixArray.lcpByHashWalk(sa, ddf, "doc_id", "text", 3))
+    assert(viaText == viaHash)
+    assert(viaText.nonEmpty)
+  }
+
+  test("longest duplicated substring surfaces a planted cross-doc passage") {
+    val planted = "this exact passage was planted twice in the corpus"
+    val docs = Seq(
+      0L -> s"lead text $planted trailing words",
+      1L -> s"other document containing $planted and more",
+      2L -> "unrelated filler content with no duplication at all")
+    import spark.implicits._
+    val ddf = docs.toDF("doc_id", "text")
+    val sa = SuffixArray.build(ddf, numPartitions = 3)
+    val top = SuffixArray.adjacentLcp(sa, ddf)
+      .orderBy(org.apache.spark.sql.functions.desc("lcp"))
+      .limit(1).collect().head
+    // the longest duplicated substring is the planted passage plus the
+    // shared leading AND trailing spaces (" planted ")
+    assert(top.getLong(0) == planted.length + 2)
+  }
+}
