@@ -64,22 +64,29 @@ object InvertedIndex {
                    docIdCol: String = "doc_id",
                    numBuckets: Int = 16): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    // per-word candidate starts (pos − i); the bucket predicate is a
-    // FOLDABLE expression (constant-folded at plan time), so partition
-    // pruning on a loaded index fires alongside the token pushdown
+    // ONE pruned read of the phrase words' postings, materialized: the
+    // bucket predicates are FOLDABLE expressions (constant-folded at
+    // plan time), so a loaded index lists only |phrase| bucket
+    // directories, and every later step — frequency ordering and the
+    // join chain — runs off this bounded slice, never re-deriving or
+    // re-scanning the index
+    val bucketPreds = phrase.distinct
+      .map(w => col("bucket") === pmod(xxhash64(lit(w)), lit(numBuckets)))
+      .reduce(_ || _)
+    val needed = postings
+      .filter(bucketPreds && col("tok").isin(phrase.distinct: _*))
+      .localCheckpoint()
     def starts(w: String, i: Int): DataFrame =
-      postings
-        .filter(col("bucket") === pmod(xxhash64(lit(w)), lit(numBuckets)) &&
-          col("tok") === w)
-        .select(col(docIdCol), (explode(col("positions")) - i.toLong).as("start"))
+      needed.filter(col("tok") === w)
+        .select(col(docIdCol), explode(col("positions")).as("pos"))
+        .select(col(docIdCol), (col("pos") - i.toLong).as("start"))
     // rarest-first: total occurrences per distinct phrase word — a
     // |phrase|-row collect, the adaptive-plan-choice pattern
-    val freqRows = phrase.distinct.map { w =>
-      // reuse the pruned read; sum of tf is the corpus frequency
-      val c = starts(w, 0).count()
-      (w, c)
-    }.toMap
-    val ordered = phrase.zipWithIndex.sortBy { case (w, _) => (freqRows(w), w) }
+    val freqRows = needed.groupBy("tok").agg(sum(col("tf")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ordered = phrase.zipWithIndex.sortBy { case (w, _) =>
+      (freqRows.getOrElse(w, 0L), w)
+    }
     val first = starts(ordered.head._1, ordered.head._2)
     val matches = ordered.tail.foldLeft(first) { case (acc, (w, i)) =>
       acc.join(starts(w, i), Seq(docIdCol, "start"))

