@@ -105,13 +105,13 @@ object IndexQueries {
     */
   def q139(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // most frequent trigram, map-side formation (q70's pattern)
-    val top = docs.select(explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 2),
-          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-          |                 element_at(split(text, ' '), i + 1),
-          |                 element_at(split(text, ' '), i + 2)))"""
-          .stripMargin)).as("g"))
+    // most frequent trigram, map-side formation (q70's pattern; split
+    // once into a column — a re-split inside the lambda is O(len²))
+    val top = docs.select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+          |                 element_at(ws, i + 2)))""".stripMargin)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("g")).limit(1)
       .head.getString(0)
@@ -131,13 +131,51 @@ object IndexQueries {
       |FROM g JOIN top USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q140 — weighted all-pairs near-dup: every doc pair with tf-idf
+    * trigram cosine ≥ 0.6 via Bayardo prefix filtering (the weighted
+    * complement of q24's set-Jaccard prefix join; operators.Apss).
+    * θ=0.6 sits in this corpus's separation gap (near-dup pairs score
+    * ≥ 0.8, unrelated pairs < 0.2). The oracle is the brute
+    * token-join form — quadratic in shared-token pairs, oracle-scale
+    * only — with the identical rational-idf / sorted-fold arithmetic.
+    */
+  def q140(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Apss
+      .tfidfCosineSelfJoin(Tables.documents(s, dir), 0.6)
+      .orderBy("doc_a", "doc_b")
+
+  val q140Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g0 AS (
+      | SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS g
+      | FROM w, unnest(range(1, len(w) - 1)) AS t(i)),
+      |tf AS (SELECT doc_id, g, CAST(count(*) AS DOUBLE) AS tf FROM g0 GROUP BY 1, 2),
+      |df AS (SELECT g, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |wt AS (SELECT doc_id, g, tf * (n / df) AS w FROM tf JOIN df USING (g) CROSS JOIN n),
+      |nrm AS (
+      | SELECT doc_id,
+      |  sqrt(list_sum(list_transform(list(w ORDER BY g), x -> x * x))) AS nrm
+      | FROM wt GROUP BY doc_id),
+      |u AS (SELECT doc_id, g, w / nrm AS u FROM wt JOIN nrm USING (doc_id)),
+      |pr AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.u * b.u AS prod
+      | FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |cosv AS (
+      | SELECT doc_a, doc_b, list_sum(list(prod ORDER BY prod)) AS cos
+      | FROM pr GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(cos, 4) AS cos
+      |FROM cosv WHERE cos >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_suffix_array" -> (q137 _),
     "q138_longest_dup_substring" -> (q138 _),
-    "q139_phrase_search" -> (q139 _))
+    "q139_phrase_search" -> (q139 _),
+    "q140_tfidf_neardup" -> (q140 _))
 
   val oracles: Map[String, String] = Map(
     "q137_suffix_array" -> q137Sql,
     "q138_longest_dup_substring" -> q138Sql,
-    "q139_phrase_search" -> q139Sql)
+    "q139_phrase_search" -> q139Sql,
+    "q140_tfidf_neardup" -> q140Sql)
 }
