@@ -85,7 +85,9 @@ object Bench {
     "q127_dup_substring_cut", "q128_hard_negatives",
     "q129_quality_ensemble", "q130_normalize_text", "q131_knn_label_eval",
     "q132_script_mix", "q133_kcenter_select", "q134_decay_score",
-    "q135_key_skew", "q136_ann_multiprobe")
+    "q135_key_skew", "q136_ann_multiprobe", "q137_suffix_array",
+    "q138_longest_dup_substring", "q139_phrase_search",
+    "q140_tfidf_neardup", "q141_scd2_asof_enrich")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this
@@ -195,7 +197,10 @@ object Bench {
         "q38_dedup_clusters", "q99_semantic_dedup",
         // r9: the EXACT Jaccard path (prefix-filtered join) — its
         // scaling claim is the whole point of the rewrite
-        "q24_ngram_jaccard")
+        "q24_ngram_jaccard",
+        // r10: the suffix-array pair (q138 = SA build + LCP walk, the
+        // heaviest new op) and the weighted APSS prefix join
+        "q138_longest_dup_substring", "q140_tfidf_neardup")
       try {
         ScaleData.ensure(spark, sfDir, scaledDir, factor)
         val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }.toMap

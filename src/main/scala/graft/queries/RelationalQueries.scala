@@ -697,6 +697,66 @@ object RelationalQueries {
       |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version
       |FROM v ORDER BY o_custkey, version""".stripMargin
 
+  /** q141 — SCD2 as-of enrichment: each order annotated with the
+    * customer's status VERSION standing 30 days earlier — the
+    * canonical warehouse probe into the type-2 dimension q108 builds
+    * (composition of [[graft.operators.Scd]] with the as-of interval
+    * predicate). The probe is an equi-join on the entity key plus the
+    * half-open interval filter (`valid_from ≤ d < valid_to`, open
+    * version = null valid_to): per-key version counts are bounded by
+    * per-key history, so the key hash join IS the scale-correct plan
+    * (q60's binned interval join is for interval sides without a
+    * selective key). At most one version matches (intervals partition
+    * each key's timeline); early orders predate version 1 and keep
+    * NULLs via the left join. All-exact types (timestamps, strings,
+    * longs) — nothing to drift.
+    */
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val scd = graft.operators.Scd.buildType2(
+      orders.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus")),
+      keys = Seq("o_custkey"), seqCol = "o_orderdate",
+      tie = Seq("o_orderkey"), attrs = Seq("o_orderstatus"))
+      .select(col("o_custkey").as("k"), col("o_orderstatus").as("st"),
+        col("valid_from"), col("valid_to"), col("version"))
+    val facts = orders.select(col("o_orderkey"), col("o_custkey"),
+      (col("o_orderdate") - expr("INTERVAL 30 DAYS")).as("asof"))
+    facts.join(scd,
+        facts("o_custkey") === scd("k") &&
+          scd("valid_from") <= facts("asof") &&
+          (scd("valid_to").isNull || scd("valid_to") > facts("asof")),
+        "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("st").as("status_30d"), col("version").as("version_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  val q141Sql: String =
+    """WITH chg AS (
+      | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |  LAG(o_orderstatus) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+      |  ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      | FROM orders),
+      |v AS (
+      | SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      | FROM chg WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+      |scd AS (
+      | SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+      | FROM v)
+      |SELECT o.o_orderkey, o.o_custkey, s.o_orderstatus AS status_30d,
+      | s.version AS version_30d
+      |FROM orders o LEFT JOIN scd s ON s.o_custkey = o.o_custkey
+      | AND s.valid_from <= o.o_orderdate - INTERVAL 30 DAY
+      | AND (s.valid_to IS NULL OR s.valid_to > o.o_orderdate - INTERVAL 30 DAY)
+      |ORDER BY o.o_orderkey""".stripMargin
+
   /** q109 — one-pass column profiler ([[graft.operators.Profile]]):
     * per-column row/non-null/exact-distinct counts, min/max (rendered
     * to string in one shared report schema), and mean rendered length,
@@ -944,6 +1004,7 @@ object RelationalQueries {
     "q110_triangle_count" -> (q110 _),
     "q109_profile" -> (q109 _),
     "q108_scd2_build" -> (q108 _),
+    "q141_scd2_asof_enrich" -> (q141 _),
     "q107_fuzzy_join" -> (q107 _),
     "q106_incremental_agg" -> (q106 _),
     "q103_data_audit" -> (q103 _),
@@ -978,6 +1039,7 @@ object RelationalQueries {
     "q110_triangle_count" -> q110Sql,
     "q109_profile" -> q109Sql,
     "q108_scd2_build" -> q108Sql,
+    "q141_scd2_asof_enrich" -> q141Sql,
     "q107_fuzzy_join" -> q107Sql,
     "q106_incremental_agg" -> q106Sql,
     "q103_data_audit" -> q103Sql,
