@@ -43,8 +43,13 @@ object Apss {
     // split ONCE into a column before the lambda — element_at over a
     // re-split inside the transform would re-tokenize the whole doc
     // per element (O(len²) per doc, measured ~15× slower)
+    // docs with < 3 words form no trigram; without the guard,
+    // sequence(1, size-2) is DESCENDING (e.g. sequence(1,0) = [1,0])
+    // and element_at(ws, 0) throws — the oracle's range() is simply
+    // empty there, so pre-filtering is the exact-parity shape
     val tf = docs
       .select(col(docIdCol), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
       .select(col(docIdCol), explode(expr(
         """transform(sequence(1, size(ws) - 2),
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),

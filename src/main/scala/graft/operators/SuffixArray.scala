@@ -151,7 +151,11 @@ object SuffixArray {
     // row-at-a-time and measured 15× slower — and a 32-char start skips
     // the first two doubling rounds, which carry most of the active set
     val k0 = 32L
+    // empty docs contribute no suffix; without the guard,
+    // sequence(1, 0) is the DESCENDING [1, 0] and would emit two
+    // spurious empty-key positions per empty doc
     val pos = docs
+      .filter(length(col(textCol)) >= 1)
       .select(col(docIdCol).as("d"), col(textCol).as("t"),
         explode(sequence(lit(1), length(col(textCol)))).as("p"))
       .select((col("d") * stride + col("p")).as("gid"),
@@ -294,6 +298,7 @@ object SuffixArray {
     // on its lookup key and checkpointed ONCE so every walk round
     // streams it without re-shuffling or re-sorting
     val hv = docs
+      .filter(length(col(textCol)) >= 1) // sequence(1,0) is descending
       .select(col(docIdCol).as("d"), col(textCol).as("t"),
         explode(sequence(lit(1), length(col(textCol)))).as("q"))
       .select(col("d"), col("q").cast("long").as("q"),

@@ -107,17 +107,31 @@ object IndexQueries {
     val docs = Tables.documents(s, dir)
     // most frequent trigram, map-side formation (q70's pattern; split
     // once into a column — a re-split inside the lambda is O(len²))
+    // the size(ws) >= 3 guard mirrors the oracle's empty range for 1-2
+    // word docs (sequence(1, size-2) is DESCENDING below 3 words and
+    // element_at(ws, 0) would throw); headOption handles a corpus with
+    // no trigram at all — the oracle returns zero rows there
     val top = docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
       .select(explode(expr(
         """transform(sequence(1, size(ws) - 2),
           |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
           |                 element_at(ws, i + 2)))""".stripMargin)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("g")).limit(1)
-      .head.getString(0)
-    val postings = InvertedIndex.buildPostings(docs)
-    InvertedIndex.phraseSearch(postings, top.split(' ').toSeq)
-      .orderBy("doc_id")
+      .head(1).headOption.map(_.getString(0))
+    top match {
+      case None =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new org.apache.spark.sql.types.StructType()
+            .add("doc_id", org.apache.spark.sql.types.LongType)
+            .add("n_matches", org.apache.spark.sql.types.LongType)
+            .add("first_start", org.apache.spark.sql.types.LongType))
+      case Some(g) =>
+        val idx = InvertedIndex.buildIndex(docs)
+        InvertedIndex.phraseSearch(idx, g.split(' ').toSeq)
+          .orderBy("doc_id")
+    }
   }
 
   val q139Sql: String =

@@ -116,6 +116,31 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(viaText.nonEmpty)
   }
 
+  test("empty-text docs contribute no suffix (build and both LCP paths)") {
+    val docs = Seq(
+      0L -> "", // would emit spurious [1, 0] positions without the guard
+      1L -> "abab",
+      2L -> "",
+      3L -> "abx")
+    val got = buildSa(docs, 2).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getInt(1).toLong)).sorted
+    assert(got.toSeq == bruteSa(docs)) // bruteSa skips empty docs: 1 to 0 is empty
+    import spark.implicits._
+    val ddf = docs.toDF("doc_id", "text")
+    val sa = buildSa(docs, 2).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    val viaText = canon(SuffixArray.lcpByBroadcastText(sa, ddf, "doc_id", "text"))
+    val viaHash = canon(SuffixArray.lcpByHashWalk(sa, ddf, "doc_id", "text", 2))
+    assert(viaText == viaHash)
+    assert(viaText.size == 6) // 7 suffixes → 6 adjacent pairs
+  }
+
+  test("an all-empty corpus builds an empty suffix array") {
+    assert(buildSa(Seq(0L -> "", 1L -> ""), 2).count() == 0L)
+  }
+
   test("longest duplicated substring surfaces a planted cross-doc passage") {
     val planted = "this exact passage was planted twice in the corpus"
     val docs = Seq(
