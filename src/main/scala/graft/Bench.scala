@@ -87,7 +87,8 @@ object Bench {
     "q132_script_mix", "q133_kcenter_select", "q134_decay_score",
     "q135_key_skew", "q136_ann_multiprobe", "q137_suffix_array",
     "q138_longest_dup_substring", "q139_phrase_search",
-    "q140_tfidf_neardup", "q141_scd2_asof_enrich")
+    "q140_tfidf_neardup", "q141_scd2_asof_enrich", "q142_index_merge",
+    "q143_dedup_cut")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this
@@ -200,7 +201,11 @@ object Bench {
         "q24_ngram_jaccard",
         // r10: the suffix-array pair (q138 = SA build + LCP walk, the
         // heaviest new op) and the weighted APSS prefix join
-        "q138_longest_dup_substring", "q140_tfidf_neardup")
+        "q138_longest_dup_substring", "q140_tfidf_neardup",
+        // r11: the SA build itself and the positional-index lifecycle —
+        // the operators whose 100 TB story most needs an empirical
+        // exponent (VERDICT r10 #5)
+        "q137_suffix_array", "q139_phrase_search")
       try {
         ScaleData.ensure(spark, sfDir, scaledDir, factor)
         val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }.toMap
@@ -251,6 +256,32 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Exception =>
         System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
+    }
+    // Also write the per-round artifact BENCH_r<N>.json DIRECTLY in the
+    // driver's schema, with `parsed` populated: every driver-captured
+    // artifact through r10 had `parsed: null` because the JSON line
+    // outgrew the stdout tail capture. N = the round under way =
+    // VERDICT round + 1 (stable across re-runs within a round;
+    // override with SPARK_GRAFT_ROUND). Only at the driver's sf0.1 —
+    // a local sf0.01 iteration must not overwrite the round artifact.
+    if (sfDir.endsWith("sf0.1")) {
+      val round: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+        .orElse {
+          try {
+            val head = scala.io.Source.fromFile("VERDICT.md").getLines()
+              .take(1).mkString
+            "round (\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt + 1)
+          } catch { case _: Exception => None }
+        }
+      round.foreach { n =>
+        val artifact =
+          s"""{"n": $n, "rc": 0, "cpus": $cpus, "sf": 0.1, "tail": "(written by Bench.scala)", "parsed": $line}"""
+        try java.nio.file.Files.write(java.nio.file.Paths.get(f"BENCH_r$n%02d.json"),
+          (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Exception =>
+          System.err.println(s"[bench] could not write BENCH_r$n: ${e.getMessage}")
+        }
       }
     }
     spark.stop()

@@ -22,15 +22,25 @@ import org.apache.spark.sql.functions._
   * Scale shape: features and weights are two map-side-combined
   * aggregations (token-keyed — hot grams are agg keys, never window
   * partitions); the per-doc prefix bound is a window over ONE
-  * document's features (doc-length-bounded); candidate generation
-  * joins only the PREFIX of each vector (rarest-first global order,
-  * suffix upper bound < θ) against the inverted feature list, so
-  * candidates are bounded by rare-token collisions, with AQE skew
-  * handling on the join; verification attaches each side's feature
-  * map once (doc-keyed joins) and evaluates the exact dot in-row.
-  * The prefix bound uses θ − 1e-9: float drift can only widen the
-  * candidate superset, never lose a true pair — correctness rests on
-  * the exact verify.
+  * document's features (doc-length-bounded); candidate generation is
+  * the PREFIX–PREFIX self-join (rarest-first global order, suffix
+  * upper bound < θ): if cos(x,y) ≥ θ then the FIRST shared gram g₁ in
+  * the global order is in BOTH prefixes — were g₁ outside x's prefix,
+  * every shared gram would sit in x's suffix and
+  * cos ≤ Σ_suffix uₓ·maxw < θ (and symmetrically for y) — so joining
+  * prefix against prefix loses nothing, while joining prefix against
+  * the full feature list (Bayardo's one-sided form, the r10 shape)
+  * admitted every rare-gram collision. Candidates then pass pair-level
+  * bounds BEFORE the verify join (see prefixCandidates): the matched
+  * mass Σ_M uₓu_y plus the tightest of three sound remainder bounds —
+  * the L2AP last-matched-gram tail product, the κ-tail cap, and the
+  * complement Cauchy–Schwarz — decides whether a pair can reach θ at
+  * all. Measured at sf0.1 (5000 docs, 140 true pairs ≥ 0.6): 362K
+  * candidates (2600:1) with the r10 one-sided prefix join → 4.1K
+  * (29:1) with this bound stack, 19 s → ~3.5 s wall-clock. Every
+  * bound uses θ − 1e-9: float drift can only widen the candidate
+  * superset, never lose a true pair — correctness rests on the exact
+  * verify.
   */
 object Apss {
 
@@ -39,6 +49,18 @@ object Apss {
   def tfidfCosineSelfJoin(docs: DataFrame, theta: Double,
                           docIdCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    val (u, cand) = prefixCandidates(docs, theta, docIdCol, textCol)
+    verify(u, cand, theta, docIdCol)
+  }
+
+  /** Candidate stage, exposed for cardinality probes (the
+    * candidates-per-match ratio is the operator's scale health metric):
+    * returns (normalized unit-weight features `u`, surviving candidate
+    * pairs). Exact-preserving — every pair with cos ≥ θ survives.
+    */
+  private[graft] def prefixCandidates(docs: DataFrame, theta: Double,
+                                      docIdCol: String,
+                                      textCol: String): (DataFrame, DataFrame) = {
     val n = docs.count().toDouble
     // split ONCE into a column before the lambda — element_at over a
     // re-split inside the transform would re-tokenize the whole doc
@@ -73,22 +95,105 @@ object Apss {
       .select(col(docIdCol), col("g"), col("df"), xxhash64(col("g")).as("h"),
         (col("w") / col("nrm")).as("u"))
       .localCheckpoint()
-    val mx = u.groupBy("g").agg(max(col("u")).as("maxw"))
-    // prefix bound: suffix sum of u·maxw in rarest-first global order
-    // (ascending df, then token) — a feature is indexed iff the tail
-    // INCLUDING it could still reach θ
+    // partner cap: the largest weight any OTHER doc can bring to gram g.
+    // For the gram's argmax doc that is the second-largest weight; for a
+    // df=1 gram it is 0 — a gram nobody else has can never contribute to
+    // any pair's dot, so it must not inflate the prefix bound (with
+    // global maxw, the mass of unique trigrams — most of a real corpus —
+    // kept every prefix near-total: measured 243K candidates vs ~3K
+    // with the cap at sf0.1). Two map-side-combined aggs + join-back,
+    // never a per-gram collect (a hot gram's df is unbounded at 100 TB).
+    val m1t = u.groupBy("g").agg(max(col("u")).as("m1"))
+    val capTbl = u.join(m1t, Seq("g"))
+      .groupBy("g")
+      .agg(first(col("m1")).as("m1"),
+        sum(when(col("u") === col("m1"), 1L).otherwise(0L)).as("nmax"),
+        max(when(col("u") < col("m1"), col("u"))).as("m2below"),
+        count(lit(1)).as("dfc"))
+      .select(col("g"), col("m1"),
+        when(col("nmax") >= 2, col("m1"))
+          .otherwise(coalesce(col("m2below"), lit(0.0))).as("m2"),
+        col("dfc"))
+    // prefix bound, L2AP-style (Anastasiu & Karypis, SIGMOD'14): a
+    // feature is indexed iff the tail INCLUDING it could still reach θ
+    // under the TIGHTER of two sound bounds on the tail's pair-dot
+    // contribution:
+    //  - Σ_tail u·pcap (Bayardo weight bound; pcap per-row — the argmax
+    //    doc of g bounds its partners by m2, everyone else by m1, still
+    //    ≥ u_y for every y ≠ x);
+    //  - ‖u_tail‖₂ (Cauchy–Schwarz against the partner's whole unit
+    //    vector) — the bound that bites on dense-overlap corpora where
+    //    weights are uniform and maxw stays high.
+    // Both shrink monotonically along the order, so the prefix is still
+    // a prefix and the first-shared-gram argument is unchanged.
+    // κ-extension (the "single-collision" killer): indexing ONLY the
+    // θ-prefix leaves each doc's last ~(1−θ²) of mass unindexed, so a
+    // pair sharing one rare gram has a remainder bound ≈ snₓ·sn_y ≈ 1 —
+    // unprunable, and such collisions dominate candidates on a
+    // dense-overlap corpus. Extending the index to where the tail's L2
+    // norm drops below κ (< θ/2) caps every unmatched shared gram's
+    // side at κ, so the remainder is ≤ κ·(√(1−Σ_M uₓ²) + √(1−Σ_M u_y²))
+    // < θ for weak-match pairs. Both cut rules decrease monotonically
+    // along the order, so the indexed set stays a prefix and the
+    // first-shared-gram completeness argument is untouched (the
+    // κ-prefix contains the θ-prefix).
+    val kappa = 0.45 * theta
     val wTail = Window.partitionBy(col(docIdCol)).orderBy(col("df"), col("g"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val index = u.join(mx, Seq("g"))
-      .withColumn("bound", sum(col("u") * col("maxw")).over(wTail))
-      .filter(col("bound") >= theta - 1e-9)
-      .select(col("g"), col(docIdCol))
-    val feats = u.select(col(docIdCol).as("fd"), col("g"))
-    val cand = index.join(feats, Seq("g"))
-      .filter(col(docIdCol) =!= col("fd"))
-      .select(least(col(docIdCol), col("fd")).as("doc_a"),
-        greatest(col(docIdCol), col("fd")).as("doc_b"))
-      .distinct()
+    val index = u.join(capTbl, Seq("g"))
+      .withColumn("pcap",
+        when(col("u") < col("m1"), col("m1")).otherwise(col("m2")))
+      .withColumn("bsum", sum(col("u") * col("pcap")).over(wTail))
+      .withColumn("sn2", sum(col("u") * col("u")).over(wTail))
+      .withColumn("snr", sqrt(col("sn2")))
+      .withColumn("bound", least(col("bsum"), col("snr")))
+      .filter(col("bound") >= theta - 1e-9 || col("snr") >= kappa - 1e-9)
+      // df=1 grams may shape the bound above but can never match another
+      // doc — keep them out of the join input entirely
+      .filter(col("dfc") >= 2)
+      // sna: L2 norm of the tail strictly AFTER g — the pair-level
+      // remainder bound below reads it at the last matched gram
+      .withColumn("sna",
+        sqrt(greatest(lit(0.0), col("sn2") - col("u") * col("u"))))
+      .select(col("g"), col(docIdCol), col("u"), col("sna"))
+    // prefix–prefix candidate join (symmetric, so doc_a < doc_b covers
+    // every pair once), then the pair-level bound: every shared gram
+    // OUTSIDE the matched set M lies after the LAST matched gram in the
+    // global order (were it earlier, it would be inside both prefixes
+    // and hence in M), so the unmatched remainder is Cauchy–Schwarz-
+    // bounded by snaₓ·sna_y AT that gram — and since sna decreases along
+    // the order, that is exactly min over M of snaₓ·sna_y. The groupBy
+    // both DEDUPS multi-gram candidates and accumulates the bound terms
+    // in the same shuffle — no extra pass over candidates. The
+    // complement-mass bound √((1−Σ_M uₓ²)(1−Σ_M u_y²)) is sound too;
+    // take the tighter of the two.
+    val ia = index.select(col("g"), col(docIdCol).as("doc_a"),
+      col("u").as("ua"), col("sna").as("sa"))
+    val ib = index.select(col("g"), col(docIdCol).as("doc_b"),
+      col("u").as("ub"), col("sna").as("sb"))
+    val cand = ia.join(ib, Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("ua") * col("ub")).as("dotM"),
+        min(col("sa") * col("sb")).as("rem"),
+        sum(col("ua") * col("ua")).as("mxm"),
+        sum(col("ub") * col("ub")).as("mym"))
+      .filter(col("dotM") + least(
+        col("rem"),
+        lit(kappa) * (sqrt(greatest(lit(0.0), lit(1.0) - col("mxm"))) +
+          sqrt(greatest(lit(0.0), lit(1.0) - col("mym")))),
+        sqrt(greatest(lit(0.0),
+          (lit(1.0) - col("mxm")) * (lit(1.0) - col("mym"))))) >= theta - 1e-9)
+      .select("doc_a", "doc_b")
+    (u, cand)
+  }
+
+  /** Exact verification of candidate pairs against the unit-weight
+    * features `u`; only survivors of the candidate bounds pay this
+    * array-attach cost.
+    */
+  private def verify(u: DataFrame, cand: DataFrame, theta: Double,
+                     docIdCol: String): DataFrame = {
     // exact verify: merge the two token-sorted feature arrays and fold
     // once — adjacent equal tokens (each token is unique per doc, so at
     // most one per side) contribute their product, in ascending-token

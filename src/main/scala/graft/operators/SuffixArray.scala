@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -206,6 +206,40 @@ object SuffixArray {
         coalesce(col("fr"), col("r")).as("sa_rank"))
   }
 
+  /** Persist a built suffix array, range-partitioned by rank so a
+    * rank-interval probe (adjacent pairs, binary-search windows) reads
+    * only the covering files — the same persist-in-a-prunable-layout
+    * lifecycle as the IVF and postings indexes. Parquet min/max stats
+    * on sa_rank give file-level pruning for rank-range predicates.
+    */
+  def save(sa: DataFrame, path: String, numPartitions: Int = 32): Unit =
+    sa.repartitionByRange(numPartitions, col("sa_rank"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted suffix array (SuffixArraySpec pins round-trip
+    * parity with the in-memory build).
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Session-scoped build cache: the SA over one corpus is an INDEX —
+    * every consumer in a session (q137's rank dump, q138's LCP walk, a
+    * substring-dedup pass) probes the same build instead of re-running
+    * the doubling rounds. Keyed by (session, caller key — the corpus
+    * path); the materialized frame is localCheckpointed so reuse costs
+    * a scan, not a recompute. Testdata dirs are immutable within a
+    * round; a mutated corpus needs a fresh key (the caller owns that
+    * contract, same as any persisted index).
+    */
+  private val buildCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def buildCached(docs: DataFrame, key: String, docIdCol: String = "doc_id",
+                  textCol: String = "text", numPartitions: Int = 32): DataFrame =
+    buildCache.computeIfAbsent(
+      (System.identityHashCode(docs.sparkSession), key),
+      _ => build(docs, docIdCol, textCol, numPartitions).localCheckpoint())
+
   /** Exact LCP of each SA-adjacent suffix pair — the LCP array:
     * max(lcp) is the longest substring occurring ≥2 times corpus-wide,
     * and every lcp ≥ L reproduces q126's fixed-L signal without
@@ -240,6 +274,41 @@ object SuffixArray {
       lcpByBroadcastText(sa, docs, docIdCol, textCol)
     else
       lcpByHashWalk(sa, docs, docIdCol, textCol, numPartitions)
+  }
+
+  /** Exact substring dedup-cut (Lee et al. 2022's action): per-doc
+    * char spans [cut_start, cut_end) covered by a substring of length
+    * ≥ minLen that occurs at least twice corpus-wide. For every
+    * position, the longest elsewhere-occurring substring starting
+    * there is max(LCP with SA-predecessor, LCP with SA-successor) —
+    * SA-adjacency maximizes prefix overlap, so every repeat is
+    * witnessed by an adjacent pair. Spans are unioned per doc by the
+    * gaps-and-islands pass; the island window is per-doc (doc-length
+    * bounded), the span agg is (doc, p)-keyed map-side work — nothing
+    * here is corpus-wide except the LCP walk itself.
+    */
+  def dedupCut(sa: DataFrame, docs: DataFrame, minLen: Int,
+               docIdCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val lcp = adjacentLcp(sa, docs, docIdCol, textCol)
+    val occ = lcp.select(col("doc_b").as(docIdCol), col("p_b").as("p"), col("lcp"))
+      .unionByName(
+        lcp.select(col("doc_a").as(docIdCol), col("p_a").as("p"), col("lcp")))
+    val spans = occ.groupBy(docIdCol, "p")
+      .agg(max(col("lcp")).as("len"))
+      .filter(col("len") >= minLen)
+      .select(col(docIdCol), col("p").as("s"), (col("p") + col("len")).as("e"))
+    val wPrev = Window.partitionBy(docIdCol).orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(docIdCol).orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.withColumn("maxe", max(col("e")).over(wPrev))
+      .withColumn("ng",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("gid", sum(col("ng")).over(wRun))
+      .groupBy(col(docIdCol), col("gid"))
+      .agg(min(col("s")).as("cut_start"), max(col("e")).as("cut_end"))
+      .select(col(docIdCol), col("cut_start"), col("cut_end"))
   }
 
   /** Small-corpus LCP path: broadcast the doc texts (a 3 MB table at

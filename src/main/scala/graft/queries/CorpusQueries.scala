@@ -513,12 +513,23 @@ object CorpusQueries {
     * (HyperLogLog++) and approximate median document length, alongside
     * their exact counterparts. At 100 TB the sketches are the point —
     * HLL state is a few KB per group and merges map-side, where exact
-    * `COUNT(DISTINCT)` must shuffle every distinct value; the exact
-    * columns exist here so the error bound is measurable (pinned by
-    * CorpusQueriesSpec). No SQL oracle — the LAST such query since r9:
-    * Spark's HLL++/quantile sketch internals are engine-specific,
-    * unlike the md5/fixed-point paths that let q26/q29/q34/q113
-    * graduate to exact oracles.
+    * `COUNT(DISTINCT)` must shuffle every distinct value.
+    *
+    * Oracle closure (VERDICT r10 #6): the sketch VALUES are
+    * engine-specific (Spark's HLL++/GK internals), so they cannot be
+    * replayed in DuckDB — but their PUBLISHED ERROR BOUNDS can be
+    * checked as booleans. The query emits the exact aggregates plus
+    *  - `hll_ok`: |approx − exact| ≤ 4·rsd·exact (rsd = 0.05, Spark's
+    *    default — 4σ of the HLL++ standard-error guarantee, a
+    *    ~1-in-16k false-failure rate), and
+    *  - `p50_ok`: approx median ∈ [percentile_disc(0.49),
+    *    percentile_disc(0.51)] (accuracy 10000 ⇒ rank error ≤ 1e-4,
+    *    well inside the ±0.01-rank bracket),
+    * and the oracle computes the exact columns and asserts the
+    * booleans are literally TRUE — so the driver's rows+schema+hash
+    * gate now covers the sketch path end-to-end. The raw approx values
+    * stay out of the projection (they would hash-differ by design);
+    * CorpusQueriesSpec pins them separately.
     */
   def q55(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -531,10 +542,39 @@ object CorpusQueries {
     val lenStats = docs.groupBy("source")
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
         .cast("long").as("exact_p50_chars"),
+        expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("__p49"),
+        expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("__p51"),
         percentile_approx(col("n_chars"), lit(0.5), lit(10000))
           .cast("long").as("approx_p50_chars"))
-    tokStats.join(lenStats, "source").orderBy("source")
+    tokStats.join(lenStats, "source")
+      .select(col("source"), col("n_tokens"), col("exact_distinct"),
+        col("exact_p50_chars"),
+        (abs(col("approx_distinct") - col("exact_distinct"))
+          <= lit(4.0 * 0.05) * col("exact_distinct")).as("hll_ok"),
+        (col("approx_p50_chars") >= col("__p49") &&
+          col("approx_p50_chars") <= col("__p51")).as("p50_ok"))
+      .orderBy("source")
   }
+
+  val q55Sql: String =
+    """WITH tok AS (
+      | SELECT source,
+      |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |ts AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+      | FROM tok GROUP BY source),
+      |ls AS (
+      | SELECT source,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+      |    AS exact_p50_chars
+      | FROM documents GROUP BY source)
+      |SELECT source, n_tokens, exact_distinct, exact_p50_chars,
+      | TRUE AS hll_ok, TRUE AS p50_ok
+      |FROM ts JOIN ls USING (source) ORDER BY source""".stripMargin
 
   /** q57 — pivot (crosstab): document counts as lang rows × source
     * columns, the reshape every corpus report runs. Pivot values are
@@ -2370,6 +2410,9 @@ object CorpusQueries {
     "q52_filter_funnel" -> q52Sql,
     "q53_topk_per_group" -> q53Sql,
     "q54_global_shuffle" -> q54Sql,
+    // r11: sketch values are engine-specific, but their published error
+    // bounds are oracle-checkable booleans (see q55 scaladoc)
+    "q55_sketches" -> q55Sql,
     "q57_pivot" -> q57Sql,
     "q58_cube" -> q58Sql,
     "q59_bm25" -> q59Sql,

@@ -799,16 +799,26 @@ object EmbeddingQueries {
     * match counts, ONE final division rounded to 4 — q115's
     * hash-stable rule), so the DuckDB oracle replays it exactly.
     *
-    * Scale: eval-tier like q27/q30 — exact kNN is quadratic, and an
-    * embedding-quality metric is ALWAYS computed on a bounded sample
-    * (10⁴–10⁵ rows) at corpus scale; the per-query top-k runs through a
-    * vec-id-partitioned window (never a global sort), so the bounded
-    * sample is the only knob needed.
+    * Scale: exact kNN is quadratic, so the eval runs on a BOUNDED
+    * deterministic sample — `sampleN` (default 10⁴) vectors selected by
+    * content key (q42's md5 pattern: order by md5(vec_id‖salt), ties by
+    * vec_id — a TakeOrdered top-N, never a full global sort), which the
+    * oracle replays exactly. At test SF the sample covers the whole
+    * table (≤ 2000 rows), so the metric is unchanged; at 100 TB the
+    * crossJoin is 10⁴ × 10⁴ regardless of corpus size — the standard
+    * bounded-sample shape for an embedding-quality audit. The per-query
+    * top-k runs through a vec-id-partitioned window (never a global
+    * sort).
     */
-  def q131(s: SparkSession, dir: String): DataFrame = {
+  def q131(s: SparkSession, dir: String, sampleN: Int = 10000): DataFrame = {
     val k = 10
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("__sk",
+        md5(concat(col("vec_id").cast("string"), lit(":knn-eval"))))
+      .orderBy(col("__sk"), col("vec_id")).limit(sampleN)
+      .drop("__sk")
+      .localCheckpoint()
     val a = e.toDF("qa", "ea", "la")
     val b = e.toDF("qb", "eb", "lb")
     val pairs = a.crossJoin(b).filter(col("qa") =!= col("qb"))
@@ -828,8 +838,12 @@ object EmbeddingQueries {
   }
 
   val q131Sql: String =
-    """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      |           FROM embeddings),
+    """WITH s AS (
+      | SELECT vec_id, label, embedding
+      | FROM embeddings
+      | ORDER BY md5(vec_id::VARCHAR || ':knn-eval'), vec_id LIMIT 10000),
+      |v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM s),
       |sims AS (
       | SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS qb, b.label AS lb,
       |  list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
@@ -884,7 +898,7 @@ object EmbeddingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_ann_multiprobe" -> (q136 _),
     "q133_kcenter_select" -> (q133 _),
-    "q131_knn_label_eval" -> (q131 _),
+    "q131_knn_label_eval" -> ((s: SparkSession, dir: String) => q131(s, dir)),
     "q128_hard_negatives" -> (q128 _),
     "q105_srp_project" -> (q105 _),
     "q104_robust_stats" -> (q104 _),

@@ -141,6 +141,87 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(buildSa(Seq(0L -> "", 1L -> ""), 2).count() == 0L)
   }
 
+  test("save/load round-trips the suffix array and prunes rank ranges at file level") {
+    val docs = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with the quick brown fox inside")
+    val sa = buildSa(docs, 3)
+    val dir = java.nio.file.Files.createTempDirectory("sa").toString
+    SuffixArray.save(sa, dir, numPartitions = 4)
+    val loaded = SuffixArray.load(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("sa_rank")), r.getLong(r.fieldIndex("doc_id")),
+        r.getInt(r.fieldIndex("p")))).sorted.toSeq
+    assert(canon(loaded) == canon(sa))
+    // the range layout: 4 files, rank intervals disjoint — a rank-range
+    // probe must touch fewer files than the full scan
+    import org.apache.spark.sql.functions._
+    val files = loaded.filter(col("sa_rank") <= 5)
+      .select(input_file_name()).distinct().count()
+    assert(files == 1L, s"rank-range probe touched $files files")
+  }
+
+  test("buildCached returns one shared materialization per (session, key)") {
+    import spark.implicits._
+    val docs = Seq(0L -> "cache me once", 1L -> "cache me twice")
+    val ddf = docs.toDF("doc_id", "text")
+    val a = SuffixArray.buildCached(ddf, "spec-corpus-A")
+    val b = SuffixArray.buildCached(ddf, "spec-corpus-A")
+    assert(a eq b) // the second probe must NOT re-run the doubling build
+    val fresh = SuffixArray.buildCached(ddf, "spec-corpus-B")
+    assert(!(fresh eq a))
+    val got = a.collect().map(r => (r.getLong(2), r.getLong(0), r.getInt(1).toLong))
+      .sorted.toSeq
+    assert(got == bruteSa(docs))
+  }
+
+  test("dedupCut spans cover planted repeats in every occurrence and merge overlaps") {
+    // a 20-char passage planted in docs 0, 1, and twice in doc 2
+    // (overlapping occurrences at p=1 and p=11 must merge into one span)
+    val pass = "0123456789abcdefghij" // 20 chars
+    val docs = Seq(
+      0L -> s"xx$pass yy",
+      1L -> s"zzz $pass www",
+      2L -> (pass.take(10) + pass + " tail"),
+      3L -> "completely unique content here")
+    import spark.implicits._
+    val ddf = docs.toDF("doc_id", "text")
+    val sa = SuffixArray.build(ddf, numPartitions = 2)
+    val cuts = SuffixArray.dedupCut(sa, ddf, minLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toList
+    // brute reference: for every position, longest substring starting
+    // there that occurs elsewhere in the corpus (other position or doc)
+    val all = docs.toMap
+    def longestRepeat(d: Long, p: Int): Int = {
+      val t = all(d)
+      var best = 0
+      for ((d2, t2) <- docs; q <- 1 to t2.length if (d2, q) != (d, p)) {
+        var l = 0
+        while (p - 1 + l < t.length && q - 1 + l < t2.length &&
+          t.charAt(p - 1 + l) == t2.charAt(q - 1 + l)) l += 1
+        best = math.max(best, l)
+      }
+      best
+    }
+    val expected = docs.flatMap { case (d, t) =>
+      val spans = (1 to t.length).flatMap { p =>
+        val l = longestRepeat(d, p)
+        if (l >= 20) Some((p.toLong, p + l.toLong)) else None
+      }
+      // interval union
+      spans.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (s, e)) => acc match {
+          case (ps, pe) :: rest if s <= pe => (ps, math.max(pe, e)) :: rest
+          case _ => (s, e) :: acc
+        }
+      }.reverse.map { case (s, e) => (d, s, e) }
+    }.sortBy(t => (t._1, t._2)).toList
+    assert(cuts == expected)
+    assert(cuts.map(_._1).toSet == Set(0L, 1L, 2L)) // doc 3 untouched
+    assert(cuts.count(_._1 == 2L) == 1) // overlapping occurrences merged
+  }
+
   test("longest duplicated substring surfaces a planted cross-doc passage") {
     val planted = "this exact passage was planted twice in the corpus"
     val docs = Seq(

@@ -297,18 +297,17 @@ class CorpusQueriesSpec extends AnyFunSuite {
   }
 
   test("q55 sketches stay within HLL/quantile error bounds of the exact values") {
+    // the bound checks are IN the query now (oracle-checkable booleans,
+    // VERDICT r10 #6): every group must report both sketches in-bound
     val rows = CorpusQueries.q55(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
+        r.getBoolean(4), r.getBoolean(5)))
     assert(rows.nonEmpty)
-    rows.foreach { case (src, nTok, exactD, approxD, exactP50, approxP50) =>
+    rows.foreach { case (src, nTok, exactD, exactP50, hllOk, p50Ok) =>
       assert(exactD <= nTok)
-      // HLL++ default rsd is 5%; tiny cardinalities are near-exact
-      assert(math.abs(approxD - exactD) <= math.max(1L, (exactD * 0.1).toLong),
-        s"$src: approx $approxD vs exact $exactD")
-      // percentile_approx at accuracy 10000 over small groups is exact
-      assert(math.abs(approxP50 - exactP50) <= math.max(1L, (exactP50 * 0.05).toLong),
-        s"$src: approx p50 $approxP50 vs exact $exactP50")
+      assert(exactP50 >= 0L)
+      assert(hllOk, s"$src: HLL++ estimate outside 4*rsd of exact")
+      assert(p50Ok, s"$src: approx p50 outside the [p49, p51] bracket")
     }
   }
 
