@@ -210,6 +210,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch search: route a WHOLE query table through the index in one
+    * distributed pass (hard-negative mining, recall evaluation, bulk
+    * kNN enrichment — anywhere the query side is a table, not a
+    * vector). Three stages, none of which shuffles the corpus:
+    *
+    *  1. probe selection — queries × nlist centroids (centroids are a
+    *     driver-held array, shipped as a broadcast-joined literal DF);
+    *     per-query centroid cosine via the same sequential double
+    *     folds as [[searchIvf]]'s `cosLocalD` (zip_with product +
+    *     left-fold sum — the order the SQL oracle's `list_sum`
+    *     replays), ranked (cos desc, cid asc), top `nProbe`;
+    *  2. list scan — the (q_id, cid, query-vector) probe rows
+    *     BROADCAST onto the tagged corpus (`cluster = cid` equi-join:
+    *     over a [[loadIvfIndex]] layout this prunes at the partition-
+    *     directory level); exact cosine via the codegen
+    *     [[CosineSimilarity]] kernel;
+    *  3. per-query top-k through the bounded-heap
+    *     [[graft.functions.TopKRows]] aggregate (heaps merge through
+    *     the exchange — the only shuffle is Q·k rows).
+    *
+    * Returns (q_id, rank, vec_id, cos): rank 1..k by (cos desc,
+    * vec_id asc), self-matches (vec_id = q_id) excluded. Fully
+    * deterministic — exact SQL oracle (q144).
+    */
+  def searchIvfBatch(index: IvfIndex, queries: DataFrame, k: Int,
+                     nProbe: Int = 4, qIdCol: String = "q_id",
+                     qVecCol: String = "q_embedding"): DataFrame = {
+    val spark = index.tagged.sparkSession
+    import spark.implicits._
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cents: Seq[(Int, Seq[Double])] = index.model.centroids.zipWithIndex
+      .map { case (c, cid) => cid -> c.map(_.toDouble / index.model.scale).toSeq }
+      .toSeq
+    val centsDf = cents.toDF("cid", "ce")
+    val qd = queries.select(col(qIdCol), col(qVecCol),
+      transform(col(qVecCol), x => x.cast("double")).as("qe"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("cs").desc, col("cid"))
+    val probes = qd.crossJoin(broadcast(centsDf))
+      .withColumn("cs",
+        dot(col("qe"), col("ce")) /
+          (sqrt(dot(col("ce"), col("ce"))) * sqrt(dot(col("qe"), col("qe")))))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col(qIdCol), col("cid"), col(qVecCol))
+    index.tagged.join(broadcast(probes), col("cluster") === col("cid"))
+      .filter(col("vec_id") =!= col(qIdCol))
+      .select(col(qIdCol),
+        struct((-CosineSimilarity(spark, col("embedding"), col(qVecCol))).as("nc"),
+          col("vec_id")).as("key"))
+      .groupBy(qIdCol)
+      .agg(graft.functions.TopKRows(spark, col("key"), k).as("top"))
+      .select(col(qIdCol), posexplode(col("top")).as(Seq("r0", "kv")))
+      .select(col(qIdCol), (col("r0") + 1).cast("long").as("rank"),
+        col("kv.vec_id").as("vec_id"), (-col("kv.nc")).as("cos"))
+  }
+
   /** Persist an index: the tagged corpus as parquet (the inverted
     * lists, partitioned by list so a probe prunes at the FILE level)
     * and the fixed-point centroids as one small parquet. The layout IS

@@ -895,7 +895,133 @@ object EmbeddingQueries {
     sb.toString
   }
 
+  /** q144 — ANN index-quality gate: batch IVF search
+    * ([[graft.operators.Similarity.searchIvfBatch]]) evaluated against
+    * exact kNN over a deterministic query slice (`vec_id % 29 = 0`,
+    * the q128 no-RNG rule), reported per query as recall@10 and the
+    * reciprocal rank of the TRUE nearest neighbor in the ANN list —
+    * the two numbers a pipeline reads before swapping an approximate
+    * index into production. Everything is deterministic (fixed-point
+    * quantizer, unrounded-cosine ranks with vec_id tiebreaks, one
+    * final correctly-rounded division per metric), so the DuckDB
+    * oracle replays the whole derivation: train + assign + per-query
+    * probe ranking + in-list top-10 vs brute top-10.
+    *
+    * Scale shape: the corpus is scanned twice (once cluster-pruned,
+    * once full for the ground truth) against BROADCAST query rows; the
+    * per-query top-k rides the bounded-heap TopKRows aggregate both
+    * times; the metric joins touch Q·k rows. The ground-truth scan is
+    * the expensive half at 100 TB — which is exactly why the query
+    * slice is a bounded deterministic sample, and why recall is
+    * evaluated on a sample rather than every query the index will
+    * ever serve.
+    */
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val index = graft.operators.Similarity.buildIvfIndex(emb, nlist = 16, iters = 3)
+    val ann = graft.operators.Similarity.searchIvfBatch(index, queries, k, nProbe = 4)
+      .select(col("q_id"), col("vec_id"), col("rank").as("arank"))
+      .localCheckpoint()
+    // exact ground truth: q128's broadcast brute scan without the label
+    // filter — corpus never shuffles, per-query top-k heaps through the
+    // exchange
+    val exact = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        struct((-graft.functions.CosineSimilarity(
+          s, col("embedding"), col("q_embedding"))).as("nc"),
+          col("vec_id")).as("key"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKRows(s, col("key"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "kv")))
+      .select(col("q_id"), (col("r0") + 1).cast("long").as("erank"),
+        col("kv.vec_id").as("vec_id"))
+      .localCheckpoint()
+    val matches = exact.join(ann, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val rr = exact.filter(col("erank") === 1)
+      .join(ann, Seq("q_id", "vec_id"))
+      .select(col("q_id"), (lit(1.0) / col("arank").cast("double")).as("rr"))
+    queries.select(col("q_id"))
+      .join(matches, Seq("q_id"), "left")
+      .join(rr, Seq("q_id"), "left")
+      .select(col("q_id"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 4)
+          .as("recall_at_10"),
+        round(coalesce(col("rr"), lit(0.0)), 4).as("rr"))
+      .orderBy("q_id")
+  }
+
+  val q144Sql: String = {
+    val cents = graft.operators.KMeans.kmeansCentroidsSql(
+      "embeddings", "vec_id", "embedding", k = 16, iterations = 3)
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+         |   / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
+         |      * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))""".stripMargin
+    s"""WITH cents AS (
+       |$cents
+       |),
+       |fx2 AS (
+       | SELECT vec_id, CAST(d AS INTEGER) AS d,
+       |   CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS v
+       | FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)),
+       |asg AS (
+       | SELECT vec_id, cid FROM (
+       |   SELECT vec_id, cid,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM (SELECT f.vec_id, c.cid, SUM((f.v - c.v)*(f.v - c.v)) AS dist
+       |         FROM fx2 f JOIN cents c ON f.d = c.d
+       |         GROUP BY f.vec_id, c.cid) dd) r WHERE rn = 1),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 29 = 0),
+       |cd AS (SELECT cid, list(CAST(v AS DOUBLE) / 1000000 ORDER BY d) AS ce
+       |       FROM cents GROUP BY cid),
+       |probe AS (
+       | SELECT q_id, cid FROM (
+       |   SELECT q_id, cid,
+       |     row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid) AS pr
+       |   FROM (SELECT q_id, cid,
+       |           ${cos("ce", "qe")} AS cs
+       |         FROM cd, q) s)
+       | WHERE pr <= 4),
+       |ann AS (
+       | SELECT q_id, vec_id, arank FROM (
+       |   SELECT q.q_id, s.vec_id,
+       |     row_number() OVER (PARTITION BY q.q_id
+       |                        ORDER BY ${cos("s.e", "qe")} DESC, s.vec_id) AS arank
+       |   FROM v s
+       |   JOIN asg ON s.vec_id = asg.vec_id
+       |   JOIN probe p ON asg.cid = p.cid
+       |   JOIN q ON q.q_id = p.q_id
+       |   WHERE s.vec_id <> q.q_id)
+       | WHERE arank <= 10),
+       |ex AS (
+       | SELECT q_id, vec_id, erank FROM (
+       |   SELECT q.q_id, s.vec_id,
+       |     row_number() OVER (PARTITION BY q.q_id
+       |                        ORDER BY ${cos("s.e", "qe")} DESC, s.vec_id) AS erank
+       |   FROM v s, q WHERE s.vec_id <> q.q_id)
+       | WHERE erank <= 10),
+       |m AS (SELECT q_id, count(*) AS n_hit FROM ex JOIN ann USING (q_id, vec_id)
+       |      GROUP BY q_id),
+       |rrt AS (
+       | SELECT e.q_id, CAST(1 AS DOUBLE) / a.arank AS rr
+       | FROM ex e JOIN ann a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+       | WHERE e.erank = 1)
+       |SELECT q.q_id,
+       | round(CAST(coalesce(m.n_hit, 0) AS DOUBLE) / 10, 4) AS recall_at_10,
+       | round(coalesce(rrt.rr, CAST(0 AS DOUBLE)), 4) AS rr
+       |FROM q LEFT JOIN m USING (q_id) LEFT JOIN rrt USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_ann_recall" -> (q144 _),
     "q136_ann_multiprobe" -> (q136 _),
     "q133_kcenter_select" -> (q133 _),
     "q131_knn_label_eval" -> ((s: SparkSession, dir: String) => q131(s, dir)),
@@ -921,6 +1047,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q144_ann_recall" -> q144Sql,
     "q136_ann_multiprobe" -> q136Sql,
     "q34_ann_ivf" -> q34Sql,
     "q29_ann_lsh" -> q29Sql,

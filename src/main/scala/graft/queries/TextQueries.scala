@@ -494,6 +494,65 @@ object TextQueries {
       |      ELSE 'arabic' END AS dominant_script
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q145 — dedup threshold-sensitivity sweep: for a grid of Jaccard
+    * thresholds τ ∈ {0.5 … 0.9}, how many near-dup pairs exist and how
+    * many documents the keep-lowest-id rule would drop (a doc is
+    * dropped at τ iff it has ANY smaller-id partner with J ≥ τ — the
+    * deterministic pair-graph dominator rule, not the order-dependent
+    * iterative greedy). This is the tuning curve an operator reads
+    * before picking a production dedup threshold — the whole sweep
+    * costs ONE prefix-filtered similarity join at the LOOSEST τ (the
+    * pair set at τmin contains every tighter τ's pairs by
+    * monotonicity), then a single conditional aggregation over the
+    * pair rows; no per-τ re-join, no extra scan of the corpus.
+    *
+    * Scale shape: the prefix join is q24's corpus-scale path; the
+    * sweep adds 10 conditional aggregates over the (small) pair set —
+    * the countDistincts expand that tiny frame, never the corpus. All
+    * arithmetic is exact (integer counts; τ literals parse to the same
+    * doubles in both engines; Jaccard is one correctly-rounded
+    * division), so the oracle replays the grid bit-for-bit.
+    */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val pairs = Dedup.jaccardPrefixJoin(
+      Tables.documents(s, dir), "doc_id", "text", 3, taus.min)
+    val aggs = taus.zipWithIndex.flatMap { case (t, i) =>
+      Seq(coalesce(sum(when(col("jaccard") >= t, 1L).otherwise(0L)), lit(0L))
+            .as(s"p$i"),
+        countDistinct(when(col("jaccard") >= t, col("doc_b"))).as(s"d$i"))
+    }
+    val stackArgs = taus.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), p$i, d$i" }.mkString(", ")
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${taus.size}, $stackArgs) AS (tau, n_pairs, n_docs_removed)")
+      .orderBy("tau")
+  }
+
+  val q145Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)),
+      |p AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+      | FROM t a, t b
+      | WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5),
+      |ts AS (SELECT CAST(x AS DOUBLE) AS tau
+      |       FROM unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS u(x))
+      |SELECT ts.tau,
+      | CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+      | CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_removed
+      |FROM ts LEFT JOIN p ON p.jaccard >= ts.tau
+      |GROUP BY ts.tau ORDER BY ts.tau""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_script_mix" -> (q132 _),
     "q130_normalize_text" -> (q130 _),
@@ -511,6 +570,7 @@ object TextQueries {
     "q24_ngram_jaccard" -> (q24 _),
     "q25_minhash_lsh" -> (q25 _),
     "q112_minhash_doph" -> (q112 _),
+    "q145_dedup_sweep" -> (q145 _),
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
@@ -529,6 +589,7 @@ object TextQueries {
     "q24_ngram_jaccard" -> jaccardOracle,
     "q25_minhash_lsh" -> jaccardOracle,
     "q112_minhash_doph" -> jaccardOracle,
+    "q145_dedup_sweep" -> q145Sql,
     "q26_simhash" -> q26Sql,
     "q35_simhash_neardup" -> q35Sql)
 }

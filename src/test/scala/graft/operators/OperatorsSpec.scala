@@ -331,6 +331,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(alt.head.getLong(0) == 0L) // cosine is scale-invariant: self still nearest
   }
 
+  test("batch IVF search equals per-query searchIvf for every query in the slice") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val idx = Similarity.buildIvfIndex(emb, nlist = 8, iters = 3)
+    val queries = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val batch = Similarity.searchIvfBatch(idx, queries, 5, nProbe = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    val qIds = queries.collect().map(_.getLong(0))
+    assert(qIds.nonEmpty && batch.keySet == qIds.toSet)
+    qIds.foreach { q =>
+      val qv = emb.filter(col("vec_id") === q).head()
+        .getAs[Seq[Float]]("embedding").toArray
+      // single-query path includes the query itself; ask for k+1 and
+      // drop it — probe selection AND scores must agree bit-for-bit
+      val single = Similarity.searchIvf(idx, qv, 6, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .filter(_._1 != q).take(5).toSeq
+      assert(batch(q) == single, s"batch vs single mismatch for q=$q")
+    }
+  }
+
   test("IVF-PQ: recall >= plain IVF at the same probes, 8x+ smaller scan rows") {
     val emb = Tables.embeddings(spark, dir)
     val brute10 = Similarity.knnBruteForce(emb, 0L, 10)

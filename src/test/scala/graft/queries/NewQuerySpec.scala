@@ -34,6 +34,26 @@ class NewQuerySpec extends AnyFunSuite {
     assert(crafted(2L) == (0.0, 1L))
   }
 
+  test("q145: sweep rows equal per-threshold brute-force counts and are monotone") {
+    val brute = graft.operators.Dedup
+      .jaccardBrute(graft.Tables.documents(spark, dir), "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(brute.nonEmpty, "corpus should contain pairs at J >= 0.5")
+    val sweep = TextQueries.q145(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sweep.keySet == Set(0.5, 0.6, 0.7, 0.8, 0.9))
+    for (tau <- sweep.keys) {
+      val at = brute.filter(_._3 >= tau)
+      assert(sweep(tau) == (at.length.toLong, at.map(_._2).distinct.length.toLong),
+        s"tau=$tau: sweep=${sweep(tau)} brute=(${at.length}, ${at.map(_._2).distinct.length})")
+    }
+    // tightening tau can only shrink both counts
+    val ordered = sweep.toSeq.sortBy(_._1)
+    ordered.sliding(2).foreach { case Seq((_, (p1, d1)), (_, (p2, d2))) =>
+      assert(p2 <= p1 && d2 <= d1)
+    }
+  }
+
   test("q87: kept set is a function of content, not partitioning") {
     val base = CorpusQueries.q87(spark, dir).collect().map(_.toSeq)
     // same query over a repartitioned input must keep the SAME docs
