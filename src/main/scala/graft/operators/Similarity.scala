@@ -210,6 +210,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental index maintenance — absorb a delta batch (new vectors
+    * AND re-embedded versions of existing ones) into a built index
+    * WITHOUT retraining the quantizer: delta rows are assigned with the
+    * frozen model (one map-only codegen pass), rows whose vec_id
+    * appears in the delta are dropped from the old lists via a
+    * broadcast anti-join on the delta's id set (re-embed = replace, the
+    * [[InvertedIndex.merge]] contract), and the delta's tagged rows are
+    * unioned in. The untouched lists are never recomputed; the only
+    * work proportional to the OLD corpus is the anti-join probe against
+    * a broadcast hash of delta ids. Freezing the quantizer is the
+    * standard IVF maintenance trade (FAISS `add` semantics): centroids
+    * drift only on explicit retrain, which a pipeline schedules
+    * separately.
+    */
+  def mergeIvf(index: IvfIndex, delta: DataFrame): IvfIndex = {
+    val taggedDelta = delta.join(
+      KMeans.assign(delta, index.model)
+        .select(col("vec_id"), col("cluster_id").as("cluster")),
+      "vec_id")
+    val kept = index.tagged.join(
+      broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    IvfIndex(index.model, kept.unionByName(taggedDelta))
+  }
+
   /** Batch search: route a WHOLE query table through the index in one
     * distributed pass (hard-negative mining, recall evaluation, bulk
     * kNN enrichment — anywhere the query side is a table, not a

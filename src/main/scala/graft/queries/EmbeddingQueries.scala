@@ -1020,7 +1020,91 @@ object EmbeddingQueries {
        |ORDER BY q_id""".stripMargin
   }
 
+  /** q146 — incremental ANN index maintenance: a base index (vectors
+    * with `vec_id % 5 ≠ 0`) absorbs a delta batch containing BOTH new
+    * vectors (`vec_id % 5 = 0`) and re-embedded versions of existing
+    * ones (`vec_id % 40 = 1`, embedding negated — an exact, replayable
+    * "model update") via [[graft.operators.Similarity.mergeIvf]]:
+    * frozen quantizer, broadcast anti-join replace, delta assigned in
+    * one map-only pass. The output is a batch search (top-10, 4
+    * probes) over the merged index for the `vec_id % 101 = 0` query
+    * slice — the daily-crawl lifecycle (build → merge → serve) that
+    * q142 pins for the inverted index, here for the vector index.
+    *
+    * The oracle replays train-on-base + merged-corpus assignment +
+    * probe ranking + in-list top-k; MergeIvfSpec additionally pins
+    * merge ≡ assign-the-union plumbing and the replace semantics.
+    */
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+      .unionByName(emb.filter(col("vec_id") % 40 === 1)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+    val merged = graft.operators.Similarity.mergeIvf(
+      graft.operators.Similarity.buildIvfIndex(base, nlist = 16, iters = 3), delta)
+    val queries = merged.tagged.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    graft.operators.Similarity.searchIvfBatch(merged, queries, k = 10, nProbe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val q146Sql: String = {
+    val cents = graft.operators.KMeans.kmeansCentroidsSql(
+      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0)",
+      "vec_id", "embedding", k = 16, iterations = 3)
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+         |   / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
+         |      * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))""".stripMargin
+    s"""WITH cents AS (
+       |$cents
+       |),
+       |corp AS (
+       | SELECT vec_id,
+       |   CASE WHEN vec_id % 40 = 1 THEN list_transform(embedding, x -> -x)
+       |        ELSE embedding END AS embedding
+       | FROM embeddings),
+       |fx2 AS (
+       | SELECT vec_id, CAST(d AS INTEGER) AS d,
+       |   CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS v
+       | FROM corp, unnest(range(1, len(embedding) + 1)) AS t(d)),
+       |asg AS (
+       | SELECT vec_id, cid FROM (
+       |   SELECT vec_id, cid,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM (SELECT f.vec_id, c.cid, SUM((f.v - c.v)*(f.v - c.v)) AS dist
+       |         FROM fx2 f JOIN cents c ON f.d = c.d
+       |         GROUP BY f.vec_id, c.cid) dd) r WHERE rn = 1),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |      FROM corp),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 101 = 0),
+       |cd AS (SELECT cid, list(CAST(v AS DOUBLE) / 1000000 ORDER BY d) AS ce
+       |       FROM cents GROUP BY cid),
+       |probe AS (
+       | SELECT q_id, cid FROM (
+       |   SELECT q_id, cid,
+       |     row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cid) AS pr
+       |   FROM (SELECT q_id, cid,
+       |           ${cos("ce", "qe")} AS cs
+       |         FROM cd, q) s)
+       | WHERE pr <= 4)
+       |SELECT q_id, CAST(arank AS BIGINT) AS rank, vec_id, cos FROM (
+       | SELECT q.q_id, s.vec_id,
+       |   ${cos("s.e", "qe")} AS cos,
+       |   row_number() OVER (PARTITION BY q.q_id
+       |                      ORDER BY ${cos("s.e", "qe")} DESC, s.vec_id) AS arank
+       | FROM v s
+       | JOIN asg ON s.vec_id = asg.vec_id
+       | JOIN probe p ON asg.cid = p.cid
+       | JOIN q ON q.q_id = p.q_id
+       | WHERE s.vec_id <> q.q_id)
+       |WHERE arank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_ivf_merge" -> (q146 _),
     "q144_ann_recall" -> (q144 _),
     "q136_ann_multiprobe" -> (q136 _),
     "q133_kcenter_select" -> (q133 _),
@@ -1047,6 +1131,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q146_ivf_merge" -> q146Sql,
     "q144_ann_recall" -> q144Sql,
     "q136_ann_multiprobe" -> q136Sql,
     "q34_ann_ivf" -> q34Sql,

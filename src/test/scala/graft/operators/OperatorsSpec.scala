@@ -356,6 +356,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeIvf: replace + append semantics, search parity with assign-the-union") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+      .unionByName(emb.filter(col("vec_id") % 40 === 1)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+    val idx = Similarity.buildIvfIndex(base, nlist = 8, iters = 3)
+    val merged = Similarity.mergeIvf(idx, delta)
+    // exactly one row per vec_id: re-embedded ids REPLACED, not duplicated
+    val dupIds = merged.tagged.groupBy("vec_id")
+      .count().filter(col("count") > 1).count()
+    assert(dupIds == 0, s"$dupIds vec_ids appear twice after merge")
+    assert(merged.tagged.count() == emb.count())
+    // a replaced id carries the DELTA's vector
+    val rid = emb.filter(col("vec_id") % 40 === 1)
+      .orderBy("vec_id").head().getLong(0)
+    val orig = emb.filter(col("vec_id") === rid).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toList
+    val now = merged.tagged.filter(col("vec_id") === rid).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toList
+    assert(now == orig.map(x => -x), s"vec $rid not replaced by delta version")
+    // plumbing parity: merge == assign-the-union under the same frozen model
+    val union = emb.filter(col("vec_id") % 40 =!= 1)
+      .unionByName(emb.filter(col("vec_id") % 40 === 1)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+    val viaAssign = Similarity.IvfIndex(idx.model,
+      union.join(KMeans.assign(union, idx.model)
+        .select(col("vec_id"), col("cluster_id").as("cluster")), "vec_id"))
+    val queries = union.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    def res(ix: Similarity.IvfIndex) =
+      Similarity.searchIvfBatch(ix, queries, 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(res(merged) == res(viaAssign))
+  }
+
   test("IVF-PQ: recall >= plain IVF at the same probes, 8x+ smaller scan rows") {
     val emb = Tables.embeddings(spark, dir)
     val brute10 = Similarity.knnBruteForce(emb, 0L, 10)
