@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.Hashing
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -163,6 +163,26 @@ object DocStreams {
                              idCol: String, embCol: String): DataFrame =
     graft.operators.KMeans.assign(vectors, model, idCol, embCol)
       .groupBy("cluster_id").count()
+
+  /** Streaming ANN serving against a PERSISTED IVF index
+    * ([[graft.operators.Similarity.saveIvfIndex]]'s layout): returns
+    * the `foreachBatch` body that routes each micro-batch of query
+    * vectors through [[graft.operators.Similarity.searchIvfBatch]].
+    * The index handle is loaded ONCE (the centroid matrix is k×d
+    * driver state; the lists stay a lazy parquet scan), so every batch
+    * pays only its own probe-pruned list reads — over the partitioned
+    * layout that is a per-batch directory-pruned scan, the stream-
+    * static join shape Structured Streaming expects. searchIvfBatch's
+    * window/heap plan is why this is a foreachBatch body rather than a
+    * direct stream transform: per-query top-k over an unbounded stream
+    * plan is not expressible without a watermark, and a search request
+    * is complete the moment its batch is.
+    */
+  def annSearchBatcher(spark: SparkSession, indexPath: String, k: Int,
+                       nProbe: Int = 4): DataFrame => DataFrame = {
+    val index = graft.operators.Similarity.loadIvfIndex(spark, indexPath)
+    batch => graft.operators.Similarity.searchIvfBatch(index, batch, k, nProbe)
+  }
 
   /** Score documents against a bigram MLE model `(w1, w2, c2)` — the
     * q86 scoring half factored out so a stream can score each batch

@@ -374,6 +374,39 @@ class DocStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN serving: per-batch searches equal the one-shot batch search") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val idx = graft.operators.Similarity.buildIvfIndex(emb, nlist = 8, iters = 3)
+    val tmp = Files.createTempDirectory("annserve").toFile.getAbsolutePath
+    graft.operators.Similarity.saveIvfIndex(idx, s"$tmp/idx")
+    val queries = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val want = canon(graft.operators.Similarity.searchIvfBatch(
+      graft.operators.Similarity.loadIvfIndex(spark, s"$tmp/idx"),
+      queries, 5, nProbe = 3).collect())
+    assert(want.nonEmpty)
+    val mid = queries.orderBy("q_id").collect().map(_.getLong(0)).apply(
+      queries.count().toInt / 2)
+    queries.filter(col("q_id") < mid).write.parquet(s"$tmp/src/b1")
+    queries.filter(col("q_id") >= mid).write.parquet(s"$tmp/src/b2")
+    val search = DocStreams.annSearchBatcher(spark, s"$tmp/idx", 5, nProbe = 3)
+    val buf = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        buf.synchronized { buf ++= search(b.toDF()).collect() }; ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(canon(buf.toArray) == want)
+  }
+
   test("TTL-bounded state still pairs within the window") {
     // Same scenario through the ProcessingTimeTimeout code path: with a
     // TTL far larger than the run, behavior is identical (eviction timing
