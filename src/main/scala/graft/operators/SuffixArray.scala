@@ -240,6 +240,14 @@ object SuffixArray {
       (System.identityHashCode(docs.sparkSession), key),
       _ => build(docs, docIdCol, textCol, numPartitions).localCheckpoint())
 
+  /** Drop a cached build (corpus mutated, or a BUILD-measuring caller
+    * wants a fresh run rather than a cache hit — q137 invalidates
+    * first so "build the index" always times a build, never a probe
+    * of a prior pass's cache; consumers like q138 still reuse it).
+    */
+  def invalidateCached(spark: SparkSession, key: String): Unit =
+    buildCache.remove((System.identityHashCode(spark), key))
+
   /** Exact LCP of each SA-adjacent suffix pair — the LCP array:
     * max(lcp) is the longest substring occurring ≥2 times corpus-wide,
     * and every lcp ≥ L reproduces q126's fixed-L signal without
