@@ -27,18 +27,13 @@ object DevScratch {
     }
     def run(name: String, d: String): Unit =
       SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
-    for (q <- Seq("q137_suffix_array", "q138_longest_dup_substring", "q140_tfidf_neardup")) {
-      time(s"$q warm(sf0.001)")(run(q, "/root/testdata/sf0.001"))
-    }
-    for (i <- 1 to 2; q <- Seq("q137_suffix_array", "q138_longest_dup_substring", "q140_tfidf_neardup")) {
-      time(s"$q pass$i")(run(q, dir))
-    }
-    val nMatches = SparkEntry.queries("q140_tfidf_neardup")(spark, dir).count()
-    println(s"[scratch] q140 matches: $nMatches")
     val docs = Tables.documents(spark, dir)
-    val (u, cand) = graft.operators.Apss.prefixCandidates(docs, 0.6, "doc_id", "text")
-    val nCand = cand.count()
-    println(f"[scratch] q140 candidates: $nCand (ratio ${nCand.toDouble / nMatches}%.1f:1)")
+    def build(kc: Int): Unit =
+      graft.operators.SuffixArray.build(docs, startKeyChars = kc)
+        .write.format("noop").mode("overwrite").save()
+    build(32) // warm
+    for (i <- 1 to 2; kc <- Seq(32, 64, 128))
+      time(s"SA build k0=$kc pass$i")(build(kc))
     spark.stop()
   }
 }

@@ -135,7 +135,8 @@ object SuffixArray {
     * suffix order; positions are 1-based (SQL substring convention).
     */
   def build(docs: DataFrame, docIdCol: String = "doc_id",
-            textCol: String = "text", numPartitions: Int = 32): DataFrame = {
+            textCol: String = "text", numPartitions: Int = 32,
+            startKeyChars: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     val maxRow = docs.agg(max(length(col(textCol)))).head
     val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
@@ -143,14 +144,22 @@ object SuffixArray {
     // per-doc id range must absorb offsets up to 2·maxLen or a probe
     // past one doc's end would alias into the NEXT doc's positions
     val stride = 2L * maxLen + 2L
-    // start key: the raw 32-char window as a STRING (ASCII ⇒ string
-    // order is byte order; truncation at doc end sorts shorter-prefix
-    // first, matching suffix order). A plain substring over an exploded
-    // position column stays inside whole-stage codegen — a packed-long
-    // start key via nested transform/aggregate lambdas is interpreted
-    // row-at-a-time and measured 15× slower — and a 32-char start skips
-    // the first two doubling rounds, which carry most of the active set
-    val k0 = 32L
+    // start key: the raw startKeyChars-char window as a STRING (ASCII ⇒
+    // string order is byte order; truncation at doc end sorts
+    // shorter-prefix first, matching suffix order). A plain substring
+    // over an exploded position column stays inside whole-stage codegen
+    // — a packed-long start key via nested transform/aggregate lambdas
+    // is interpreted row-at-a-time and measured 15× slower. Key length
+    // trades initial-sort byte amplification (startKeyChars × corpus
+    // bytes in the ONE dominant shuffle) against doubling rounds, each
+    // a fixed ~1.5 s of jobs at bench scale regardless of active-set
+    // size. Measured at sf0.1 (maxLen 553, warm pass): k0=32 → 5 rounds,
+    // 16.2 s; 64 → 4 rounds, 15.3 s; 128 → 3 rounds, 13.3 s. Default 64:
+    // the next doubling buys ~2 s here but doubles the dominant
+    // shuffle's bytes, which is the wrong side of the trade at 100 TB —
+    // at scale the fixed round cost vanishes relative to data and the
+    // knob should go SMALLER, not larger.
+    val k0 = startKeyChars.toLong
     // empty docs contribute no suffix; without the guard,
     // sequence(1, 0) is the DESCENDING [1, 0] and would emit two
     // spurious empty-key positions per empty doc
@@ -248,6 +257,27 @@ object SuffixArray {
   def invalidateCached(spark: SparkSession, key: String): Unit =
     buildCache.remove((System.identityHashCode(spark), key))
 
+  /** Session-scoped LCP-array cache, the second tier of the SA
+    * lifecycle: the LCP walk over a given corpus is itself an index
+    * artifact (q138 ranks it, q143 unions its spans into cut lists),
+    * so consumers share ONE walk per (session, corpus) exactly as they
+    * share one build. q138 — the query that MEANS "compute the LCP
+    * array" — invalidates first so its timing is always a walk, never
+    * a cache probe; q143 rides whatever is cached.
+    */
+  private val lcpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def adjacentLcpCached(sa: DataFrame, docs: DataFrame, key: String,
+                        docIdCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    lcpCache.computeIfAbsent(
+      (System.identityHashCode(docs.sparkSession), key),
+      _ => adjacentLcp(sa, docs, docIdCol, textCol).localCheckpoint())
+
+  def invalidateLcpCached(spark: SparkSession, key: String): Unit =
+    lcpCache.remove((System.identityHashCode(spark), key))
+
   /** Exact LCP of each SA-adjacent suffix pair — the LCP array:
     * max(lcp) is the longest substring occurring ≥2 times corpus-wide,
     * and every lcp ≥ L reproduces q126's fixed-L signal without
@@ -297,8 +327,14 @@ object SuffixArray {
     */
   def dedupCut(sa: DataFrame, docs: DataFrame, minLen: Int,
                docIdCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
-    val lcp = adjacentLcp(sa, docs, docIdCol, textCol)
+               textCol: String = "text"): DataFrame =
+    dedupCutFromLcp(adjacentLcp(sa, docs, docIdCol, textCol), minLen, docIdCol)
+
+  /** [[dedupCut]] over an already-computed LCP array (the cached-walk
+    * consumer path — see [[adjacentLcpCached]]).
+    */
+  def dedupCutFromLcp(lcp: DataFrame, minLen: Int,
+                      docIdCol: String = "doc_id"): DataFrame = {
     val occ = lcp.select(col("doc_b").as(docIdCol), col("p_b").as("p"), col("lcp"))
       .unionByName(
         lcp.select(col("doc_a").as(docIdCol), col("p_a").as("p"), col("lcp")))

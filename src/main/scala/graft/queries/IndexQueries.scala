@@ -60,7 +60,10 @@ object IndexQueries {
   def q138(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sa = SuffixArray.buildCached(docs, dir)
-    val top = SuffixArray.adjacentLcp(sa, docs)
+    // q138 IS the LCP-array computation: invalidate so its timing is
+    // always a walk (q137's rule); q143 then rides this walk's cache
+    SuffixArray.invalidateLcpCached(s, dir)
+    val top = SuffixArray.adjacentLcpCached(sa, docs, dir)
       .orderBy(desc("lcp"), col("doc_a"), col("p_a"), col("doc_b"), col("p_b"))
       .limit(10)
     top.join(docs.select(col("doc_id").as("doc_a"), col("text")), Seq("doc_a"))
@@ -210,7 +213,8 @@ object IndexQueries {
   def q143(s: SparkSession, dir: String, minLen: Int = 40): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sa = SuffixArray.buildCached(docs, dir)
-    SuffixArray.dedupCut(sa, docs, minLen)
+    SuffixArray.dedupCutFromLcp(
+      SuffixArray.adjacentLcpCached(sa, docs, dir), minLen)
       .orderBy("doc_id", "cut_start")
   }
 
