@@ -89,7 +89,7 @@ object Bench {
     "q138_longest_dup_substring", "q139_phrase_search",
     "q140_tfidf_neardup", "q141_scd2_asof_enrich", "q142_index_merge",
     "q143_dedup_cut", "q144_ann_recall", "q145_dedup_sweep",
-    "q146_ivf_merge")
+    "q146_ivf_merge", "q147_matryoshka_eval", "q148_dedup_quality_audit")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this

@@ -1103,7 +1103,85 @@ object EmbeddingQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** q147 — matryoshka truncation evaluation: how much exact-kNN
+    * quality survives keeping only the first d dimensions of every
+    * embedding (the storage/bandwidth knob behind MRL-style truncated
+    * serving: d·4 bytes per vector instead of 64·4). For each
+    * d ∈ {16, 32, 64} and the q144 query slice, exact cosine top-10
+    * over the TRUNCATED vectors is compared with the full-dimension
+    * top-10; the report is mean overlap@10 per d (d = 64 is the 1.0
+    * sanity row). Deterministic end to end — unrounded-cosine ranks
+    * with vec_id tiebreaks, integer overlap counts, one final rounded
+    * division — so the DuckDB oracle replays every number.
+    *
+    * Scale shape: 3 broadcast brute scans (queries are the bounded
+    * deterministic slice; corpus never shuffles; per-query top-k rides
+    * the TopKRows bounded heap); the overlap join touches Q·k rows.
+    * The d-loop multiplies scan cost by |dims| — at 100 TB you run it
+    * on the same bounded sample this query already uses.
+    */
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val dims = Seq(16, 32, 64)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 29 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
+    def topk(d: Int): DataFrame =
+      emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("n_e"))
+        .join(broadcast(queries.select(col("q_id"),
+          slice(col("q_e"), 1, d).as("qd"))), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          struct((-graft.functions.CosineSimilarity(s, col("n_e"), col("qd"))).as("nc"),
+            col("vec_id")).as("key"))
+        .groupBy("q_id")
+        .agg(graft.functions.TopKRows(s, col("key"), k).as("top"))
+        .select(col("q_id"), explode(col("top")).as("kv"))
+        .select(col("q_id"), col("kv.vec_id").as("vec_id"))
+    val full = topk(dims.max).localCheckpoint()
+    val nq = queries.count()
+    val rows = dims.map { d =>
+      topk(d).join(full, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(d.toLong).as("dim"), lit(nq).as("n_queries"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / (nq * k), 4)
+            .as("mean_overlap_at_10"))
+    }
+    rows.reduce(_ unionByName _).orderBy("dim")
+  }
+
+  val q147Sql: String = {
+    def cosD(a: String, b: String, d: Int): String =
+      s"""list_sum(list_transform(range(1, $d + 1), i -> $a[i] * $b[i]))
+         |   / (sqrt(list_sum(list_transform(range(1, $d + 1), i -> $a[i] * $a[i])))
+         |      * sqrt(list_sum(list_transform(range(1, $d + 1), i -> $b[i] * $b[i]))))""".stripMargin
+    def topCte(name: String, d: Int): String =
+      s"""$name AS (
+         | SELECT q_id, vec_id FROM (
+         |   SELECT q.q_id, s.vec_id,
+         |     row_number() OVER (PARTITION BY q.q_id
+         |                        ORDER BY ${cosD("s.e", "q.qe", d)} DESC, s.vec_id) AS rk
+         |   FROM v s, q WHERE s.vec_id <> q.q_id)
+         | WHERE rk <= 10)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 29 = 0),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       |${topCte("t16", 16)},
+       |${topCte("t32", 32)},
+       |${topCte("t64", 64)},
+       |o AS (
+       | SELECT 16 AS dim, count(*) AS n_hit FROM t16 JOIN t64 USING (q_id, vec_id)
+       | UNION ALL
+       | SELECT 32 AS dim, count(*) AS n_hit FROM t32 JOIN t64 USING (q_id, vec_id)
+       | UNION ALL
+       | SELECT 64 AS dim, count(*) AS n_hit FROM t64 a JOIN t64 b USING (q_id, vec_id))
+       |SELECT CAST(dim AS BIGINT) AS dim, nq.n AS n_queries,
+       | round(CAST(n_hit AS DOUBLE) / (nq.n * 10), 4) AS mean_overlap_at_10
+       |FROM o, nq ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_matryoshka_eval" -> (q147 _),
     "q146_ivf_merge" -> (q146 _),
     "q144_ann_recall" -> (q144 _),
     "q136_ann_multiprobe" -> (q136 _),
@@ -1131,6 +1209,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q147_matryoshka_eval" -> q147Sql,
     "q146_ivf_merge" -> q146Sql,
     "q144_ann_recall" -> q144Sql,
     "q136_ann_multiprobe" -> q136Sql,

@@ -553,6 +553,72 @@ object TextQueries {
       |FROM ts LEFT JOIN p ON p.jaccard >= ts.tau
       |GROUP BY ts.tau ORDER BY ts.tau""".stripMargin
 
+  /** q148 — dedup bias audit: of the documents near-dup removal would
+    * drop (any smaller-id partner at J ≥ 0.7 — q145's deterministic
+    * dominator rule), how are they distributed across quality
+    * quartiles? A dedup pass that eats disproportionately from the
+    * high-quality quartile is destroying signal, not noise — this is
+    * the "what am I deleting" report a pipeline reads before applying
+    * a threshold. Quality = distinct-token ratio (q52's p4 signal, one
+    * replayable division); quartile = exact integer bucketing of the
+    * PrefixSum two-pass rank (never a global window); removed flag =
+    * semi-join against the prefix-filtered pair set's doc_b side.
+    * Output per quartile: docs, removed docs, removed fraction.
+    */
+  def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val scored = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        (size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double")).as("score"))
+    val ranked = graft.operators.PrefixSum.withRunningTotalOrdered(
+      scored.withColumn("__one", lit(1)), Seq("score", "doc_id"), "__one",
+      "__rank", 32)
+    val removed = Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 3, 0.7)
+      .select(col("doc_b").as("doc_id")).distinct()
+    ranked
+      .withColumn("quartile", expr(s"((__rank - 1L) * 4L) div ${n}L") + lit(1L))
+      .join(removed.withColumn("rm", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("rm")), lit(0L)).as("n_removed"))
+      .select(col("quartile"), col("n_docs"), col("n_removed"),
+        round(col("n_removed").cast("double") / col("n_docs").cast("double"), 4)
+          .as("removed_frac"))
+      .orderBy("quartile")
+  }
+
+  val q148Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)),
+      |rem AS (
+      | SELECT DISTINCT b.doc_id
+      | FROM t a, t b
+      | WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7),
+      |s AS (
+      | SELECT doc_id,
+      |  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+      |   / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS score
+      | FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY score, doc_id) AS rn FROM s),
+      |qd AS (SELECT r.doc_id, ((rn - 1) * 4) // n.n + 1 AS quartile FROM r, n)
+      |SELECT CAST(quartile AS BIGINT) AS quartile,
+      | CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(count(rem.doc_id) AS BIGINT) AS n_removed,
+      | round(CAST(count(rem.doc_id) AS DOUBLE) / count(*), 4) AS removed_frac
+      |FROM qd LEFT JOIN rem USING (doc_id)
+      |GROUP BY quartile ORDER BY quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_script_mix" -> (q132 _),
     "q130_normalize_text" -> (q130 _),
@@ -571,6 +637,7 @@ object TextQueries {
     "q25_minhash_lsh" -> (q25 _),
     "q112_minhash_doph" -> (q112 _),
     "q145_dedup_sweep" -> (q145 _),
+    "q148_dedup_quality_audit" -> (q148 _),
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
@@ -590,6 +657,7 @@ object TextQueries {
     "q25_minhash_lsh" -> jaccardOracle,
     "q112_minhash_doph" -> jaccardOracle,
     "q145_dedup_sweep" -> q145Sql,
+    "q148_dedup_quality_audit" -> q148Sql,
     "q26_simhash" -> q26Sql,
     "q35_simhash_neardup" -> q35Sql)
 }

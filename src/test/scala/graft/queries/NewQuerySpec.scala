@@ -54,6 +54,28 @@ class NewQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q147: full-dimension row is exactly 1.0; overlaps in [0,1]") {
+    val rows = EmbeddingQueries.q147(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(16L, 32L, 64L))
+    assert(rows(64L) == 1.0, "kNN over untruncated vectors must agree with itself")
+    rows.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("q148: quartiles partition the corpus; removed counts bounded") {
+    val rows = TextQueries.q148(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val total = graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_._2).sum == total)
+    rows.foreach { case (q, nd, nr) => assert(nr >= 0 && nr <= nd, s"quartile $q") }
+    // cross-check the removed total against the brute pair graph
+    val brute = graft.operators.Dedup
+      .jaccardBrute(graft.Tables.documents(spark, dir), "doc_id", "text", 3, 0.7)
+      .collect().map(_.getLong(1)).distinct.length
+    assert(rows.map(_._3).sum == brute)
+  }
+
   test("q87: kept set is a function of content, not partitioning") {
     val base = CorpusQueries.q87(spark, dir).collect().map(_.toSeq)
     // same query over a repartitioned input must keep the SAME docs
