@@ -321,6 +321,23 @@ object KMeans {
   /** Assignment-only pass against a trained model (e.g. routing query
     * vectors to IVF lists): map-only, no shuffle.
     */
+  /** Like [[assign]] but APPENDS the cluster id to the input's columns
+    * instead of projecting to (id, cluster, dist) — so an index build
+    * that needs (all original columns + cluster) never pays the
+    * corpus ⋈ corpus self-join to reattach them. Map-only, same codegen
+    * argmin; at 100 TB this is the difference between tagging the
+    * inverted lists in one scan and shuffling the corpus twice.
+    */
+  def withCluster(df: DataFrame, model: Model, vecCol: String = "embedding",
+                  outCol: String = "cluster"): DataFrame = {
+    val spark = df.sparkSession
+    val kk = model.k
+    val fv: Column = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(model.scale.toDouble)))
+    df.withColumn(outCol,
+      (CentroidPackedArgmin(spark, fv, model.centroids) % kk).cast("int"))
+  }
+
   def assign(df: DataFrame, model: Model, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession

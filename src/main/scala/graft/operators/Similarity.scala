@@ -182,10 +182,10 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, nlist: Int = 16,
                     iters: Int = 3): IvfIndex = {
     val model = KMeans.fit(corpus, nlist, iters).model
-    val tagged = corpus.join(
-      KMeans.assign(corpus, model).select(col("vec_id"), col("cluster_id").as("cluster")),
-      "vec_id")
-    IvfIndex(model, tagged)
+    // withCluster: tag in the same scan — a corpus ⋈ assign(corpus)
+    // self-join here would shuffle the corpus twice for a value the
+    // codegen argmin computes in-row
+    IvfIndex(model, KMeans.withCluster(corpus, model))
   }
 
   /** Search a built index with an ARBITRARY query vector (not
@@ -225,10 +225,7 @@ object Similarity {
     * separately.
     */
   def mergeIvf(index: IvfIndex, delta: DataFrame): IvfIndex = {
-    val taggedDelta = delta.join(
-      KMeans.assign(delta, index.model)
-        .select(col("vec_id"), col("cluster_id").as("cluster")),
-      "vec_id")
+    val taggedDelta = KMeans.withCluster(delta, index.model)
     val kept = index.tagged.join(
       broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_anti")
     IvfIndex(index.model, kept.unionByName(taggedDelta))

@@ -940,14 +940,15 @@ object EmbeddingQueries {
       .select(col("q_id"), (col("r0") + 1).cast("long").as("erank"),
         col("kv.vec_id").as("vec_id"))
       .localCheckpoint()
-    val matches = exact.join(ann, Seq("q_id", "vec_id"))
+    // metric joins touch Q·k rows — broadcast so the plan never sorts
+    val matches = exact.join(broadcast(ann), Seq("q_id", "vec_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
     val rr = exact.filter(col("erank") === 1)
-      .join(ann, Seq("q_id", "vec_id"))
+      .join(broadcast(ann), Seq("q_id", "vec_id"))
       .select(col("q_id"), (lit(1.0) / col("arank").cast("double")).as("rr"))
     queries.select(col("q_id"))
-      .join(matches, Seq("q_id"), "left")
-      .join(rr, Seq("q_id"), "left")
+      .join(broadcast(matches), Seq("q_id"), "left")
+      .join(broadcast(rr), Seq("q_id"), "left")
       .select(col("q_id"),
         round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 4)
           .as("recall_at_10"),

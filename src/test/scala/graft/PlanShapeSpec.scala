@@ -77,6 +77,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q144/q146: IVF list scans join the broadcast probe set, never shuffle the corpus") {
+    Seq("q144_ann_recall", "q146_ivf_merge").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q145/q148: threshold sweep and quality audit stay free of quadratic joins") {
+    Seq("q145_dedup_sweep", "q148_dedup_quality_audit").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("q75/q80/q81: group-stat and vocab lookups broadcast, never shuffle the corpus side") {
     Seq("q75_adaptive_filter", "q80_group_zscore", "q81_token_ids").foreach { q =>
       val p = plan(q)
