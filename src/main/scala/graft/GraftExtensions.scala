@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CentroidPackedArgmin, CosineSimilarity, HammingDistance, MisraGries, SetOverlap, TopKRows, UnicodeNormalize}
+import graft.functions.{CentroidPackedArgmin, CosineSimilarity, CountMin, HammingDistance, MisraGries, SetOverlap, TopKRows, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -55,6 +55,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${MisraGries.functionName} width must be a literal")
         MisraGries(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue)
+          .toAggregateExpression()
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier(CountMin.functionName),
+      new ExpressionInfo(classOf[CountMin].getName,
+        CountMin.functionName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"${CountMin.functionName} takes exactly 3 arguments")
+        require(exprs(1).foldable && exprs(2).foldable,
+          s"${CountMin.functionName} depth and width must be literals")
+        CountMin(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          exprs(2).eval().asInstanceOf[Number].intValue)
           .toAggregateExpression()
       }))
     extensions.injectFunction((

@@ -2320,7 +2320,73 @@ object CorpusQueries {
       |FROM b WHERE brank <= CAST(ceil(n / 4.0) AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 
+  /** q152 — Count-Min frequency estimation audit: the corpus token
+    * stream is summarized by ONE [[graft.functions.CountMin]] sketch
+    * (native `TypedImperativeAggregate`, d=4 × w=512 longs of state —
+    * per-task sketches map-side, one 16 KB buffer per task through the
+    * exchange, elementwise-add merge), then the 20 most frequent tokens
+    * are read back from the sketch next to their exact counts. The
+    * complement of q71's Misra–Gries: MG answers "WHICH keys are heavy"
+    * (and its estimates are merge-order-dependent, so q71 recounts);
+    * CMS answers "how often is THIS key" — and because its counter
+    * matrix is a commutative sum of one-hot updates, the estimates are
+    * bit-identical under any partitioning, so they sit DIRECTLY in the
+    * exact oracle gate: the DuckDB replay rebuilds every touched cell
+    * from `md5_number_upper` buckets (the q26/q29/q113
+    * md5-for-the-oracle convention; w is a power of two, making
+    * unsigned-vs-floorMod bucket arithmetic identical) and reproduces
+    * each estimate to the count. The est − exact gap IS the measured
+    * collision overcount, bounded by e/w·n per the CMS guarantee.
+    *
+    * Scale shape: the exact top-20 (the audit's ground truth) is the
+    * one token-keyed shuffle; the sketch adds no shuffle at all. In
+    * production the sketch stands alone — point lookups against a
+    * 16 KB broadcast state instead of a billions-of-keys count table.
+    */
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 512
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+    val sketch = toks
+      .agg(graft.functions.CountMin(s, col("tok"), d, w).as("cms"))
+    val top = toks.groupBy(col("tok").as("token"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("token")).limit(20)
+    val est = (0 until d).map { r =>
+      element_at(col("cms"), lit(r * w + 1)
+        + pmod(graft.functions.VectorFns.md5Num(
+            concat(lit(s"cms$r:"), col("token"))), lit(w)).cast("int"))
+    }
+    top.crossJoin(broadcast(sketch))
+      .select(col("token"), col("n_exact"),
+        least(est: _*).as("cms_est"))
+      .orderBy(desc("n_exact"), asc("token"))
+  }
+
+  val q152Sql: String =
+    """WITH t AS (
+      | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+      |cell AS (
+      | SELECT r.r AS r,
+      |   CAST(md5_number_upper('cms' || r.r || ':' || tok) % 512 AS BIGINT) AS b,
+      |   SUM(cnt) AS cell
+      | FROM c CROSS JOIN range(0, 4) r(r)
+      | GROUP BY 1, 2),
+      |top AS (SELECT tok AS token, cnt AS n_exact FROM c
+      |        ORDER BY cnt DESC, tok LIMIT 20)
+      |SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+      | CAST(MIN(cell.cell) AS BIGINT) AS cms_est
+      |FROM top CROSS JOIN range(0, 4) rr(r)
+      |JOIN cell ON cell.r = rr.r
+      |  AND cell.b = CAST(md5_number_upper('cms' || rr.r || ':' || token) % 512 AS BIGINT)
+      |GROUP BY token, n_exact
+      |ORDER BY n_exact DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_cms_estimates" -> (q152 _),
     "q129_quality_ensemble" -> (q129 _),
     "q127_dup_substring_cut" -> (q127 _),
     "q126_dup_substring_coverage" -> (q126 _),
@@ -2382,6 +2448,7 @@ object CorpusQueries {
     s"SELECT * FROM '/root/repo/goldens/$name.parquet'"
 
   val oracles: Map[String, String] = Map(
+    "q152_cms_estimates" -> q152Sql,
     "q113_kmv_overlap" -> q113Sql,
     "q83_bpe_train" -> goldenSql("q83_bpe_train"),
     "q84_bpe_encode" -> goldenSql("q84_bpe_encode"),

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFns
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over `documents` (the
@@ -619,7 +619,152 @@ object TextQueries {
       |FROM qd LEFT JOIN rem USING (doc_id)
       |GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  /** q149 — Gopher-style repetition filter signals (Rae et al. 2021,
+    * Table A1): the word-n-gram half of the repetition family — q44
+    * covers single-token repetition and q93 the top BIGRAM; this adds
+    * the top-{3,4}-gram character fractions and the duplicate-{5,10}-gram
+    * occurrence fractions, plus the combined pass/fail gate. (Gopher's
+    * line-based signals have no analog here: this corpus has no
+    * newlines — q50/q124 run the segment-level equivalent.)
+    *
+    * Scale shape: ONE explode keyed (doc_id, n, gram) — all four gram
+    * sizes ride one map-side-combined shuffle — then a (doc_id, n)
+    * rollup carrying total grams, distinct grams, and the argmax gram
+    * via `min(struct(-c, gram))` (q93's deterministic tie rule), pivoted
+    * to one row per doc. No window, no self-join; gram cardinality per
+    * doc is ~4·|tokens|. Sub-n-word docs contribute an empty gram array
+    * (guarded — `sequence(1, size-n+1)` DESCENDS when size < n, the r10
+    * advice crash class) and emit 0.0 fractions like the oracle's empty
+    * ranges. Fractions are single IEEE divisions of integer-derived
+    * values rounded to 4 (the q117 rule); thresholds are Gopher's where
+    * given (top-3 ≤ 0.18, top-4 ≤ 0.16) and documented adaptations for
+    * the occurrence-fraction variant of the dup-gram signals
+    * (dup-5 ≤ 0.30, dup-10 ≤ 0.10 — Gopher's char-fraction form needs
+    * interval union, which q126 provides corpus-wide).
+    */
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+    val grams = toks
+      .select(col("doc_id"), explode(lit(Array(3, 4, 5, 10))).as("n"), col("w"))
+      .select(col("doc_id"), col("n"), explode(expr(
+        """CASE WHEN size(w) >= n
+          |     THEN transform(sequence(1, size(w) - n + 1),
+          |                    i -> array_join(slice(w, i, n), ' '))
+          |     ELSE array() END""".stripMargin)).as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val perN = grams.groupBy("doc_id", "n")
+      .agg(sum("c").as("tot"), count(lit(1)).as("dis"),
+        min(struct((-col("c")).as("nc"), col("g"))).as("m"))
+      .select(col("doc_id"), col("n"), col("tot"), col("dis"),
+        (-col("m.nc")).as("topc"), length(col("m.g")).cast("long").as("topl"))
+    val wide = perN.groupBy("doc_id").pivot("n", Seq(3, 4, 5, 10))
+      .agg(first("tot").as("tot"), first("dis").as("dis"),
+        first("topc").as("topc"), first("topl").as("topl"))
+    val chars = toks.select(col("doc_id"),
+      length(concat_ws(" ", col("w"))).cast("long").as("nch"))
+    def frac(num: Column, den: Column): Column =
+      round(coalesce(num.cast("double") / den.cast("double"), lit(0.0)), 4)
+    chars.join(wide, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        frac(col("3_topc") * col("3_topl"), col("nch")).as("top3_frac"),
+        frac(col("4_topc") * col("4_topl"), col("nch")).as("top4_frac"),
+        frac(col("5_tot") - col("5_dis"), col("5_tot")).as("dup5_frac"),
+        frac(col("10_tot") - col("10_dis"), col("10_tot")).as("dup10_frac"))
+      .withColumn("gopher_ok",
+        col("top3_frac") <= 0.18 && col("top4_frac") <= 0.16 &&
+          col("dup5_frac") <= 0.30 && col("dup10_frac") <= 0.10)
+      .orderBy("doc_id")
+  }
+
+  val q149Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id, n.n AS n,
+      |  unnest(list_transform(range(1, len(w) - n.n + 2),
+      |         i -> array_to_string(w[i:i+n.n-1], ' '))) AS g
+      | FROM w, (VALUES (3), (4), (5), (10)) n(n)),
+      |c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY ALL),
+      |p0 AS (
+      | SELECT doc_id, n, SUM(c) AS tot, COUNT(*) AS dis
+      | FROM c GROUP BY doc_id, n),
+      |tg AS (
+      | SELECT doc_id, n, c AS topc, len(g) AS topl FROM (
+      |   SELECT doc_id, n, g, c,
+      |     row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn
+      |   FROM c) r WHERE rn = 1),
+      |p AS (
+      | SELECT p0.doc_id, p0.n, p0.tot, p0.dis, tg.topc, tg.topl
+      | FROM p0 JOIN tg USING (doc_id, n)),
+      |ch AS (SELECT doc_id, len(array_to_string(w, ' ')) AS nch FROM w),
+      |wide AS (
+      | SELECT ch.doc_id, ch.nch,
+      |  MAX(CASE WHEN n = 3 THEN topc * topl END) AS t3,
+      |  MAX(CASE WHEN n = 4 THEN topc * topl END) AS t4,
+      |  MAX(CASE WHEN n = 5 THEN tot - dis END) AS d5n,
+      |  MAX(CASE WHEN n = 5 THEN tot END) AS d5d,
+      |  MAX(CASE WHEN n = 10 THEN tot - dis END) AS d10n,
+      |  MAX(CASE WHEN n = 10 THEN tot END) AS d10d
+      | FROM ch LEFT JOIN p ON ch.doc_id = p.doc_id
+      | GROUP BY ch.doc_id, ch.nch)
+      |SELECT doc_id,
+      | COALESCE(round(CAST(t3 AS DOUBLE) / nch, 4), 0.0) AS top3_frac,
+      | COALESCE(round(CAST(t4 AS DOUBLE) / nch, 4), 0.0) AS top4_frac,
+      | COALESCE(round(CAST(d5n AS DOUBLE) / d5d, 4), 0.0) AS dup5_frac,
+      | COALESCE(round(CAST(d10n AS DOUBLE) / d10d, 4), 0.0) AS dup10_frac,
+      | (COALESCE(round(CAST(t3 AS DOUBLE) / nch, 4), 0.0) <= 0.18
+      |  AND COALESCE(round(CAST(t4 AS DOUBLE) / nch, 4), 0.0) <= 0.16
+      |  AND COALESCE(round(CAST(d5n AS DOUBLE) / d5d, 4), 0.0) <= 0.30
+      |  AND COALESCE(round(CAST(d10n AS DOUBLE) / d10d, 4), 0.0) <= 0.10)
+      |   AS gopher_ok
+      |FROM wide ORDER BY doc_id""".stripMargin
+
+  /** q150 — tokenizer fertility by language: subword tokens per
+    * whitespace word and characters per subword token, grouped by the
+    * `lang` column (the standard tokenizer-equity audit — a tokenizer
+    * whose fertility is 2× higher for one language makes that
+    * language's text 2× more expensive to train on). Subword tokens
+    * are q20's BPE-ish regex class ([[TextFns.bpeTokenCount]] — letter
+    * runs / digit runs / single non-alphanumerics, so CJK text
+    * tokenizes per character and its fertility is honestly high).
+    * ONE map-side-combined 5-group aggregation of three integer sums;
+    * the two ratios are single IEEE divisions rounded to 4.
+    */
+  def q150(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nw"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+        sum("nt").as("n_subword_tokens"), sum("nc").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_subword_tokens"),
+        round(col("n_subword_tokens").cast("double")
+          / col("n_words").cast("double"), 4).as("fertility"),
+        round(col("n_chars").cast("double")
+          / col("n_subword_tokens").cast("double"), 4).as("chars_per_token"))
+      .orderBy("lang")
+
+  val q150Sql: String =
+    """WITH t AS (
+      | SELECT lang,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS nw,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS nt,
+      |  length(text) AS nc
+      | FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
+      | CAST(SUM(nt) AS BIGINT) AS n_subword_tokens,
+      | round(CAST(SUM(nt) AS DOUBLE) / SUM(nw), 4) AS fertility,
+      | round(CAST(SUM(nc) AS DOUBLE) / SUM(nt), 4) AS chars_per_token
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_gopher_repetition" -> (q149 _),
+    "q150_token_fertility" -> (q150 _),
     "q132_script_mix" -> (q132 _),
     "q130_normalize_text" -> (q130 _),
     "q124_indoc_dedup" -> (q124 _),
@@ -641,6 +786,8 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q149_gopher_repetition" -> q149Sql,
+    "q150_token_fertility" -> q150Sql,
     "q132_script_mix" -> q132Sql,
     "q130_normalize_text" -> q130Sql,
     "q124_indoc_dedup" -> q124Sql,

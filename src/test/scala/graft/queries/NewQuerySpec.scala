@@ -353,4 +353,87 @@ class NewQuerySpec extends AnyFunSuite {
     }
     assert(got.keySet == byLabel.keySet)
   }
+
+  test("q149: repetition signals agree with a driver-side replay on every doc") {
+    val got = TextQueries.q149(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == docs.map(_._1).toSet)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val w = text.trim.toLowerCase.split("\\s+").toSeq
+      val nch = w.mkString(" ").length.toLong
+      def grams(n: Int): Seq[String] =
+        if (w.length < n) Seq.empty else w.sliding(n).map(_.mkString(" ")).toSeq
+      def topFrac(n: Int): Double = {
+        val g = grams(n)
+        if (g.isEmpty) 0.0
+        else {
+          val counts = g.groupBy(identity).view.mapValues(_.size.toLong)
+          val (gram, c) = counts.toSeq.minBy { case (s, c) => (-c, s) }
+          r4(c.toDouble * gram.length / nch)
+        }
+      }
+      def dupFrac(n: Int): Double = {
+        val g = grams(n)
+        if (g.isEmpty) 0.0
+        else r4((g.size - g.distinct.size).toDouble / g.size)
+      }
+      val want = (topFrac(3), topFrac(4), dupFrac(5), dupFrac(10))
+      val ok = want._1 <= 0.18 && want._2 <= 0.16 &&
+        want._3 <= 0.30 && want._4 <= 0.10
+      assert(got(id) == ((want._1, want._2, want._3, want._4, ok)),
+        s"doc $id: got ${got(id)}, want $want ok=$ok")
+    }
+  }
+
+  test("q149: sub-n-word docs emit zero fractions, not a crash") {
+    // the r10 advice crash class: sequence(1, size-n+1) descends when
+    // size < n — a 2-word doc must flow through every gram size
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q149short").toString
+    Seq((1L, "one two", "en", "src0", 7L),
+      (2L, "a a a a a a a a a a a a", "en", "src0", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextQueries.q149(spark, tmp).collect()
+    val short = rows.find(_.getLong(0) == 1L).get
+    assert((1 to 4).forall(i => short.getDouble(i) == 0.0) && short.getBoolean(5))
+    val rep = rows.find(_.getLong(0) == 2L).get
+    // 12x "a": top 3-gram "a a a" covers 10*5/23 chars; 7 of 8 5-grams
+    // and 2 of 3 10-grams are duplicates
+    assert(rep.getDouble(1) == BigDecimal(50.0 / 23)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rep.getDouble(3) == 0.875 && rep.getDouble(4) == BigDecimal(2.0 / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!rep.getBoolean(5))
+  }
+
+  test("q150: fertility replays from q20's per-doc counts; zh pays per-char") {
+    val perDoc = TextQueries.q20(spark, dir)
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .collect()
+      .map(r => (r.getString(4), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = perDoc.groupBy(_._1).view.mapValues { rs =>
+      val (nw, nt, nc) = (rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+      (rs.size.toLong, nw, nt,
+        BigDecimal(nt.toDouble / nw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(nc.toDouble / nt).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = TextQueries.q150(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == want)
+    // the synthetic corpus is ASCII in every lang (fertility ~1.0); pin
+    // the per-char CJK behavior on crafted text instead
+    import spark.implicits._
+    val cjk = Seq("深度 学习 模型", "deep learning models").toDF("text")
+      .select(graft.functions.TextFns.bpeTokenCount(col("text")).as("nt"))
+      .collect().map(_.getInt(0))
+    assert(cjk(0) == 6 && cjk(1) == 3,
+      s"CJK must tokenize per character: got ${cjk.toSeq}")
+  }
 }
