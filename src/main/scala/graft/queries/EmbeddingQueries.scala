@@ -1181,7 +1181,97 @@ object EmbeddingQueries {
        |FROM o, nq ORDER BY dim""".stripMargin
   }
 
+  /** q151 — cluster topic keywords (c-TF-IDF, the BERTopic labeling
+    * step): embeddings are clustered by the fixed-point integer
+    * [[graft.operators.KMeans]] (k=8 — the same deterministic quantizer
+    * that gave q34/q92 exact oracles), every document's tokens are
+    * credited to its vector's cluster, and each cluster's top-5 terms
+    * by `tf_c · D / df` are reported — the human-readable answer to
+    * "what IS this cluster?" after any semantic grouping (q99's dedup
+    * clusters, mixture analysis, topic browsing).
+    *
+    * Engine-parity rules in force: the idf factor is the RATIONAL D/df
+    * (q117's no-transcendental rule — `ln` rounds differently across
+    * libm implementations; ln is monotone in D/df so the RANKING is
+    * identical to log-idf's), the score is ONE IEEE division of
+    * integer-derived values, and ties break on token asc.
+    *
+    * Scale shape: assignment is the map-only codegen argmin
+    * ([[graft.operators.KMeans.withCluster]] — no corpus self-join);
+    * token credit is a doc-keyed equi-join; tf and df are map-side-
+    * combined aggs keyed (cluster, token) / token; the top-5 rides the
+    * bounded-heap [[graft.functions.TopKRows]] so the exchange ships
+    * 5-entry heaps per cluster, never the vocab (a per-cluster window
+    * over billions of (cluster, token) rows is exactly what q78
+    * exists to avoid). Oracle: the q34 kmeans-chain replay (train +
+    * assign) composed with the token aggregation and a window top-5.
+    */
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.operators.KMeans.fit(emb, k = 8, iterations = 3).model
+    val asg = graft.operators.KMeans.withCluster(emb, model)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+    val dCount = docs.agg(count(lit(1)).as("d"))
+    val dfT = toks.groupBy("t").agg(countDistinct("doc_id").as("df"))
+    val tf = toks.join(asg, "doc_id")
+      .groupBy(col("cluster"), col("t")).agg(count(lit(1)).as("tf"))
+    tf.join(dfT, "t").crossJoin(broadcast(dCount))
+      .select(col("cluster"),
+        struct(
+          (-((col("tf") * col("d")).cast("double") / col("df").cast("double")))
+            .as("ns"),
+          col("t").as("t"), col("tf").as("tf")).as("key"))
+      .groupBy("cluster")
+      .agg(graft.functions.TopKRows(s, col("key"), 5).as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("r0", "kv")))
+      .select(col("cluster"), (col("r0") + 1).cast("int").as("rank"),
+        col("kv.t").as("token"), col("kv.tf").as("tf"),
+        round(-col("kv.ns"), 4).as("score"))
+      .orderBy("cluster", "rank")
+  }
+
+  val q151Sql: String = {
+    val cents = graft.operators.KMeans.kmeansCentroidsSql(
+      "embeddings", "vec_id", "embedding", k = 8, iterations = 3)
+    s"""WITH cents AS (
+       |$cents
+       |),
+       |fx2 AS (
+       | SELECT vec_id, CAST(d AS INTEGER) AS d,
+       |   CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000) AS BIGINT) AS v
+       | FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)),
+       |asg AS (
+       | SELECT vec_id, cid FROM (
+       |   SELECT vec_id, cid,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |   FROM (SELECT f.vec_id, c.cid, SUM((f.v - c.v)*(f.v - c.v)) AS dist
+       |         FROM fx2 f JOIN cents c ON f.d = c.d
+       |         GROUP BY f.vec_id, c.cid) dd) r WHERE rn = 1),
+       |tok AS (
+       | SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       | FROM documents),
+       |dn AS (SELECT COUNT(*) AS d FROM documents),
+       |dft AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+       |tf AS (
+       | SELECT asg.cid AS cluster, tok.t AS t, COUNT(*) AS tf
+       | FROM tok JOIN asg ON tok.doc_id = asg.vec_id GROUP BY 1, 2),
+       |sc AS (
+       | SELECT cluster, t, tf, CAST(tf * dn.d AS DOUBLE) / dft.df AS score
+       | FROM tf JOIN dft USING (t), dn),
+       |r AS (
+       | SELECT cluster, t, tf, score,
+       |   row_number() OVER (PARTITION BY cluster ORDER BY score DESC, t) AS rank
+       | FROM sc)
+       |SELECT CAST(cluster AS INTEGER) AS cluster, CAST(rank AS INTEGER) AS rank,
+       | t AS token, CAST(tf AS BIGINT) AS tf, round(score, 4) AS score
+       |FROM r WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_cluster_topics" -> (q151 _),
     "q147_matryoshka_eval" -> (q147 _),
     "q146_ivf_merge" -> (q146 _),
     "q144_ann_recall" -> (q144 _),
@@ -1210,6 +1300,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q151_cluster_topics" -> q151Sql,
     "q147_matryoshka_eval" -> q147Sql,
     "q146_ivf_merge" -> q146Sql,
     "q144_ann_recall" -> q144Sql,

@@ -94,6 +94,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q151: top-5 per cluster rides the heap aggregate — no Window over the vocab") {
+    val p = plan("q151_cluster_topics")
+    assert(!p.contains("Window"), "per-cluster top-k must not window-sort the vocab")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q75/q80/q81: group-stat and vocab lookups broadcast, never shuffle the corpus side") {
     Seq("q75_adaptive_filter", "q80_group_zscore", "q81_token_ids").foreach { q =>
       val p = plan(q)

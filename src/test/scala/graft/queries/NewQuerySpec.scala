@@ -412,6 +412,39 @@ class NewQuerySpec extends AnyFunSuite {
     assert(!rep.getBoolean(5))
   }
 
+  test("q151: cluster keywords replay from an independent driver-side c-TF-IDF") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val model = graft.operators.KMeans.fit(emb, 8, 3).model
+    val cluster = graft.operators.KMeans.assign(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      (id, t.trim.toLowerCase.split("\\s+").toSeq)
+    }
+    val dTotal = docs.length.toLong
+    val df = toks.flatMap { case (id, w) => w.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tf = toks.flatMap { case (id, w) => w.map(t => (cluster(id), t)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = tf.toSeq.map { case ((c, t), f) =>
+      (c, t, f, (f * dTotal).toDouble / df(t))
+    }.groupBy(_._1).view.mapValues { rows =>
+      rows.sortBy { case (_, t, _, s) => (-s, t) }.take(5)
+        .zipWithIndex.map { case ((_, t, f, s), i) => (i + 1, t, f, r4(s)) }
+    }.toMap
+    val got = EmbeddingQueries.q151(spark, dir).collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (c, rows) =>
+      assert(got(c) == rows, s"cluster $c: got ${got(c)}, want $rows")
+    }
+  }
+
   test("q150: fertility replays from q20's per-doc counts; zh pays per-char") {
     val perDoc = TextQueries.q20(spark, dir)
       .join(graft.Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
