@@ -349,6 +349,53 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming Count-Min frequency state: each micro-batch builds ONE
+    * [[graft.functions.CountMin]] sketch (d·w longs through the
+    * exchange, never the token universe) and elementwise-ADDS it into a
+    * persistent sketch. Because CMS merge is a plain commutative sum —
+    * unlike [[streamingTrendingTerms]]'s Misra–Gries state, whose
+    * trim-on-merge makes estimates batch-boundary-dependent — the
+    * persistent sketch after ANY batch split is bit-identical to the
+    * one-pass batch sketch over the same rows (pinned in
+    * DocStreamsSpec), so whole-stream point estimates keep the exact
+    * single-pass CMS guarantee. The sink receives per-batch estimates
+    * for the caller's watch-list of keys (the production shape: point
+    * lookups against 16 KB of state, no count table).
+    */
+  def streamingCmsCounts(incoming: DataFrame, stateDir: String,
+                         textCol: String, depth: Int, width: Int,
+                         watch: Seq[String], checkpoint: String)
+                        (sink: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val row = batch.toDF()
+          .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+          .agg(graft.functions.CountMin(s, col("tok"), depth, width).as("cms"))
+          .collect()(0)
+        val batchSketch: Array[Long] =
+          if (row.isNullAt(0)) new Array[Long](depth * width)
+          else row.getSeq[Long](0).toArray
+        val prior: Array[Long] =
+          try s.read.parquet(stateDir).as[(Int, Long)].collect()
+            .sortBy(_._1).map(_._2)
+          catch { // first batch: no state yet
+            case _: org.apache.spark.sql.AnalysisException =>
+              new Array[Long](depth * width)
+          }
+        val merged = prior.indices.map(i => prior(i) + batchSketch(i)).toArray
+        sink(watch.map { k =>
+          (batchId, k,
+            graft.functions.CountMin.estimate(merged, k, depth, width))
+        }.toDF("batch_id", "token", "est_count"))
+        merged.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("cell", "count")
+          .coalesce(1).write.mode("overwrite").parquet(stateDir)
+      }
+      .start()
+
   /** `stateTtl`: evict a bucket's occupants after this much processing
     * time without new arrivals. None = keep forever (drain-style runs,
     * e.g. Trigger.AvailableNow over a bounded backlog); endless streams

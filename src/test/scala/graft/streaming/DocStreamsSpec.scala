@@ -51,6 +51,53 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(state == Map("a" -> 3L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
   }
 
+  test("streaming CMS state equals the one-pass batch sketch, exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tmp = Files.createTempDirectory("cmsstream").toFile.getAbsolutePath
+    def write(path: String, rows: Row*): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.parquet(path)
+    write(s"$tmp/src/b1", Row(1L, "a a b c"), Row(2L, "b d"))
+    write(s"$tmp/src/b2", Row(3L, "a b e"), Row(4L, "a"))
+    val depth = 4
+    val width = 8 // tiny → real collisions cross batch boundaries
+
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, String, Long)]]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingCmsCounts(
+      stream, s"$tmp/state", "text", depth, width,
+      watch = Seq("a", "b", "zz"), checkpoint = s"$tmp/ckpt") { df =>
+      perBatch += df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    // the commutative-sum property: persistent state after two batches
+    // == the one-pass sketch over all rows (bit-for-bit, no bound slack)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val allToks = Seq("a a b c", "b d", "a b e", "a").toDF("text")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val onePass = allToks
+      .agg(graft.functions.CountMin(spark, col("tok"), depth, width))
+      .head().getSeq[Long](0).toArray
+    val state = spark.read.parquet(s"$tmp/state")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(state.sameElements(onePass),
+      "streamed state must equal the one-pass batch sketch")
+    // watch-list estimates: final batch reflects the full stream; CMS
+    // never undercounts (a=4, b=3, zz=0+collisions)
+    val fin = perBatch.last.map(t => t._2 -> t._3).toMap
+    assert(fin("a") >= 4L && fin("b") >= 3L)
+    assert(fin("a") == graft.functions.CountMin.estimate(onePass, "a", depth, width))
+  }
+
   test("streaming trending terms: MG bound holds under trimming") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
