@@ -1270,7 +1270,77 @@ object EmbeddingQueries {
        |FROM r WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin
   }
 
+  /** q153 — semi-supervised label propagation over the exact embedding
+    * near-dup graph ([[graft.operators.LabelProp]]): every fifth vector
+    * keeps its gold label as a clamped seed; three synchronous
+    * majority-vote rounds spread labels along q36's τ=0.45 edges; the
+    * output reports every vector's final label and how it got it
+    * (seed / propagated / unlabeled). The weak-supervision primitive:
+    * a few thousand human quality/domain labels become corpus-wide
+    * labels by riding similarity structure instead of training a model.
+    *
+    * Deterministic by construction — synchronous rounds, clamped
+    * seeds, majority with ties to the smallest label, integer counts —
+    * so the oracle unrolls the three rounds as CTEs over the same brute
+    * pair set (q30's cosine expression) and replays the propagation
+    * bit-for-bit. Per-round cost is one |E|-bounded equi-join + a
+    * map-side-combined (node, label) count; no windows, no driver
+    * state (scale notes on the operator).
+    */
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = graft.operators.Dedup
+      .embedNearDup(emb, "vec_id", "embedding", 0.45)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val seeds = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("v"), col("label"))
+    val prop = graft.operators.LabelProp.propagate(pairs, seeds, iters = 3)
+    emb.select(col("vec_id"))
+      .join(prop.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        when(col("vec_id") % 5 === 0, lit("seed"))
+          .when(col("label").isNotNull, lit("propagated"))
+          .otherwise(lit("unlabeled")).as("status"))
+      .orderBy("vec_id")
+  }
+
+  val q153Sql: String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a.e) + 1), i -> $a.e[i] * $b.e[i]))
+         |  / (sqrt(list_sum(list_transform(range(1, len($a.e) + 1), i -> $a.e[i] * $a.e[i])))
+         |     * sqrt(list_sum(list_transform(range(1, len($b.e) + 1), i -> $b.e[i] * $b.e[i]))))""".stripMargin
+    def round(i: Int): String =
+      s"""c$i AS (SELECT e.src AS node, l.label, COUNT(*) AS c
+         |        FROM e JOIN l${i - 1} l ON e.dst = l.vv GROUP BY 1, 2),
+         |m$i AS (SELECT node, label FROM (
+         |   SELECT node, label,
+         |     row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |   FROM c$i) r WHERE rn = 1),
+         |l$i AS (SELECT vv, label FROM seeds UNION ALL
+         |        SELECT node AS vv, label FROM m$i
+         |        WHERE node NOT IN (SELECT vv FROM seeds)),""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
+       |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |      WHERE ${cos("a", "b")} >= 0.45),
+       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+       |seeds AS (SELECT vec_id AS vv, label FROM embeddings WHERE vec_id % 5 = 0),
+       |l0 AS (SELECT vv, label FROM seeds),
+       |${round(1)}
+       |${round(2)}
+       |${round(3)}
+       |fin AS (SELECT vv, label FROM l3)
+       |SELECT emb.vec_id, fin.label,
+       | CASE WHEN emb.vec_id % 5 = 0 THEN 'seed'
+       |      WHEN fin.label IS NOT NULL THEN 'propagated'
+       |      ELSE 'unlabeled' END AS status
+       |FROM embeddings emb LEFT JOIN fin ON emb.vec_id = fin.vv
+       |ORDER BY emb.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_label_propagation" -> (q153 _),
     "q151_cluster_topics" -> (q151 _),
     "q147_matryoshka_eval" -> (q147 _),
     "q146_ivf_merge" -> (q146 _),
@@ -1300,6 +1370,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q153_label_propagation" -> q153Sql,
     "q151_cluster_topics" -> q151Sql,
     "q147_matryoshka_eval" -> q147Sql,
     "q146_ivf_merge" -> q146Sql,
