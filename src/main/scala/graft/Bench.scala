@@ -89,7 +89,9 @@ object Bench {
     "q138_longest_dup_substring", "q139_phrase_search",
     "q140_tfidf_neardup", "q141_scd2_asof_enrich", "q142_index_merge",
     "q143_dedup_cut", "q144_ann_recall", "q145_dedup_sweep",
-    "q146_ivf_merge", "q147_matryoshka_eval", "q148_dedup_quality_audit")
+    "q146_ivf_merge", "q147_matryoshka_eval", "q148_dedup_quality_audit",
+    "q149_gopher_repetition", "q150_token_fertility", "q151_cluster_topics",
+    "q152_cms_estimates", "q153_label_propagation", "q154_gap_fill")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this
@@ -208,7 +210,10 @@ object Bench {
         // the 10x build cost landed on it while the 1x build landed on
         // q137 (attribution skew, not a scaling regression)
         "q137_suffix_array", "q138_longest_dup_substring",
-        "q140_tfidf_neardup", "q139_phrase_search")
+        "q140_tfidf_neardup", "q139_phrase_search",
+        // r11 second half: the 4-gram-size repetition explode and the
+        // near-dup-graph label propagation (|E|-bounded rounds)
+        "q149_gopher_repetition", "q153_label_propagation")
       try {
         ScaleData.ensure(spark, sfDir, scaledDir, factor)
         val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }.toMap

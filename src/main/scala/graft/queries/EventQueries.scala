@@ -593,7 +593,79 @@ object EventQueries {
       |   ORDER BY event_id)) AS decay_score
       |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q154 — time-series gap fill + forward fill: each sampled user's
+    * hourly activity is densified to a complete hour grid between that
+    * user's first and last event, absent hours are FILLED with the last
+    * observed hourly sum carried forward (the standard
+    * state-metric/resample treatment before any per-hour model sees the
+    * series — a learner reading the sparse table would silently treat
+    * "no row" as "no signal"). Output: the grid row, the raw hour's
+    * sum (NULL on gaps), the carried value, and the filled flag.
+    *
+    * Determinism: the hourly sum uses the decimal-sum pattern (q16's
+    * dec6 rule) so the carried double is bit-identical in both engines;
+    * the user sample is the deterministic `user_id % 20` cut (the q42
+    * content-keyed principle — no RNG).
+    *
+    * Scale shape: the grid explodes map-side from each user's (min,
+    * max) hour pair — never a global calendar cross join; the observed
+    * join is a (user, hour) equi-join; the forward-fill window is
+    * per-user ordered by hour, bounded by one user's activity span
+    * (the q56 lag/lead discipline: a user's history fits a partition;
+    * billions of USERS distribute, hours per user do not explode).
+    */
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") % 20 === 0)
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec6)).cast("double").as("sum_value"))
+    val grid = ev
+      .groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("ffill_value", last(col("sum_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_value"), col("ffill_value"),
+        col("sum_value").isNull.as("filled"))
+      .orderBy("user_id", "hour")
+  }
+
+  val q154Sql: String =
+    """WITH ev AS (
+      | SELECT user_id, ts, value FROM events WHERE user_id % 20 = 0),
+      |hourly AS (
+      | SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      | FROM ev GROUP BY 1, 2),
+      |grid AS (
+      | SELECT user_id,
+      |  unnest(generate_series(date_trunc('hour', MIN(ts)),
+      |                         date_trunc('hour', MAX(ts)),
+      |                         INTERVAL 1 HOUR)) AS hour
+      | FROM ev GROUP BY user_id),
+      |j AS (
+      | SELECT g.user_id, g.hour, h.n_events, h.sum_value
+      | FROM grid g LEFT JOIN hourly h
+      |   ON g.user_id = h.user_id AND g.hour = h.hour)
+      |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M') AS hour,
+      | COALESCE(n_events, 0) AS n_events, sum_value,
+      | last_value(sum_value IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY hour
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+      | sum_value IS NULL AS filled
+      |FROM j ORDER BY user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_gap_fill" -> (q154 _),
     "q134_decay_score" -> (q134 _),
     "q125_snapshot_diff" -> (q125 _),
     "q120_markov_transitions" -> (q120 _),
@@ -612,6 +684,7 @@ object EventQueries {
     "q79_share_of_user" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    "q154_gap_fill" -> q154Sql,
     "q134_decay_score" -> q134Sql,
     "q125_snapshot_diff" -> q125Sql,
     "q120_markov_transitions" -> q120Sql,

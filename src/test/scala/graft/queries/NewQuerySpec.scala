@@ -445,6 +445,38 @@ class NewQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q154: grid is gapless per user; fills flag correctly; ffill carries last observed") {
+    val rows = EventQueries.q154(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val hours = rs.map(t => java.time.LocalDateTime.parse(t._2, fmt)).sorted
+      // contiguous hour grid: every step is exactly +1h
+      hours.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(java.time.Duration.between(pair(0), pair(1)).toHours == 1,
+          s"user $u: gap between ${pair(0)} and ${pair(1)} survived the fill")
+      }
+      // endpoints are observed (grid spans first..last event)
+      assert(!rs.minBy(_._2)._6 && !rs.maxBy(_._2)._6)
+      // forward fill: carried value == last non-null sum at or before
+      var carry: Option[Double] = None
+      rs.sortBy(_._2).foreach { case (_, h, n, sv, fv, filled) =>
+        assert(filled == sv.isEmpty, s"user $u $h: filled flag")
+        assert(filled == (n == 0L), s"user $u $h: n_events vs filled")
+        if (sv.nonEmpty) carry = sv
+        assert(fv == carry, s"user $u $h: ffill $fv != last observed $carry")
+      }
+    }
+    // fills add no events: grid totals == raw sampled event count
+    val rawN = graft.Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0).count()
+    assert(rows.map(_._3).sum == rawN)
+  }
+
   test("q150: fertility replays from q20's per-doc counts; zh pays per-char") {
     val perDoc = TextQueries.q20(spark, dir)
       .join(graft.Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
