@@ -5,12 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Query inventory (operator coverage mapping lives beside each query):
-  *  - q01–q15 relational   (SURVEY §2.1–§2.7)  → RelationalQueries
-  *  - q16–q18, q40 events  (SURVEY §2.9 batch) → EventQueries
-  *  - q19–q26, q35, q37–q38 text/dedup (§7.4)  → TextQueries
-  *  - q27–q34, q36, q41 embeddings     (§7.4)  → EmbeddingQueries
-  *  - q42–q48 corpus prep              (§7.4)  → CorpusQueries
+  * Query inventory (operator coverage mapping lives beside each query;
+  * the full op → gate table is QUERIES.md):
+  *  - relational / SCD2 / as-of / CDC            → RelationalQueries
+  *  - events, windows, sessionization, gap fill  → EventQueries
+  *  - text analysis + dedup families             → TextQueries
+  *  - embeddings, ANN/IVF lifecycle, k-means,
+  *    label propagation, cluster topics          → EmbeddingQueries
+  *  - corpus prep, sketches, BPE, mixing, packs  → CorpusQueries
+  *  - suffix array / inverted index lifecycles   → IndexQueries
   */
 object SparkEntry {
 

@@ -279,6 +279,76 @@ object TextQueries {
       |SELECT a AS doc_id, MIN(b) AS cluster_id
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** q155 — dedup savings report: the numbers a pipeline owner reads
+    * BEFORE applying q38's clusters — per cluster size: how many
+    * clusters, how many documents a keep-min-id policy deletes, and how
+    * many tokens that deletion saves. (q145 sweeps the threshold; q148
+    * audits quality bias; this prices the chosen threshold in storage/
+    * compute terms.) All-integer — COUNT/SUM over the cluster table —
+    * so the oracle extends q38's recursive-closure replay with the
+    * token sums and matches exactly.
+    *
+    * Scale shape: cluster-keyed and then size-keyed map-side-combined
+    * aggregations over the (doc, cluster) table and one doc-keyed
+    * equi-join for token counts; output is one row per DISTINCT cluster
+    * size. Nothing touches the pair set beyond what q38 already built.
+    */
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cl = Dedup.dedupClusters(docs, "doc_id", "text", 3, 0.7)
+    val ntok = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+    val sizes = cl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val removedTok = cl.filter(col("doc_id") =!= col("cluster_id"))
+      .join(ntok, "doc_id")
+      .groupBy("cluster_id").agg(sum("nt").as("rt"))
+    sizes.join(removedTok, Seq("cluster_id"), "left")
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(coalesce(col("rt"), lit(0L))).as("tokens_removed"))
+      .select(col("cluster_size"), col("n_clusters"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removed"),
+        col("tokens_removed"))
+      .orderBy("cluster_size")
+  }
+
+  val q155Sql: String =
+    """WITH RECURSIVE t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)),
+      |p AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM t a, t b
+      | WHERE a.doc_id < b.doc_id
+      |   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7),
+      |e AS (
+      | SELECT doc_a AS a, doc_b AS b FROM p
+      | UNION SELECT doc_b, doc_a FROM p
+      | UNION SELECT doc_id, doc_id FROM documents),
+      |reach(a, b) AS (
+      | SELECT a, b FROM e
+      | UNION
+      | SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |cl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+      |nt AS (SELECT doc_id,
+      |        len(string_split_regex(lower(trim(text)), '\s+')) AS nt
+      |       FROM documents),
+      |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1),
+      |rt AS (SELECT cl.cluster_id, SUM(nt.nt) AS rt
+      |       FROM cl JOIN nt USING (doc_id)
+      |       WHERE cl.doc_id <> cl.cluster_id GROUP BY 1)
+      |SELECT sz.cluster_size, COUNT(*) AS n_clusters,
+      | CAST((sz.cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removed,
+      | CAST(COALESCE(SUM(rt.rt), 0) AS BIGINT) AS tokens_removed
+      |FROM sz LEFT JOIN rt USING (cluster_id)
+      |GROUP BY sz.cluster_size ORDER BY cluster_size""".stripMargin
+
   /** q37 — PII redaction (emails / SSNs / US phones → typed placeholders):
     * training-data scrubbing as a codegen'd regexp_replace chain; the
     * oracle replays the identical patterns (shared Java-regex/RE2 subset).
@@ -765,6 +835,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_gopher_repetition" -> (q149 _),
     "q150_token_fertility" -> (q150 _),
+    "q155_dedup_savings" -> (q155 _),
     "q132_script_mix" -> (q132 _),
     "q130_normalize_text" -> (q130 _),
     "q124_indoc_dedup" -> (q124 _),
@@ -788,6 +859,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q149_gopher_repetition" -> q149Sql,
     "q150_token_fertility" -> q150Sql,
+    "q155_dedup_savings" -> q155Sql,
     "q132_script_mix" -> q132Sql,
     "q130_normalize_text" -> q130Sql,
     "q124_indoc_dedup" -> q124Sql,

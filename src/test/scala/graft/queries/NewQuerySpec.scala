@@ -445,6 +445,29 @@ class NewQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q155: savings rows replay from q38's clusters and q20's token counts") {
+    val clusters = TextQueries.q38(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ntok = TextQueries.q20(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySize = clusters.groupBy(_._2).values.toSeq
+      .map(ms => (ms.size,
+        ms.count { case (d, c) => d != c },
+        ms.collect { case (d, c) if d != c => ntok(d) }.sum))
+      .groupBy(_._1).view.mapValues { cs =>
+        (cs.size.toLong, cs.map(_._2.toLong).sum, cs.map(_._3).sum)
+      }.toMap
+    val got = TextQueries.q155(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == bySize.keySet.map(_.toLong))
+    bySize.foreach { case (size, (nc, dr, tr)) =>
+      assert(got(size.toLong) == ((nc, dr, tr)), s"size $size")
+    }
+    // conservation: every document sits in exactly one counted cluster
+    assert(got.map { case (size, (nc, _, _)) => size * nc }.sum ==
+      clusters.length.toLong)
+  }
+
   test("q154: grid is gapless per user; fills flag correctly; ffill carries last observed") {
     val rows = EventQueries.q154(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
