@@ -91,7 +91,8 @@ object Bench {
     "q143_dedup_cut", "q144_ann_recall", "q145_dedup_sweep",
     "q146_ivf_merge", "q147_matryoshka_eval", "q148_dedup_quality_audit",
     "q149_gopher_repetition", "q150_token_fertility", "q151_cluster_topics",
-    "q152_cms_estimates", "q153_label_propagation", "q154_gap_fill")
+    "q152_cms_estimates", "q153_label_propagation", "q154_gap_fill",
+    "q155_dedup_savings")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this
@@ -188,7 +189,8 @@ object Bench {
     // with SPARK_GRAFT_SCALE_REHEARSAL=0.
     val rehearse = sys.env.getOrElse("SPARK_GRAFT_SCALE_REHEARSAL", "1") == "1" &&
       sfDir.endsWith("sf0.1")
-    val rehearsalJson: String = if (!rehearse) "null" else {
+    val (rehearsalJson: String, rehearsalExps: String) =
+      if (!rehearse) ("null", "null") else {
       val factor = 10
       val scaledDir = "scale/sf1"
       val names = Seq("q107_fuzzy_join", "q109_profile", "q110_triangle_count",
@@ -215,8 +217,28 @@ object Bench {
         // near-dup-graph label propagation (|E|-bounded rounds)
         "q149_gopher_repetition", "q153_label_propagation")
       try {
+        // Like-for-like q138 exponent (round-11 verdict): the adaptive
+        // LCP dispatch picks broadcast-descent at 1× and hash-walk at
+        // 10× (the 10× corpus crosses the 256 MB boundary), so the
+        // naive exponent compares two different algorithms. Pin the
+        // hash-walk path, measure a fresh 1× base under the pin (the
+        // headline SA cache is still warm, so this times the walk, not
+        // the build — matching the scaled run, which rides q137's 10×
+        // build), and keep the pin for q138's scaled run.
+        System.setProperty("graft.lcp.path", "hash")
+        val q138Pinned = {
+          val t0 = System.nanoTime()
+          val ok = runOne("q138_longest_dup_substring", sfDir)
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        // Headline-tier SA/LCP checkpoints must not sit in executor
+        // storage while the 10× runs need it (round-11: accumulated
+        // orphaned checkpoints starved q110's broadcast-heavy plan,
+        // 36.9 → 194.5 s with unchanged code).
+        graft.operators.SuffixArray.clearCaches(spark)
         ScaleData.ensure(spark, sfDir, scaledDir, factor)
-        val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }.toMap
+        val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }
+          .toMap + ("q138_longest_dup_substring" -> q138Pinned)
         val budgetNanos = 900e9.toLong
         val t0 = System.nanoTime()
         val timed = names.map { name =>
@@ -237,10 +259,13 @@ object Bench {
           }
           "\"" + k + "\":" + e
         }.mkString("{", ",", "}")
-        s"""{"factor":$factor,"queries":$ts,"exponent":$exps}"""
+        System.clearProperty("graft.lcp.path")
+        (f"""{"factor":$factor,"queries":$ts,"exponent":$exps,"q138_base_pinned_hash":$q138Pinned%.3f}""",
+          exps)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale rehearsal failed: ${e.getMessage}")
-        "null"
+        System.clearProperty("graft.lcp.path")
+        ("null", "null")
       }
     }
 
@@ -253,7 +278,20 @@ object Bench {
     val oracleList = headline.filter(oracleTier)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"oracle_tier":$oracleList,"scale_rehearsal":$rehearsalJson,"sf":"$sfDir"}"""
-    println(line)
+    // stdout gets a COMPACT line that fits the driver's ~2 KB stdout
+    // tail capture (the full line is >10 KB; every round's driver
+    // artifact through r11 recorded `parsed: null` because only a
+    // truncated suffix of it survived the capture). The compact form
+    // keeps the driver contract — one JSON line with metric/value/
+    // queries — carrying the 15 slowest queries plus the rehearsal
+    // exponents; the complete per-query data still lands in
+    // bench_out.json and the directly-written BENCH_r<N>.json.
+    val topQ = passResults.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${passResults.size},"queries":$topQ,"errors":$errs,"scale_exponent":$rehearsalExps,"sf":"$sfDir","full":"bench_out.json"}"""
+    println(compact)
     // Durability: ALWAYS persist to a repo-local file too — round 6's
     // driver artifact was tail-truncated (the JSON line outgrew the
     // driver's stdout tail capture, `parsed: null`), so the numbers

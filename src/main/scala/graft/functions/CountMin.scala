@@ -31,9 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Row hashes are oracle-replayable by construction: bucket of key t in
   * row r is `floorMod(md5Hash64("cms" + r + ":" + t), width)` —
   * [[Hashing.md5Hash64]] is bit-for-bit DuckDB `md5_number_upper`
-  * (little-endian first 8 digest bytes), so the oracle recomputes every
-  * bucket with `md5_number_upper('cms' || r || ':' || t) % width`
-  * (two's-complement-safe via a +width fixup, see q152Sql).
+  * (little-endian first 8 digest bytes), and `width` is REQUIRED to be
+  * a power of two so the JVM's `floorMod` over the signed 64-bit
+  * reinterpretation and DuckDB's unsigned `% width` both reduce to the
+  * same low bits of the digest. (For a non-power-of-two width the two
+  * conventions diverge on values with the sign bit set; the oracle
+  * replay in q152Sql carries no signed fixup, so the constructor
+  * rejects such widths rather than silently breaking parity.)
   *
   * Scale shape: Spark's partial aggregation builds per-task sketches
   * map-side and ships ONE `depth·width·8`-byte buffer per task through
@@ -54,6 +58,9 @@ case class CountMin(
 
   require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
   require(width >= 2, s"width must be >= 2, got $width")
+  require((width & (width - 1)) == 0,
+    s"width must be a power of two (oracle-replay convention: unsigned vs " +
+      s"floorMod bucket reduction only agree on low bits), got $width")
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)

@@ -252,12 +252,20 @@ object Similarity {
     *     the exchange — the only shuffle is Q·k rows).
     *
     * Returns (q_id, rank, vec_id, cos): rank 1..k by (cos desc,
-    * vec_id asc), self-matches (vec_id = q_id) excluded. Fully
-    * deterministic — exact SQL oracle (q144).
+    * vec_id asc). Fully deterministic — exact SQL oracle (q144).
+    *
+    * `excludeSelf` drops corpus rows whose vec_id equals the query's
+    * q_id — correct for self-evaluation queries (q144/q146, where the
+    * query set IS a corpus slice and the trivial self-hit would mask
+    * recall), but WRONG for an external query stream whose ids share
+    * nothing with corpus ids: a coincidental id collision would
+    * silently lose that (possibly top-1) neighbor, so
+    * [[graft.streaming.DocStreams.annSearchBatcher]] passes false.
     */
   def searchIvfBatch(index: IvfIndex, queries: DataFrame, k: Int,
                      nProbe: Int = 4, qIdCol: String = "q_id",
-                     qVecCol: String = "q_embedding"): DataFrame = {
+                     qVecCol: String = "q_embedding",
+                     excludeSelf: Boolean = true): DataFrame = {
     val spark = index.tagged.sparkSession
     import spark.implicits._
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -277,8 +285,8 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col(qIdCol), col("cid"), col(qVecCol))
-    index.tagged.join(broadcast(probes), col("cluster") === col("cid"))
-      .filter(col("vec_id") =!= col(qIdCol))
+    val scanned = index.tagged.join(broadcast(probes), col("cluster") === col("cid"))
+    (if (excludeSelf) scanned.filter(col("vec_id") =!= col(qIdCol)) else scanned)
       .select(col(qIdCol),
         struct((-CosineSimilarity(spark, col("embedding"), col(qVecCol))).as("nc"),
           col("vec_id")).as("key"))

@@ -253,9 +253,18 @@ object SuffixArray {
     * wants a fresh run rather than a cache hit — q137 invalidates
     * first so "build the index" always times a build, never a probe
     * of a prior pass's cache; consumers like q138 still reuse it).
+    *
+    * UNPERSISTS the evicted checkpoint: removing only the map entry
+    * leaks the localCheckpoint's storage blocks (round-11 postmortem —
+    * each bench pass's q137 invalidate+rebuild stranded a full
+    * corpus-sized SA in executor storage; by the 10× scale rehearsal
+    * the accumulated orphans starved q110's broadcast-heavy plan,
+    * 36.9 → 194.5 s with unchanged operator code).
     */
-  def invalidateCached(spark: SparkSession, key: String): Unit =
-    buildCache.remove((System.identityHashCode(spark), key))
+  def invalidateCached(spark: SparkSession, key: String): Unit = {
+    val evicted = buildCache.remove((System.identityHashCode(spark), key))
+    if (evicted != null) evicted.unpersist(blocking = true)
+  }
 
   /** Session-scoped LCP-array cache, the second tier of the SA
     * lifecycle: the LCP walk over a given corpus is itself an index
@@ -275,8 +284,30 @@ object SuffixArray {
       (System.identityHashCode(docs.sparkSession), key),
       _ => adjacentLcp(sa, docs, docIdCol, textCol).localCheckpoint())
 
-  def invalidateLcpCached(spark: SparkSession, key: String): Unit =
-    lcpCache.remove((System.identityHashCode(spark), key))
+  def invalidateLcpCached(spark: SparkSession, key: String): Unit = {
+    val evicted = lcpCache.remove((System.identityHashCode(spark), key))
+    if (evicted != null) evicted.unpersist(blocking = true)
+  }
+
+  /** Evict and unpersist EVERY cached SA/LCP checkpoint for a session —
+    * the boundary call between workload phases (Bench runs it before
+    * the 10× scale rehearsal) so index caches from one corpus tier
+    * can't occupy executor storage while an unrelated memory-hungry
+    * plan (q110's broadcast adjacency) runs at another tier.
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    val sid = System.identityHashCode(spark)
+    Seq(buildCache, lcpCache).foreach { cache =>
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == sid) {
+          e.getValue.unpersist(blocking = true)
+          it.remove()
+        }
+      }
+    }
+  }
 
   /** Exact LCP of each SA-adjacent suffix pair — the LCP array:
     * max(lcp) is the longest substring occurring ≥2 times corpus-wide,
@@ -308,10 +339,23 @@ object SuffixArray {
                   maxBroadcastTextBytes: Long = 256L << 20): DataFrame = {
     val totRow = docs.agg(sum(length(col(textCol)))).head
     val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
-    if (total <= maxBroadcastTextBytes)
-      lcpByBroadcastText(sa, docs, docIdCol, textCol)
-    else
-      lcpByHashWalk(sa, docs, docIdCol, textCol, numPartitions)
+    // The adaptive boundary means two corpus tiers can measure two
+    // DIFFERENT algorithms (round-11: the 10× rehearsal corpus crossed
+    // 256 MB, so q138's published exponent compared broadcast-descent
+    // at 1× against hash-walk at 10×). For an honest like-for-like
+    // exponent, `-Dgraft.lcp.path=broadcast|hash` pins one path at
+    // both tiers; the decision is logged either way so every artifact
+    // records which algorithm actually ran.
+    val chosen = System.getProperty("graft.lcp.path", "auto") match {
+      case "broadcast" => true
+      case "hash"      => false
+      case _           => total <= maxBroadcastTextBytes
+    }
+    System.err.println(
+      s"[suffixarray] adjacentLcp: corpus=${total}B boundary=${maxBroadcastTextBytes}B " +
+        s"path=${if (chosen) "broadcast-text" else "hash-walk"}")
+    if (chosen) lcpByBroadcastText(sa, docs, docIdCol, textCol)
+    else lcpByHashWalk(sa, docs, docIdCol, textCol, numPartitions)
   }
 
   /** Exact substring dedup-cut (Lee et al. 2022's action): per-doc

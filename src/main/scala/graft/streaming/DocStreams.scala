@@ -181,7 +181,11 @@ object DocStreams {
   def annSearchBatcher(spark: SparkSession, indexPath: String, k: Int,
                        nProbe: Int = 4): DataFrame => DataFrame = {
     val index = graft.operators.Similarity.loadIvfIndex(spark, indexPath)
-    batch => graft.operators.Similarity.searchIvfBatch(index, batch, k, nProbe)
+    // excludeSelf = false: external query ids share no namespace with
+    // corpus vec_ids, so an id collision is coincidence, not identity —
+    // dropping the colliding corpus row would silently lose a neighbor
+    batch => graft.operators.Similarity.searchIvfBatch(
+      index, batch, k, nProbe, excludeSelf = false)
   }
 
   /** Score documents against a bigram MLE model `(w1, w2, c2)` — the
@@ -361,6 +365,16 @@ object DocStreams {
     * single-pass CMS guarantee. The sink receives per-batch estimates
     * for the caller's watch-list of keys (the production shape: point
     * lookups against 16 KB of state, no count table).
+    *
+    * Replay safety: the state parquet records the last APPLIED batchId
+    * in a sentinel row (cell = −1). The state write happens inside
+    * foreachBatch — i.e. before Spark commits the batch to the
+    * checkpoint — so a crash in that gap replays the batch on restart;
+    * without the sentinel the replayed sketch would be double-added,
+    * silently breaking the one-pass-equality claim above. A replayed
+    * (already-applied) batchId skips the merge and re-emits the
+    * watch-list estimates from the existing state, keeping both the
+    * sketch and the sink exactly-once in content.
     */
   def streamingCmsCounts(incoming: DataFrame, stateDir: String,
                          textCol: String, depth: Int, width: Int,
@@ -378,21 +392,35 @@ object DocStreams {
         val batchSketch: Array[Long] =
           if (row.isNullAt(0)) new Array[Long](depth * width)
           else row.getSeq[Long](0).toArray
-        val prior: Array[Long] =
-          try s.read.parquet(stateDir).as[(Int, Long)].collect()
-            .sortBy(_._1).map(_._2)
-          catch { // first batch: no state yet
+        val (prior: Array[Long], lastApplied: Long) =
+          try {
+            val cells = s.read.parquet(stateDir).as[(Int, Long)].collect()
+            val applied = cells.collectFirst { case (-1, b) => b }.getOrElse(-1L)
+            val sketch = cells.filter(_._1 >= 0).sortBy(_._1).map(_._2)
+            // a truncated state file or a depth/width change vs the run
+            // that wrote the state would silently drop cells here and
+            // corrupt every later estimate — fail with the shape instead
+            require(sketch.length == depth * width,
+              s"CMS state at $stateDir has ${sketch.length} cells; this run " +
+                s"expects depth*width = ${depth * width} — was the state " +
+                "written with different dimensions or truncated?")
+            (sketch, applied)
+          } catch { // first batch: no state yet
             case _: org.apache.spark.sql.AnalysisException =>
-              new Array[Long](depth * width)
+              (new Array[Long](depth * width), -1L)
           }
-        val merged = prior.indices.map(i => prior(i) + batchSketch(i)).toArray
+        val merged =
+          if (batchId <= lastApplied) prior // replayed batch: already in state
+          else prior.indices.map(i => prior(i) + batchSketch(i)).toArray
         sink(watch.map { k =>
           (batchId, k,
             graft.functions.CountMin.estimate(merged, k, depth, width))
         }.toDF("batch_id", "token", "est_count"))
-        merged.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-          .toDF("cell", "count")
-          .coalesce(1).write.mode("overwrite").parquet(stateDir)
+        if (batchId > lastApplied)
+          (merged.zipWithIndex.map { case (v, i) => (i, v) }.toSeq :+
+            ((-1, batchId)))
+            .toDF("cell", "count")
+            .coalesce(1).write.mode("overwrite").parquet(stateDir)
       }
       .start()
 

@@ -87,15 +87,63 @@ class DocStreamsSpec extends AnyFunSuite {
     val onePass = allToks
       .agg(graft.functions.CountMin(spark, col("tok"), depth, width))
       .head().getSeq[Long](0).toArray
-    val state = spark.read.parquet(s"$tmp/state")
-      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val stateCells = spark.read.parquet(s"$tmp/state")
+      .as[(Int, Long)].collect()
+    val state = stateCells.filter(_._1 >= 0).sortBy(_._1).map(_._2)
     assert(state.sameElements(onePass),
       "streamed state must equal the one-pass batch sketch")
+    // the replay sentinel records the last applied batchId (two source
+    // files at maxFilesPerTrigger=1 → batches 0 and 1)
+    assert(stateCells.collectFirst { case (-1, b) => b }.contains(1L),
+      s"state must carry the applied-batchId sentinel: ${stateCells.toSeq}")
     // watch-list estimates: final batch reflects the full stream; CMS
     // never undercounts (a=4, b=3, zz=0+collisions)
     val fin = perBatch.last.map(t => t._2 -> t._3).toMap
     assert(fin("a") >= 4L && fin("b") >= 3L)
     assert(fin("a") == graft.functions.CountMin.estimate(onePass, "a", depth, width))
+  }
+
+  test("streaming CMS replay of an applied batch does not double-add") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tmp = Files.createTempDirectory("cmsreplay").toFile.getAbsolutePath
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a a b"), Row(2L, "b c")), schema)
+      .coalesce(1).write.parquet(s"$tmp/src")
+    val depth = 2
+    val width = 8
+    def runOnce(ckpt: String): Seq[(Long, String, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val stream = spark.readStream.schema(schema).parquet(s"$tmp/src")
+      val q = DocStreams.streamingCmsCounts(
+        stream, s"$tmp/state", "text", depth, width,
+        watch = Seq("a", "b"), checkpoint = s"$tmp/$ckpt") { df =>
+        out ++= df.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      }
+      q.processAllAvailable()
+      q.stop()
+      out.toSeq
+    }
+    val first = runOnce("ckpt1")
+    // crash-before-checkpoint-commit: the state write survived but the
+    // batch was never committed, so batch 0 replays — simulated by
+    // re-running the same source against a FRESH checkpoint
+    val replay = runOnce("ckpt2")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val onePass = Seq("a a b", "b c").toDF("text")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(graft.functions.CountMin(spark, col("tok"), depth, width))
+      .head().getSeq[Long](0).toArray
+    val state = spark.read.parquet(s"$tmp/state")
+      .as[(Int, Long)].collect().filter(_._1 >= 0).sortBy(_._1).map(_._2)
+    assert(state.sameElements(onePass),
+      "replayed batch must be skipped, not double-added")
+    // the sink still re-emits estimates, and from the SAME state
+    assert(replay == first, "replay must re-emit identical estimates")
   }
 
   test("streaming trending terms: MG bound holds under trimming") {
@@ -432,10 +480,15 @@ class DocStreamsSpec extends AnyFunSuite {
     def canon(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .sortBy(t => (t._1, t._2)).toSeq
+    // excludeSelf = false to match the serving path: the batcher serves
+    // external queries, so it keeps id-colliding corpus rows (here the
+    // queries ARE corpus vectors, so each query's top-1 is itself)
     val want = canon(graft.operators.Similarity.searchIvfBatch(
       graft.operators.Similarity.loadIvfIndex(spark, s"$tmp/idx"),
-      queries, 5, nProbe = 3).collect())
+      queries, 5, nProbe = 3, excludeSelf = false).collect())
     assert(want.nonEmpty)
+    assert(want.filter(_._2 == 1L).forall(t => t._3 == t._1),
+      "with excludeSelf=false a corpus query's rank-1 hit is itself")
     val mid = queries.orderBy("q_id").collect().map(_.getLong(0)).apply(
       queries.count().toInt / 2)
     queries.filter(col("q_id") < mid).write.parquet(s"$tmp/src/b1")
