@@ -92,7 +92,8 @@ object Bench {
     "q146_ivf_merge", "q147_matryoshka_eval", "q148_dedup_quality_audit",
     "q149_gopher_repetition", "q150_token_fertility", "q151_cluster_topics",
     "q152_cms_estimates", "q153_label_propagation", "q154_gap_fill",
-    "q155_dedup_savings")
+    "q155_dedup_savings", "q156_ann_ivfpq", "q157_media_inventory",
+    "q158_audio_features", "q159_video_frames")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CorpusQueries, EmbeddingQueries, EventQueries, IndexQueries, RelationalQueries, TextQueries}
+import graft.queries.{CorpusQueries, EmbeddingQueries, EventQueries, IndexQueries, MultimodalQueries, RelationalQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
       TextQueries.queries ++ EmbeddingQueries.queries ++
-      CorpusQueries.queries ++ IndexQueries.queries
+      CorpusQueries.queries ++ IndexQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -35,5 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++
       TextQueries.oracles ++ EmbeddingQueries.oracles ++
-      CorpusQueries.oracles ++ IndexQueries.oracles
+      CorpusQueries.oracles ++ IndexQueries.oracles ++
+      MultimodalQueries.oracles
 }

@@ -1339,7 +1339,27 @@ object EmbeddingQueries {
        |ORDER BY emb.vec_id""".stripMargin
   }
 
+  /** q156 — IVF-PQ ANN (round-11 verdict gap: the memory-bound-regime
+    * index, [[graft.operators.Similarity.annIvfPq]], was spec-pinned
+    * only). One query (vec_id 0), k = 10: coarse quantizer = the q34
+    * fixed-point integer k-means, per-subspace codebooks fit on a
+    * bounded deterministic sample, the probe scan ranks by the codegen
+    * ADC lookup-table score and only the top rerank·k shortlist
+    * fetches real vectors for the exact-cosine rerank — so the
+    * reported `cos` values are exact. Deterministic end to end; oracle
+    * is the committed sf0.01 golden (no SQL replays ImageIO-free but
+    * iterative local PQ training; OperatorsSpec pins the shortlist
+    * recall floor against brute force).
+    */
+  def q156(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.annIvfPq(
+      Tables.embeddings(s, dir), 0L, 10, nlist = 8, nProbe = 3)
+
+  private def goldenSql(name: String): String =
+    s"SELECT * FROM '/root/repo/goldens/$name.parquet'"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_ann_ivfpq" -> (q156 _),
     "q153_label_propagation" -> (q153 _),
     "q151_cluster_topics" -> (q151 _),
     "q147_matryoshka_eval" -> (q147 _),
@@ -1370,6 +1390,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q156_ann_ivfpq" -> goldenSql("q156_ann_ivfpq"),
     "q153_label_propagation" -> q153Sql,
     "q151_cluster_topics" -> q151Sql,
     "q147_matryoshka_eval" -> q147Sql,

@@ -524,4 +524,73 @@ class NewQuerySpec extends AnyFunSuite {
     assert(cjk(0) == 6 && cjk(1) == 3,
       s"CJK must tokenize per character: got ${cjk.toSeq}")
   }
+
+  test("q156: IVF-PQ rerank is exact — top-1 is the query, cos non-increasing") {
+    val rows = EmbeddingQueries.q156(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 10)
+    assert(rows.head._1 == 0L && rows.head._2 > 0.999,
+      s"query vector must be its own nearest neighbor: ${rows.head}")
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2),
+      "exact-cosine rerank must come back sorted")
+  }
+
+  test("q157: media inventory routes each synthetic format correctly") {
+    val rows = graft.queries.MultimodalQueries.q157(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = r.getString(1)
+      ((id / 10) % 4) match {
+        case 0 =>
+          assert(fmt == "png" && !r.isNullAt(2) && !r.isNullAt(3) && r.isNullAt(4))
+          assert(r.getInt(2) == 16 + (id % 17).toInt, s"png width for $id")
+        case 1 =>
+          assert(fmt == "wav" && r.isNullAt(2) && r.getInt(4) == 8000 &&
+            r.getInt(5) == 1)
+        case 2 => assert(fmt == "avi")
+        case _ => assert(fmt == "unknown")
+      }
+      assert(!r.isNullAt(7), s"pixel_hash must be total (media $id)")
+    }
+    // decoded-pixel hashing: distinct seeds -> distinct image content
+    val pngHashes = rows.filter(_.getString(1) == "png").map(_.getLong(7))
+    assert(pngHashes.distinct.length == pngHashes.length)
+  }
+
+  test("q158: audio features equal a driver-side decode replay") {
+    val got = graft.queries.MultimodalQueries.q158(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val p = graft.multimodal.Audio.decodeWav(
+        graft.multimodal.MediaSynth.sineWav(id)).get
+      val f = graft.multimodal.Audio.features(p)
+      assert(r.getDouble(1) == f.duration_s && r.getDouble(2) == f.rms &&
+        r.getDouble(4) == f.zero_cross_rate &&
+        r.getDouble(5) == f.silence_ratio,
+        s"feature mismatch for media $id")
+      assert(r.getLong(7) == graft.multimodal.Audio.fingerprint(p))
+    }
+    // seeds with a silent tail must report silence; pure tones must not
+    assert(got.exists(_.getDouble(5) > 0.2) && got.exists(_.getDouble(5) == 0.0))
+  }
+
+  test("q159: frame sampling explodes 3 real frames per container") {
+    val rows = graft.queries.MultimodalQueries.q159(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val perMedia = rows.groupBy(_.getLong(0))
+    perMedia.foreach { case (id, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == Seq(0, 1, 2),
+        s"media $id must sample exactly frames 0..2")
+      assert(rs.head.getInt(1) == 3 + (id / 20 % 3).toInt,
+        s"container frame count for $id")
+      // per-frame pixel hash replays through the codec chain
+      val avi = graft.multimodal.MediaSynth.mjpegAvi(id, 3 + (id / 20 % 3).toInt)
+      val frames = graft.multimodal.Multimodal.AviAwareCodec.sampleFrames(avi, 3)
+      val want = frames.map(graft.multimodal.Multimodal.ImageIoCodec.pixelHash)
+      assert(rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq == want,
+        s"frame hashes for $id")
+    }
+  }
 }
