@@ -1,11 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch measurement runner for local iteration (not part of the
   * driver contract): per-change wall-clock + intermediate cardinality
   * probes for the operator currently being tuned.
+  *
+  * Current probe: the round-11 q110 regression replay — three headline
+  * passes of the SA family at sf0.1 (what leaves checkpoints behind),
+  * then q110 at the 10× tier, with and without the clearCaches
+  * boundary Bench now runs.
   */
 object DevScratch {
   def main(args: Array[String]): Unit = {
@@ -18,7 +22,6 @@ object DevScratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -27,13 +30,18 @@ object DevScratch {
     }
     def run(name: String, d: String): Unit =
       SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
-    val docs = Tables.documents(spark, dir)
-    def build(kc: Int): Unit =
-      graft.operators.SuffixArray.build(docs, startKeyChars = kc)
-        .write.format("noop").mode("overwrite").save()
-    build(32) // warm
-    for (i <- 1 to 2; kc <- Seq(32, 64, 128))
-      time(s"SA build k0=$kc pass$i")(build(kc))
+    val sf = "/root/testdata/sf0.1"
+    for (p <- 1 to 3) {
+      time(s"q137 pass$p")(run("q137_suffix_array", sf))
+      time(s"q138 pass$p")(run("q138_longest_dup_substring", sf))
+    }
+    val sm = spark.sparkContext.statusTracker
+    println(s"[scratch] persisted RDD blocks before clear: " +
+      spark.sparkContext.getPersistentRDDs.size)
+    time("clearCaches")(graft.operators.SuffixArray.clearCaches(spark))
+    println(s"[scratch] persisted RDD blocks after clear: " +
+      spark.sparkContext.getPersistentRDDs.size)
+    time("q110 at 10x after SA passes + clear")(run("q110_triangle_count", "scale/sf1"))
     spark.stop()
   }
 }

@@ -241,13 +241,43 @@ object SuffixArray {
     * contract, same as any persisted index).
     */
   private val buildCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, Set[Int])]()
+
+  /** Run `make` (a pipeline that localCheckpoints internally), then
+    * eagerly localCheckpoint its result and RELEASE every intermediate
+    * checkpoint it left behind. `Dataset.unpersist` cannot free a
+    * localCheckpoint (it only talks to the CacheManager; measured: the
+    * blocks survive), and waiting for ContextCleaner ties executor
+    * storage to driver GC timing — the round-11 failure mode where
+    * stranded SA checkpoints degraded an unrelated 10× plan. Tracking
+    * persistent-RDD-id deltas around the calls makes both the
+    * intermediates and (via the returned ids) the final checkpoint
+    * deterministically evictable. Id-delta tracking assumes no
+    * concurrent persist activity on the same SparkContext during the
+    * build — the single-driver-loop usage every caller here has.
+    */
+  private def checkpointReleasing(
+      spark: SparkSession)(make: => DataFrame): (DataFrame, Set[Int]) = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val built = make
+    val mid = sc.getPersistentRDDs.keySet.toSet
+    val df = built.localCheckpoint() // eager: final blocks exist after this
+    val after = sc.getPersistentRDDs.keySet.toSet
+    releaseRddIds(sc, mid -- before) // intermediates are now unreachable
+    (df, after -- mid)
+  }
+
+  private def releaseRddIds(sc: org.apache.spark.SparkContext,
+                            ids: Set[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
 
   def buildCached(docs: DataFrame, key: String, docIdCol: String = "doc_id",
                   textCol: String = "text", numPartitions: Int = 32): DataFrame =
     buildCache.computeIfAbsent(
       (System.identityHashCode(docs.sparkSession), key),
-      _ => build(docs, docIdCol, textCol, numPartitions).localCheckpoint())
+      _ => checkpointReleasing(docs.sparkSession)(
+        build(docs, docIdCol, textCol, numPartitions)))._1
 
   /** Drop a cached build (corpus mutated, or a BUILD-measuring caller
     * wants a fresh run rather than a cache hit — q137 invalidates
@@ -263,7 +293,7 @@ object SuffixArray {
     */
   def invalidateCached(spark: SparkSession, key: String): Unit = {
     val evicted = buildCache.remove((System.identityHashCode(spark), key))
-    if (evicted != null) evicted.unpersist(blocking = true)
+    if (evicted != null) releaseRddIds(spark.sparkContext, evicted._2)
   }
 
   /** Session-scoped LCP-array cache, the second tier of the SA
@@ -275,25 +305,26 @@ object SuffixArray {
     * a cache probe; q143 rides whatever is cached.
     */
   private val lcpCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, Set[Int])]()
 
   def adjacentLcpCached(sa: DataFrame, docs: DataFrame, key: String,
                         docIdCol: String = "doc_id",
                         textCol: String = "text"): DataFrame =
     lcpCache.computeIfAbsent(
       (System.identityHashCode(docs.sparkSession), key),
-      _ => adjacentLcp(sa, docs, docIdCol, textCol).localCheckpoint())
+      _ => checkpointReleasing(docs.sparkSession)(
+        adjacentLcp(sa, docs, docIdCol, textCol)))._1
 
   def invalidateLcpCached(spark: SparkSession, key: String): Unit = {
     val evicted = lcpCache.remove((System.identityHashCode(spark), key))
-    if (evicted != null) evicted.unpersist(blocking = true)
+    if (evicted != null) releaseRddIds(spark.sparkContext, evicted._2)
   }
 
-  /** Evict and unpersist EVERY cached SA/LCP checkpoint for a session —
-    * the boundary call between workload phases (Bench runs it before
-    * the 10× scale rehearsal) so index caches from one corpus tier
-    * can't occupy executor storage while an unrelated memory-hungry
-    * plan (q110's broadcast adjacency) runs at another tier.
+  /** Evict and free EVERY cached SA/LCP checkpoint for a session — the
+    * boundary call between workload phases (Bench runs it before the
+    * 10× scale rehearsal) so index caches from one corpus tier can't
+    * occupy executor storage while an unrelated memory-hungry plan
+    * (q110's broadcast adjacency) runs at another tier.
     */
   def clearCaches(spark: SparkSession): Unit = {
     val sid = System.identityHashCode(spark)
@@ -302,7 +333,7 @@ object SuffixArray {
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey._1 == sid) {
-          e.getValue.unpersist(blocking = true)
+          releaseRddIds(spark.sparkContext, e.getValue._2)
           it.remove()
         }
       }
