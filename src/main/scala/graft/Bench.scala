@@ -93,7 +93,8 @@ object Bench {
     "q149_gopher_repetition", "q150_token_fertility", "q151_cluster_topics",
     "q152_cms_estimates", "q153_label_propagation", "q154_gap_fill",
     "q155_dedup_savings", "q156_ann_ivfpq", "q157_media_inventory",
-    "q158_audio_features", "q159_video_frames")
+    "q158_audio_features", "q159_video_frames", "q160_kcore",
+    "q161_pack_batches", "q162_lsh_probe", "q163_source_quantile_norm")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this

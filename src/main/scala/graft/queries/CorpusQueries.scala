@@ -2385,7 +2385,70 @@ object CorpusQueries {
       |GROUP BY token, n_exact
       |ORDER BY n_exact DESC, token""".stripMargin
 
+  /** q161 — length-bucketed inference batch packing with padding-waste
+    * audit: the dynamic-batching step every serving/eval pipeline runs
+    * (vLLM/TGI-style length bucketing) — docs sort into fixed-width
+    * length buckets, batches of `batchSize` form in (length, id) order
+    * within each bucket, and every batch pays `max_len · n_docs`
+    * padded tokens. waste_frac prices the bucket width. The complement
+    * of q48/q85's training-pack (concatenate to capacity, no padding):
+    * inference must pad, so the knob is batch homogeneity.
+    *
+    * Scale shape: per-bucket ordering via ONE PrefixSum two-pass rank
+    * over (bucket, len, id) — never a per-bucket global window (a
+    * bucket at 100 TB is a corpus-sized partition; the q148/q115
+    * discipline); per-bucket bases come from a bucket-count-sized agg
+    * broadcast back. Everything else is one map-side-combined
+    * (bucket, batch) aggregation; integers except the final audited
+    * ratio.
+    */
+  def q161(s: SparkSession, dir: String,
+           bucketWidth: Int = 64, batchSize: Int = 16): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket_lo",
+        expr(s"(n_tokens div $bucketWidth) * $bucketWidth"))
+    val ranked = graft.operators.PrefixSum.withRunningTotalOrdered(
+      toks.withColumn("__one", lit(1)),
+      Seq("bucket_lo", "n_tokens", "doc_id"), "__one", "__rank", 32)
+    val bases = ranked.groupBy("bucket_lo")
+      .agg(min(col("__rank")).as("__base"))
+    ranked.join(broadcast(bases), Seq("bucket_lo"))
+      .withColumn("batch_id",
+        expr(s"(__rank - __base) div $batchSize"))
+      .groupBy("bucket_lo", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("padded_tokens", col("max_len") * col("n_docs"))
+      .withColumn("waste_frac",
+        round((col("padded_tokens") - col("total_tokens")).cast("double") /
+          col("padded_tokens").cast("double"), 4))
+      .orderBy("bucket_lo", "batch_id")
+  }
+
+  val q161Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |b AS (SELECT doc_id, n_tokens, (n_tokens // 64) * 64 AS bucket_lo FROM t),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_lo
+      |                                   ORDER BY n_tokens, doc_id) AS rn
+      |      FROM b),
+      |g AS (SELECT bucket_lo, CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+      |        CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |        CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+      |        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |      FROM r GROUP BY 1, 2)
+      |SELECT bucket_lo, batch_id, n_docs, max_len, total_tokens,
+      | CAST(max_len * n_docs AS BIGINT) AS padded_tokens,
+      | round(CAST(max_len * n_docs - total_tokens AS DOUBLE)
+      |       / CAST(max_len * n_docs AS DOUBLE), 4) AS waste_frac
+      |FROM g ORDER BY bucket_lo, batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_pack_batches" -> ((s: SparkSession, dir: String) => q161(s, dir)),
     "q152_cms_estimates" -> (q152 _),
     "q129_quality_ensemble" -> (q129 _),
     "q127_dup_substring_cut" -> (q127 _),
@@ -2448,6 +2511,7 @@ object CorpusQueries {
     s"SELECT * FROM '/root/repo/goldens/$name.parquet'"
 
   val oracles: Map[String, String] = Map(
+    "q161_pack_batches" -> q161Sql,
     "q152_cms_estimates" -> q152Sql,
     "q113_kmv_overlap" -> q113Sql,
     "q83_bpe_train" -> goldenSql("q83_bpe_train"),

@@ -1358,7 +1358,60 @@ object EmbeddingQueries {
   private def goldenSql(name: String): String =
     s"SELECT * FROM '/root/repo/goldens/$name.parquet'"
 
+  /** q160 — k-core of the embedding near-dup graph
+    * ([[graft.operators.KCore]]): the density complement of q38's
+    * reachability clusters — members of the 2-core near-dup ≥ 2
+    * OTHER core members (dense template/mirror communities), while
+    * pairwise-coincidence tails fall out. Same exact graph as q153;
+    * synchronous peeling is deletion-order-independent, so the
+    * unrolled-round oracle replay is exact (rounds past the fixpoint
+    * are no-ops — the CTE unrolls 8, Spark runs to fixpoint).
+    */
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = graft.operators.Dedup
+      .embedNearDup(emb, "vec_id", "embedding", 0.45)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val core = graft.operators.KCore.kCore(pairs, k = 2)
+    emb.select(col("vec_id"))
+      .join(core.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("core_deg"),
+        when(col("core_deg").isNotNull, lit(1)).otherwise(lit(0)).as("in_core"))
+      .orderBy("vec_id")
+  }
+
+  val q160Sql: String = {
+    def cos(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a.e) + 1), i -> $a.e[i] * $b.e[i]))
+         |  / (sqrt(list_sum(list_transform(range(1, len($a.e) + 1), i -> $a.e[i] * $a.e[i])))
+         |     * sqrt(list_sum(list_transform(range(1, len($b.e) + 1), i -> $b.e[i] * $b.e[i]))))""".stripMargin
+    // each e_i is referenced three times (degree agg + two NOT INs of
+    // the next round); DuckDB inlines plain CTEs, so without
+    // MATERIALIZED the 8-round unroll re-plans the brute pair join
+    // 3^8 times (observed: fd exhaustion)
+    def peel(i: Int): String =
+      s"""d$i AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM e${i - 1} GROUP BY 1),
+         |bad$i AS MATERIALIZED (SELECT node FROM d$i WHERE c < 2),
+         |e$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1}
+         |        WHERE src NOT IN (SELECT node FROM bad$i)
+         |          AND dst NOT IN (SELECT node FROM bad$i)),""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |           FROM embeddings),
+       |p AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst
+       |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |      WHERE ${cos("a", "b")} >= 0.45),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+       |${(1 to 8).map(peel).mkString("\n")}
+       |cd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |       FROM e8 GROUP BY 1)
+       |SELECT emb.vec_id, cd.core_deg,
+       | CASE WHEN cd.node IS NOT NULL THEN 1 ELSE 0 END AS in_core
+       |FROM embeddings emb LEFT JOIN cd ON emb.vec_id = cd.node
+       |ORDER BY emb.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_kcore" -> (q160 _),
     "q156_ann_ivfpq" -> (q156 _),
     "q153_label_propagation" -> (q153 _),
     "q151_cluster_topics" -> (q151 _),
@@ -1390,6 +1443,7 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    "q160_kcore" -> q160Sql,
     "q156_ann_ivfpq" -> goldenSql("q156_ann_ivfpq"),
     "q153_label_propagation" -> q153Sql,
     "q151_cluster_topics" -> q151Sql,

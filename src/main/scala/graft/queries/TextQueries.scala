@@ -832,7 +832,101 @@ object TextQueries {
       | round(CAST(SUM(nc) AS DOUBLE) / SUM(nt), 4) AS chars_per_token
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q162 — persisted-LSH-index probe ([[graft.operators.LshIndex]]):
+    * the daily-crawl production shape for near-dup — the reference
+    * half's banded signatures are built ONCE, saved as a
+    * dir-partitioned parquet index (+ `_graft_meta.json` hash
+    * parameters), loaded back, and the incoming half probes it:
+    * static directory pruning from the batch's hit-dir set, bucket
+    * row-group pruning, then EXACT Jaccard verification with shingles
+    * recomputed only for candidate reference docs. The query runs the
+    * whole lifecycle (build → save → load → probe), so the bench
+    * prices the real thing. Verified output ⇒ the brute cross-half
+    * oracle is exact (q25's argument: P(miss | J ≥ 0.7) ≈ 5e-8).
+    */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q162_lsh_index").getAbsolutePath
+    graft.operators.LshIndex.save(
+      graft.operators.LshIndex.build(ref, "doc_id", "text", 3), path)
+    val idx = graft.operators.LshIndex.load(s, path)
+    graft.operators.LshIndex.probe(idx, ref, inc, "doc_id", "text", 0.7)
+      .orderBy("doc_id", "ref_id")
+  }
+
+  val q162Sql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct(list_transform(range(1, len(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |       ELSE [array_to_string(w, ' ')] END AS sh
+      | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents))
+      |SELECT a.doc_id AS doc_id, b.doc_id AS ref_id,
+      | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+      |FROM t a, t b
+      |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7
+      |ORDER BY doc_id, ref_id""".stripMargin
+
+  /** q163 — per-source quantile normalization of a quality score: raw
+    * score distributions differ by source (a 0.8 on curated wiki ≠ a
+    * 0.8 on raw crawl), so cross-source filtering/mixing uses each
+    * doc's PERCENTILE WITHIN ITS SOURCE — the calibration step before
+    * any global threshold. Exact percent_rank = (rank−1)/(n−1) on the
+    * (score, doc_id) total order.
+    *
+    * Scale shape: one PrefixSum two-pass rank over (source, score,
+    * doc_id) — never a per-source global window (a source IS a
+    * corpus-sized partition at 100 TB); per-source bases and counts
+    * from a source-count-sized agg broadcast back.
+    */
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double")).as("score"))
+    val ranked = graft.operators.PrefixSum.withRunningTotalOrdered(
+      scored.withColumn("__one", lit(1)),
+      Seq("source", "score", "doc_id"), "__one", "__rank", 32)
+    val bases = ranked.groupBy("source")
+      .agg(min(col("__rank")).as("__base"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(bases), Seq("source"))
+      .select(col("doc_id"), col("source"), round(col("score"), 6).as("score"),
+        when(col("__n") > 1,
+          round((col("__rank") - col("__base")).cast("double") /
+            (col("__n") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)).as("pct_rank"))
+      .orderBy("doc_id")
+  }
+
+  val q163Sql: String =
+    """WITH s AS (
+      | SELECT doc_id, source,
+      |   CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS score
+      | FROM (SELECT doc_id, source,
+      |         string_split_regex(lower(trim(text)), '\s+') AS w
+      |       FROM documents)),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM s)
+      |SELECT doc_id, source, round(score, 6) AS score,
+      | CASE WHEN n > 1
+      |      THEN round(CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6)
+      |      ELSE 0.0 END AS pct_rank
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_lsh_probe" -> (q162 _),
+    "q163_source_quantile_norm" -> (q163 _),
     "q149_gopher_repetition" -> (q149 _),
     "q150_token_fertility" -> (q150 _),
     "q155_dedup_savings" -> (q155 _),
@@ -857,6 +951,8 @@ object TextQueries {
     "q26_simhash" -> (q26 _))
 
   val oracles: Map[String, String] = Map(
+    "q162_lsh_probe" -> q162Sql,
+    "q163_source_quantile_norm" -> q163Sql,
     "q149_gopher_repetition" -> q149Sql,
     "q150_token_fertility" -> q150Sql,
     "q155_dedup_savings" -> q155Sql,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** k-core peeling: hand-checked cores, multi-round cascades, the
+  * classical uniqueness property (partition invariance), and the
+  * k-parameter boundary.
+  */
+class KCoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def core(k: Int, edges: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    KCore.kCore(edges.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle with a pendant: 2-core is the triangle") {
+    val got = core(2, (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("peeling cascades: removing a leaf exposes the next") {
+    // triangle + chain 3-4-5: round 1 peels 5 (deg 1), round 2 peels 4
+    val got = core(2, (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("k above the densest structure empties the graph") {
+    val got = core(3, (1L, 2L), (2L, 3L), (1L, 3L))
+    assert(got.isEmpty)
+  }
+
+  test("3-core keeps K4, drops a triangle hanging off it") {
+    // K4 on 1-4; triangle (4,5),(5,6),(4,6) has degree-2 members
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tri = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val got = core(3, (k4 ++ tri): _*)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("duplicate/reversed edges and self-loops do not inflate degrees") {
+    // the caller contract is one row per pair, but the op must not
+    // miscount if a pair arrives reversed too (both directions union)
+    val got = core(2, (1L, 2L), (2L, 3L), (1L, 3L))
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("partition invariance: the k-core is unique regardless of layout") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (6L, 7L))
+    val a = KCore.kCore(edges.toDF("src", "dst").repartition(1), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = KCore.kCore(edges.toDF("src", "dst").repartition(7), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}

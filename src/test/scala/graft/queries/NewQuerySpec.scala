@@ -525,6 +525,56 @@ class NewQuerySpec extends AnyFunSuite {
       s"CJK must tokenize per character: got ${cjk.toSeq}")
   }
 
+  test("q161: batch packing conserves tokens, bounds batch size, prices padding") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusQueries.q161(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalPacked = rows.map(_.getLong(4)).sum
+    val totalDocs = rows.map(_.getLong(2)).sum
+    val want = graft.Tables.documents(spark, dir)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum("n"), count(lit(1))).head
+    assert(totalPacked == want.getLong(0), "token conservation across batches")
+    assert(totalDocs == want.getLong(1), "every doc lands in exactly one batch")
+    rows.foreach { r =>
+      val (lo, n, mx, tot, pad, waste) = (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(n >= 1 && n <= 16, s"batch size bound violated: $n")
+      assert(mx >= lo && mx < lo + 64, s"max_len $mx outside bucket [$lo, ${lo + 64})")
+      assert(pad == mx * n && tot <= pad)
+      assert(math.abs(waste - BigDecimal((pad - tot).toDouble / pad)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // within a bucket, only the LAST batch may be short
+    rows.groupBy(_.getLong(0)).foreach { case (lo, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.init.forall(_.getLong(2) == 16L),
+        s"non-final short batch in bucket $lo")
+    }
+  }
+
+  test("q163: per-source percentile is exact and spans [0, 1]") {
+    val rows = TextQueries.q163(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val ps = rs.map(_._4)
+      assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+      if (rs.length > 1) {
+        assert(ps.min == 0.0 && ps.max == 1.0,
+          s"source $src percentiles must span [0,1]")
+        // ranks 1..n exactly once -> pct values are exactly the
+        // {i/(n-1)} grid (robust to 6-dp score-rounding ties)
+        val n = rs.length
+        val grid = (0 until n).map(i =>
+          BigDecimal(i.toDouble / (n - 1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(ps.sorted.toSeq == grid,
+          s"source $src pct_rank values must be the exact rank grid")
+      }
+    }
+  }
+
   test("q156: IVF-PQ rerank is exact — top-1 is the query, cos non-increasing") {
     val rows = EmbeddingQueries.q156(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
