@@ -285,10 +285,10 @@ object Bench {
     // artifact through r11 recorded `parsed: null` because only a
     // truncated suffix of it survived the capture). The compact form
     // keeps the driver contract — one JSON line with metric/value/
-    // queries — carrying the 15 slowest queries plus the rehearsal
+    // queries — carrying the 10 slowest queries plus the rehearsal
     // exponents; the complete per-query data still lands in
     // bench_out.json and the directly-written BENCH_r<N>.json.
-    val topQ = passResults.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val topQ = passResults.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val compact =
