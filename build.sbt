@@ -30,5 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the box has 128 GiB and local[32] packs driver +
+  // 32 executor threads into ONE heap — at 8g the r12 bench's 10×
+  // rehearsal ran q138's hash-walk out of execution memory (32
+  // concurrent ShuffledHashJoin builds + the corpus-sized hv
+  // checkpoint) and q110 ran 2.5× slower than in a fresh JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -35,13 +35,17 @@ object DevScratch {
       time(s"q137 pass$p")(run("q137_suffix_array", sf))
       time(s"q138 pass$p")(run("q138_longest_dup_substring", sf))
     }
-    val sm = spark.sparkContext.statusTracker
+    System.setProperty("graft.lcp.path", "hash")
+    time("q138 1x pinned-hash")(run("q138_longest_dup_substring", sf))
     println(s"[scratch] persisted RDD blocks before clear: " +
       spark.sparkContext.getPersistentRDDs.size)
     time("clearCaches")(graft.operators.SuffixArray.clearCaches(spark))
     println(s"[scratch] persisted RDD blocks after clear: " +
       spark.sparkContext.getPersistentRDDs.size)
     time("q110 at 10x after SA passes + clear")(run("q110_triangle_count", "scale/sf1"))
+    time("q137 at 10x")(run("q137_suffix_array", "scale/sf1"))
+    time("q138 at 10x pinned-hash")(run("q138_longest_dup_substring", "scale/sf1"))
+    System.clearProperty("graft.lcp.path")
     spark.stop()
   }
 }

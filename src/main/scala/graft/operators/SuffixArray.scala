@@ -517,17 +517,28 @@ object SuffixArray {
       // prefix of a) and is decided WITHOUT the join — so both lookups
       // are INNER joins, and the shrinking active side is the hash
       // build side (shuffle_hash) while the big checkpointed hv table
-      // streams in place
+      // streams in place.
+      //
+      // The hint is CONDITIONAL on the build side actually fitting:
+      // in round 1 the active side is ALL pairs (corpus-sized — the
+      // "shrinking" only starts once pairs finish), and a per-task
+      // hash build over corpus/numPartitions rows exhausts execution
+      // memory (observed: the r12 bench's 10× tier at 32 concurrent
+      // builds). Oversized rounds fall back to sort-merge — slower,
+      // streaming, memory-safe — and the hint returns as soon as the
+      // active set shrinks below ~200K rows per partition.
       doneParts += active.filter(col("lcp") >= col("sl_b"))
         .select("lcp", "doc_a", "p_a", "doc_b", "p_b")
-      val live = active.filter(col("lcp") < col("sl_b")).hint("shuffle_hash")
+      val buildFits = nActive / numPartitions <= 200000L
+      val live0 = active.filter(col("lcp") < col("sl_b"))
+      val live = if (buildFits) live0.hint("shuffle_hash") else live0
       val ha = hv.select(col("d").as("doc_a"), col("q").as("qa"), col("hv").as("ha"))
       val hb = hv.select(col("d").as("doc_b"), col("q").as("qb"), col("hv").as("hb"))
       var st = live
         .join(ha, live("doc_a") === ha("doc_a") &&
           (live("p_a") + live("lcp")) === ha("qa"))
         .drop(ha("doc_a")).drop("qa")
-      st = st.hint("shuffle_hash")
+      if (buildFits) st = st.hint("shuffle_hash")
       st = st
         .join(hb, st("doc_b") === hb("doc_b") &&
           (st("p_b") + st("lcp")) === hb("qb"))

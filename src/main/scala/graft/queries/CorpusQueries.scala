@@ -2447,8 +2447,96 @@ object CorpusQueries {
       |       / CAST(max_len * n_docs AS DOUBLE), 4) AS waste_frac
       |FROM g ORDER BY bucket_lo, batch_id""".stripMargin
 
+  /** q165 — per-source vocabulary growth curve (Heaps'-law
+    * diagnostic): distinct-token count after the first N docs of each
+    * source, at N ∈ {1, 2, 4, …} ∪ {n}. A source whose curve is still
+    * steep at its tail keeps contributing novel vocabulary; a flat
+    * curve is saturated boilerplate — the dedup/mixing prior before
+    * weighting sources. All-integer.
+    *
+    * Scale shape: per-source doc order via ONE PrefixSum two-pass rank
+    * (never a per-source window over docs); each token's FIRST doc
+    * rank is one map-side-combined min-agg over the distinct
+    * (source, token, doc) explode; the grid is log₂(n)-sized per
+    * source, so the token→grid-segment assignment is a broadcast join
+    * (≤ ~40 rows per source) and the cumulative sum runs over a
+    * log-sized partition — nothing after the first-rank agg is
+    * vocabulary-sized except one map-side segment tag.
+    */
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ranked = graft.operators.PrefixSum.withRunningTotalOrdered(
+      docs.select(col("doc_id"), col("source")).withColumn("__one", lit(1)),
+      Seq("source", "doc_id"), "__one", "__rank", 32)
+    val bases = ranked.groupBy("source")
+      .agg(min(col("__rank")).as("__base"), count(lit(1)).as("n"))
+    val docRank = ranked.join(broadcast(bases), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (col("__rank") - col("__base") + 1L).as("r"))
+    // grid: {2^g < n} ∪ {n} per source
+    // NB: Spark resolves columns case-insensitively — a column named
+    // "N" next to the count "n" is ambiguous, so the grid value is
+    // "pfx" throughout
+    val powers = (0 to 40).map(1L << _).toArray
+    val grid = bases
+      .select(col("source"), col("n"), explode(lit(powers)).as("pfx"))
+      .filter(col("pfx") < col("n"))
+      .select("source", "pfx")
+      .unionByName(bases.select(col("source"), col("n").as("pfx")))
+      .distinct()
+    val firstRank = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+      .join(docRank.select("doc_id", "r"), "doc_id")
+      .groupBy("source", "tok").agg(min(col("r")).as("fr"))
+    // each token's segment = smallest grid point with fr <= pfx
+    // (broadcast grid join, <= ~40 rows per source)
+    val seg = firstRank.join(broadcast(grid), Seq("source"))
+      .filter(col("fr") <= col("pfx"))
+      .groupBy("source", "tok").agg(min(col("pfx")).as("pfx"))
+      .groupBy("source", "pfx").agg(count(lit(1)).as("c"))
+    // cumulative over the log-sized grid partition
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("pfx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(seg, Seq("source", "pfx"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("vocab", sum(col("c")).over(w))
+      .select(col("source"), col("pfx").as("n_prefix"), col("vocab"))
+      .orderBy("source", "n_prefix")
+  }
+
+  val q165Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, source,
+      |   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      | FROM documents),
+      |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+      |grid AS (
+      | SELECT DISTINCT source, N FROM (
+      |   SELECT source, CAST(1::BIGINT << g AS BIGINT) AS N
+      |   FROM n CROSS JOIN range(0, 41) t(g)
+      |   WHERE (1::BIGINT << g) < n
+      |   UNION ALL SELECT source, n AS N FROM n)),
+      |fr AS (
+      | SELECT d.source, tok, MIN(r) AS fr
+      | FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |       FROM documents) t
+      | JOIN d ON t.doc_id = d.doc_id
+      | GROUP BY 1, 2),
+      |seg AS (
+      | SELECT source, tok, MIN(N) AS N
+      | FROM fr JOIN grid USING (source) WHERE fr <= N GROUP BY 1, 2),
+      |cnt AS (SELECT source, N, CAST(COUNT(*) AS BIGINT) AS c FROM seg GROUP BY 1, 2)
+      |SELECT grid.source, grid.N AS n_prefix,
+      | CAST(SUM(COALESCE(cnt.c, 0)) OVER (PARTITION BY grid.source ORDER BY grid.N
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+      |FROM grid LEFT JOIN cnt ON grid.source = cnt.source AND grid.N = cnt.N
+      |ORDER BY grid.source, n_prefix""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_pack_batches" -> ((s: SparkSession, dir: String) => q161(s, dir)),
+    "q165_vocab_growth" -> (q165 _),
     "q152_cms_estimates" -> (q152 _),
     "q129_quality_ensemble" -> (q129 _),
     "q127_dup_substring_cut" -> (q127 _),
@@ -2512,6 +2600,7 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q161_pack_batches" -> q161Sql,
+    "q165_vocab_growth" -> q165Sql,
     "q152_cms_estimates" -> q152Sql,
     "q113_kmv_overlap" -> q113Sql,
     "q83_bpe_train" -> goldenSql("q83_bpe_train"),

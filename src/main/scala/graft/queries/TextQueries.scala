@@ -924,9 +924,77 @@ object TextQueries {
       |      ELSE 0.0 END AS pct_rank
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q164 — per-source token-distribution drift: χ² distance between
+    * the even-doc and odd-doc halves of each source over the global
+    * top-50 tokens — the corpus-drift monitor run between crawl
+    * snapshots (a source whose token distribution moves is re-scored
+    * before it contaminates the mix). χ² = Σ (pA−pB)²/(pA+pB) is the
+    * rational-arithmetic drift measure (no logs — the q151/q117
+    * no-transcendental rule), and the per-token terms sum through the
+    * dec6 decimal pattern so the float total is partition-order
+    * invariant and engine-identical.
+    *
+    * Scale shape: one token explode feeds a map-side-combined
+    * (source, half, token) count; the top-50 vocabulary is a broadcast
+    * (the only global object, 50 rows); everything after is
+    * source-count-sized.
+    */
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(50).select("tok")
+    val counted = toks.join(broadcast(top), "tok")
+      .groupBy(col("source"), col("tok"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counted.groupBy("source")
+      .agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val pa = when(col("ta") > 0,
+      col("ca").cast("double") / col("ta").cast("double")).otherwise(lit(0.0))
+    val pb = when(col("tb") > 0,
+      col("cb").cast("double") / col("tb").cast("double")).otherwise(lit(0.0))
+    counted.join(broadcast(totals), "source")
+      .withColumn("term",
+        when(pa + pb > 0, (pa - pb) * (pa - pb) / (pa + pb)).otherwise(lit(0.0)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens_used"),
+        sum(round(col("term"), 6).cast(dec6)).cast("double").as("chi2"))
+      .orderBy("source")
+  }
+
+  val q164Sql: String =
+    """WITH toks AS (
+      | SELECT doc_id, source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |top AS (SELECT tok FROM toks GROUP BY tok
+      |        ORDER BY COUNT(*) DESC, tok LIMIT 50),
+      |c AS (
+      | SELECT source, tok,
+      |   SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+      |   SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      | FROM toks JOIN top USING (tok) GROUP BY 1, 2),
+      |t AS (SELECT source, SUM(ca) AS ta, SUM(cb) AS tb FROM c GROUP BY 1),
+      |p AS (
+      | SELECT c.source,
+      |  CASE WHEN ta > 0 THEN CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) ELSE 0.0 END AS pa,
+      |  CASE WHEN tb > 0 THEN CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) ELSE 0.0 END AS pb
+      | FROM c JOIN t ON c.source = t.source),
+      |terms AS (
+      | SELECT source,
+      |  CASE WHEN pa + pb > 0 THEN (pa - pb) * (pa - pb) / (pa + pb)
+      |       ELSE 0.0 END AS term
+      | FROM p)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens_used,
+      | CAST(SUM(CAST(round(term, 6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_lsh_probe" -> (q162 _),
     "q163_source_quantile_norm" -> (q163 _),
+    "q164_chi2_drift" -> (q164 _),
     "q149_gopher_repetition" -> (q149 _),
     "q150_token_fertility" -> (q150 _),
     "q155_dedup_savings" -> (q155 _),
@@ -953,6 +1021,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q162_lsh_probe" -> q162Sql,
     "q163_source_quantile_norm" -> q163Sql,
+    "q164_chi2_drift" -> q164Sql,
     "q149_gopher_repetition" -> q149Sql,
     "q150_token_fertility" -> q150Sql,
     "q155_dedup_savings" -> q155Sql,

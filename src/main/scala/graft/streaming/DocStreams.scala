@@ -188,6 +188,25 @@ object DocStreams {
       index, batch, k, nProbe, excludeSelf = false)
   }
 
+  /** Streaming near-dup serving against a PERSISTED MinHash-LSH index
+    * ([[graft.operators.LshIndex]]'s layout) — the streaming face of
+    * the daily-crawl lifecycle: the reference corpus's banded
+    * signatures are built once; each micro-batch of incoming docs
+    * probes them (static hit-dir partition pruning + bucket semi-join
+    * + exact-Jaccard verify, all per batch). The index handle loads
+    * ONCE (hash parameters from the sidecar; the bucket table stays a
+    * lazy pruned scan); `refDocs` is the static verification corpus.
+    * foreachBatch body for the same reason as [[annSearchBatcher]]:
+    * a probe is complete the moment its batch is.
+    */
+  def lshProbeBatcher(spark: SparkSession, indexPath: String,
+                      refDocs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double): DataFrame => DataFrame = {
+    val index = graft.operators.LshIndex.load(spark, indexPath)
+    batch => graft.operators.LshIndex.probe(
+      index, refDocs, batch, idCol, textCol, threshold)
+  }
+
   /** Score documents against a bigram MLE model `(w1, w2, c2)` — the
     * q86 scoring half factored out so a stream can score each batch
     * against a model built from EARLIER data. Returns one row per doc:

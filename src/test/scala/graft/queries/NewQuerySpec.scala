@@ -575,6 +575,61 @@ class NewQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q164: chi2 drift equals a full driver-side replay") {
+    val rows = TextQueries.q164(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // driver replay with the exact term/rounding/decimal-sum pipeline
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val all = docs.flatMap { case (id, src, t) => toks(t).map(w => (id, src, w)) }
+    val top = all.groupBy(_._3).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(50).map(_._1).toSet
+    val want = all.filter(t => top(t._3)).groupBy(_._2).map { case (src, ts) =>
+      val byTok = ts.groupBy(_._3)
+      val ca = byTok.view.mapValues(_.count(_._1 % 2 == 0)).toMap
+      val cb = byTok.view.mapValues(_.count(_._1 % 2 == 1)).toMap
+      val ta = ca.values.sum.toDouble
+      val tb = cb.values.sum.toDouble
+      val terms = byTok.keys.toSeq.map { w =>
+        val pa = if (ta > 0) ca(w) / ta else 0.0
+        val pb = if (tb > 0) cb(w) / tb else 0.0
+        if (pa + pb > 0) (pa - pb) * (pa - pb) / (pa + pb) else 0.0
+      }
+      val chi2 = terms.map(t => BigDecimal(t)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      (src, byTok.size.toLong, chi2)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == want)
+    assert(rows.forall { case (_, n, chi2) => n <= 50 && chi2 >= 0.0 })
+  }
+
+  test("q165: vocab growth is monotone and ends at the true vocab size") {
+    val rows = CorpusQueries.q165(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val srcDocs = docs.filter(_._2 == src).sortBy(_._1)
+      // grid = powers of two below n, plus n itself
+      val n = srcDocs.length.toLong
+      val grid = (0 to 40).map(1L << _).filter(_ < n) :+ n
+      assert(sorted.map(_._2).toSeq == grid.distinct.sorted)
+      // vocab(N) = distinct tokens over the first N docs, exactly
+      sorted.foreach { case (_, nn, vocab) =>
+        val want = srcDocs.take(nn.toInt)
+          .flatMap(_._3.trim.toLowerCase.split("\\s+")).distinct.length
+        assert(vocab == want, s"vocab($src, $nn)")
+      }
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("q156: IVF-PQ rerank is exact — top-1 is the query, cos non-increasing") {
     val rows = EmbeddingQueries.q156(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))

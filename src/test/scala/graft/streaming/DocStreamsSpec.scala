@@ -507,6 +507,40 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(canon(buf.toArray) == want)
   }
 
+  test("streaming LSH probe: per-batch probes equal the one-shot probe") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text")
+    val tmp = Files.createTempDirectory("lshserve").toFile.getAbsolutePath
+    graft.operators.LshIndex.save(
+      graft.operators.LshIndex.build(ref, "doc_id", "text", 3), s"$tmp/idx")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = canon(graft.operators.LshIndex.probe(
+      graft.operators.LshIndex.load(spark, s"$tmp/idx"), ref, inc,
+      "doc_id", "text", 0.7).collect())
+    assert(want.nonEmpty)
+    val mid = inc.orderBy("doc_id").collect().map(_.getLong(0))
+      .apply(inc.count().toInt / 2)
+    inc.filter(col("doc_id") < mid).write.parquet(s"$tmp/src/b1")
+    inc.filter(col("doc_id") >= mid).write.parquet(s"$tmp/src/b2")
+    val probe = DocStreams.lshProbeBatcher(spark, s"$tmp/idx", ref,
+      "doc_id", "text", 0.7)
+    val buf = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.schema(inc.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        buf.synchronized { buf ++= probe(b.toDF()).collect() }; ()
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(canon(buf.toArray) == want)
+  }
+
   test("TTL-bounded state still pairs within the window") {
     // Same scenario through the ProcessingTimeTimeout code path: with a
     // TTL far larger than the run, behavior is identical (eviction timing
