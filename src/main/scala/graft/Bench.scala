@@ -95,7 +95,8 @@ object Bench {
     "q155_dedup_savings", "q156_ann_ivfpq", "q157_media_inventory",
     "q158_audio_features", "q159_video_frames", "q160_kcore",
     "q161_pack_batches", "q162_lsh_probe", "q163_source_quantile_norm",
-    "q164_chi2_drift", "q165_vocab_growth")
+    "q164_chi2_drift", "q165_vocab_growth", "q166_boilerplate_strip",
+    "q167_mix_quota")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this

@@ -2534,9 +2534,133 @@ object CorpusQueries {
       |FROM grid LEFT JOIN cnt ON grid.source = cnt.source AND grid.N = cnt.N
       |ORDER BY grid.source, n_prefix""".stripMargin
 
+  /** q166 — per-source boilerplate stripping (the CCNet/C4 move): a
+    * segment (q50's 8-word unit — the corpus has no newlines) that
+    * recurs across ≥ 5% of a source's docs (and ≥ 2 docs) is
+    * boilerplate — headers, navboxes, license footers — and every
+    * instance is dropped; each doc's text is rebuilt from its
+    * surviving segments in order. The frequency-threshold complement
+    * of q50's global exact segment dedup (which keeps ONE instance;
+    * boilerplate keeps none). (5% is deliberately aggressive so the
+    * strip path is exercised on the synthetic corpus, whose deepest
+    * within-source segment recurrence is 2 of 25 docs; production
+    * corpora tune the fraction.)
+    *
+    * Scale shape: one posexplode; segment frequencies are a map-side-
+    * combined (source, segment) count-distinct; the boilerplate set
+    * joins back as a per-source filter (its size is bounded by
+    * segments-with-freq≥25% — small by construction); the rebuild is
+    * one doc-keyed sort_array(collect_list) — per-doc bounded, the
+    * q95 discipline.
+    */
+  def q166(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $k.0) as int) - 1),
+           |          i -> array_join(slice(w, i * $k + 1, $k), ' '))""".stripMargin))
+        .as(Seq("i", "segment")))
+    val nPerSource = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_src"))
+    val boiler = segs.groupBy("source", "segment")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .join(broadcast(nPerSource), "source")
+      .filter(col("n_docs") >= 2 && col("n_docs") * 20 >= col("n_src"))
+      .select("source", "segment")
+    val kept = segs.join(boiler.withColumn("__b", lit(1)),
+        Seq("source", "segment"), "left")
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN __b IS NULL THEN struct(i, segment) END)), x -> x.segment)"),
+          " ").as("text_stripped"))
+      .orderBy("doc_id")
+  }
+
+  val q166Sql: String =
+    """WITH w AS (
+      | SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, source, i - 1 AS i,
+      |   array_to_string(list_slice(w, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ') AS segment
+      | FROM w, unnest(range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)) AS t(i)),
+      |n AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+      |b AS (
+      | SELECT s.source, segment
+      | FROM s JOIN n ON s.source = n.source
+      | GROUP BY s.source, segment, n_src
+      | HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(DISTINCT doc_id) * 20 >= n_src),
+      |kept AS (
+      | SELECT s.doc_id, s.i, s.segment,
+      |   b.segment IS NOT NULL AS is_boiler
+      | FROM s LEFT JOIN b ON s.source = b.source AND s.segment = b.segment)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      | CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+      | COALESCE(array_to_string(
+      |   list(CASE WHEN NOT is_boiler THEN segment END ORDER BY i)
+      |     FILTER (WHERE NOT is_boiler), ' '), '') AS text_stripped
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q167 — mixture quota allocation by largest remainder (Hamilton's
+    * method): split a token budget across sources proportionally to
+    * their weights with EXACT integer quotas — floor everyone, then
+    * hand the leftover units to the largest fractional remainders
+    * (ties to source asc). The standard apportionment for "this run
+    * samples B tokens with mix w" — floors alone under-fill the
+    * budget; naive rounding overshoots. All-integer (remainders
+    * compare as `B·w mod W` — no floats anywhere).
+    *
+    * Scale: weights here are per-source token counts (one map-side
+    * agg); everything after runs on a source-count-sized frame, so the
+    * window is bounded by the number of sources, not the corpus.
+    */
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("weight"))
+    val tot = w.agg(sum(col("weight")).as("tw"))
+      .withColumn("budget", expr("tw div 3"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rem"), asc("source"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("floor_q", expr("(budget * weight) div tw"))
+      .withColumn("rem", expr("(budget * weight) % tw"))
+      .withColumn("rk", row_number().over(win))
+      .withColumn("leftover", col("budget") - sum(col("floor_q")).over())
+      .select(col("source"), col("weight"),
+        (col("floor_q") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy("source")
+  }
+
+  val q167Sql: String =
+    """WITH w AS (
+      | SELECT source,
+      |   SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS weight
+      | FROM documents GROUP BY 1),
+      |t AS (SELECT SUM(weight) AS W, SUM(weight) // 3 AS B FROM w),
+      |q AS (
+      | SELECT source, weight,
+      |   (B * weight) // W AS floor_q,
+      |   (B * weight) % W AS rem,
+      |   B
+      | FROM w CROSS JOIN t),
+      |r AS (
+      | SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |   B - SUM(floor_q) OVER () AS leftover
+      | FROM q)
+      |SELECT source, CAST(weight AS BIGINT) AS weight,
+      | CAST(floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_pack_batches" -> ((s: SparkSession, dir: String) => q161(s, dir)),
     "q165_vocab_growth" -> (q165 _),
+    "q166_boilerplate_strip" -> ((s: SparkSession, dir: String) => q166(s, dir)),
+    "q167_mix_quota" -> (q167 _),
     "q152_cms_estimates" -> (q152 _),
     "q129_quality_ensemble" -> (q129 _),
     "q127_dup_substring_cut" -> (q127 _),
@@ -2601,6 +2725,8 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "q161_pack_batches" -> q161Sql,
     "q165_vocab_growth" -> q165Sql,
+    "q166_boilerplate_strip" -> q166Sql,
+    "q167_mix_quota" -> q167Sql,
     "q152_cms_estimates" -> q152Sql,
     "q113_kmv_overlap" -> q113Sql,
     "q83_bpe_train" -> goldenSql("q83_bpe_train"),

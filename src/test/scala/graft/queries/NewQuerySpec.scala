@@ -575,6 +575,53 @@ class NewQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q166: boilerplate strip drops exactly the frequent segments, in order") {
+    val rows = CorpusQueries.q166(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // driver replay
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def segs(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.grouped(8).map(_.mkString(" ")).toSeq
+    val nSrc = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    // .toSeq before flatMap: flatMapping a Map into (src, seg) pairs
+    // would rebuild a Map and collapse all of one source's segments
+    val boiler: Set[(String, String)] = docs.groupBy(_._2).toSeq.flatMap {
+      case (src, ds) =>
+        ds.flatMap(d => segs(d._3).distinct.map(sg => (d._1, sg)))
+          .groupBy(_._2).filter { case (_, occ) =>
+            val nd = occ.map(_._1).distinct.length
+            nd >= 2 && nd * 20 >= nSrc(src)
+          }.keys.map(src -> _)
+    }.toSet
+    docs.foreach { case (id, src, t) =>
+      val ss = segs(t)
+      val kept = ss.filterNot(sg => boiler((src, sg)))
+      val got = rows.find(_._1 == id).get
+      assert(got._2 == ss.length && got._3 == kept.length, s"counts for doc $id")
+      assert(got._4 == kept.mkString(" "), s"rebuilt text for doc $id")
+    }
+    // the strip path must actually fire on this corpus
+    assert(rows.exists(r => r._3 < r._2), "no boilerplate stripped — vacuous")
+  }
+
+  test("q167: largest-remainder quotas sum exactly to the budget") {
+    val rows = CorpusQueries.q167(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val totalW = rows.map(_._2).sum
+    val budget = totalW / 3
+    assert(rows.map(_._3).sum == budget, "apportionment must hit the budget exactly")
+    // every quota within 1 of the exact proportional share (Hamilton property)
+    rows.foreach { case (src, w, q) =>
+      val exact = budget.toDouble * w / totalW
+      assert(q >= exact.floor - 1e-9 && q <= exact.ceil + 1e-9,
+        s"quota for $src off the proportional share: $q vs $exact")
+    }
+  }
+
   test("q164: chi2 drift equals a full driver-side replay") {
     val rows = TextQueries.q164(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
