@@ -1410,7 +1410,36 @@ object EmbeddingQueries {
        |ORDER BY emb.vec_id""".stripMargin
   }
 
+  /** q168 — incremental near-dup cluster maintenance
+    * ([[graft.operators.IncrementalCC]]): the corpus's "first crawl"
+    * (vec_id % 10 < 8) is clustered once; the "new crawl" (the other
+    * 20%) arrives as a delta whose edges merge in via super-node
+    * contraction — delta-sized joins + a delta-neighborhood-sized CC,
+    * never re-iterating the full graph. The oracle is the FULL
+    * recompute over the union (q41's recursive closure), which is
+    * exactly the operator's equivalence claim; NewQuerySpec pins
+    * q168 ≡ q41 row-for-row.
+    */
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = graft.operators.Dedup
+      .embedNearDup(emb, "vec_id", "embedding", 0.45)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .localCheckpoint()
+    val isOld = (c: org.apache.spark.sql.Column) => c % 10 < 8
+    val oldLabels = graft.operators.Dedup.connectedComponents(
+      pairs.filter(isOld(col("src")) && isOld(col("dst"))),
+      emb.filter(isOld(col("vec_id"))).select(col("vec_id").as("id")))
+    graft.operators.IncrementalCC.merge(
+        oldLabels,
+        pairs.filter(!isOld(col("src")) || !isOld(col("dst"))),
+        emb.filter(!isOld(col("vec_id"))).select(col("vec_id").as("id")))
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_cc_incremental" -> (q168 _),
     "q160_kcore" -> (q160 _),
     "q156_ann_ivfpq" -> (q156 _),
     "q153_label_propagation" -> (q153 _),
@@ -1443,6 +1472,8 @@ object EmbeddingQueries {
     "q91_canonical_pick" -> (q91 _))
 
   val oracles: Map[String, String] = Map(
+    // incremental ≡ full recompute — the oracle IS q41's closure
+    "q168_cc_incremental" -> q41Sql,
     "q160_kcore" -> q160Sql,
     "q156_ann_ivfpq" -> goldenSql("q156_ann_ivfpq"),
     "q153_label_propagation" -> q153Sql,

@@ -575,6 +575,18 @@ class NewQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q168: incremental cluster merge equals the full recompute (q41)") {
+    val inc = EmbeddingQueries.q168(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = EmbeddingQueries.q41(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc == full && inc.nonEmpty)
+    // the split is non-trivial: some delta edge must actually merge
+    // old clusters or attach a new node, or the test is vacuous
+    assert(inc.exists { case (v, c) => v % 10 >= 8 && c != v },
+      "no new-crawl vector joined an existing cluster — vacuous split")
+  }
+
   test("q166: boilerplate strip drops exactly the frequent segments, in order") {
     val rows = CorpusQueries.q166(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
