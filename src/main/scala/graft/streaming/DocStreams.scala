@@ -188,6 +188,60 @@ object DocStreams {
       index, batch, k, nProbe, excludeSelf = false)
   }
 
+  /** Streaming near-dup cluster MAINTENANCE: each micro-batch of new
+    * edges (e.g. verified pairs from [[streamingNearDupCandidates]] or
+    * an [[graft.operators.LshIndex]] probe) merges into a persistent
+    * (id, label) clustering via [[graft.operators.IncrementalCC]] —
+    * per batch, one batch-sized join against the label state and a
+    * batch-neighborhood-sized CC; the full graph is never re-iterated.
+    * After every batch the state parquet holds exactly
+    * `cc(all edges so far)` (pinned in DocStreamsSpec against the full
+    * recompute).
+    *
+    * Replay safety (the [[streamingCmsCounts]] sentinel): the state
+    * write lands before the checkpoint commit, so a crash in the gap
+    * replays the batch; merging the same edges twice is IDEMPOTENT for
+    * CC (re-unioning an edge changes nothing), but the sentinel still
+    * skips the redundant work and keeps the state write count aligned
+    * with committed batches.
+    */
+  def streamingClusterMaintenance(incomingEdges: DataFrame, stateDir: String,
+                                  checkpoint: String)
+                                 (sink: DataFrame => Unit): StreamingQuery =
+    incomingEdges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val (prior: DataFrame, lastApplied: Long) =
+          try {
+            val st = s.read.parquet(stateDir)
+            val applied = st.filter(col("id") === -1L && col("label") === -1L)
+              .select("applied").as[Long].collect().headOption.getOrElse(-1L)
+            (st.filter(col("id") =!= -1L).select("id", "label").localCheckpoint(),
+              applied)
+          } catch { // first batch: empty clustering
+            case _: org.apache.spark.sql.AnalysisException =>
+              (Seq.empty[(Long, Long)].toDF("id", "label"), -1L)
+          }
+        val merged =
+          if (batchId <= lastApplied) prior
+          else {
+            val edges = batch.toDF().select(col("src"), col("dst"))
+              .localCheckpoint()
+            val newVerts = edges.select(col("src").as("id"))
+              .unionByName(edges.select(col("dst").as("id"))).distinct()
+            graft.operators.IncrementalCC.merge(prior, edges, newVerts)
+              .localCheckpoint()
+          }
+        sink(merged.withColumn("batch_id", lit(batchId)))
+        if (batchId > lastApplied)
+          merged.withColumn("applied", lit(-1L))
+            .unionByName(Seq((-1L, -1L, batchId)).toDF("id", "label", "applied"))
+            .coalesce(1).write.mode("overwrite").parquet(stateDir)
+      }
+      .start()
+
   /** Streaming near-dup serving against a PERSISTED MinHash-LSH index
     * ([[graft.operators.LshIndex]]'s layout) — the streaming face of
     * the daily-crawl lifecycle: the reference corpus's banded

@@ -507,6 +507,40 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(canon(buf.toArray) == want)
   }
 
+  test("streaming cluster maintenance: state equals the full CC after every batch") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    val tmp = Files.createTempDirectory("ccstream").toFile.getAbsolutePath
+    def write(path: String, rows: Row*): Unit =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.parquet(path)
+    // batch 1: two separate clusters; batch 2: an edge merging them
+    // plus a brand-new pair
+    write(s"$tmp/src/b1", Row(1L, 2L), Row(5L, 6L))
+    write(s"$tmp/src/b2", Row(2L, 5L), Row(8L, 9L))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingClusterMaintenance(
+      stream, s"$tmp/state", s"$tmp/ckpt") { df =>
+      perBatch += df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.length == 2)
+    assert(perBatch(0) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(perBatch(1) == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    // persisted state = full CC over all edges seen
+    import spark.implicits._
+    val st = spark.read.parquet(s"$tmp/state")
+      .filter(org.apache.spark.sql.functions.col("id") =!= -1L)
+      .select("id", "label").as[(Long, Long)].collect().toMap
+    assert(st == perBatch(1))
+  }
+
   test("streaming LSH probe: per-batch probes equal the one-shot probe") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)
