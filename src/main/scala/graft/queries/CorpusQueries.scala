@@ -2656,11 +2656,80 @@ object CorpusQueries {
       | CAST(floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
       |FROM r ORDER BY source""".stripMargin
 
+  /** q169 — deterministic hash sampling to the q167 quotas: each doc
+    * keeps or drops by `md5("smp:" || doc_id) mod 2^20 < rate`, with
+    * `rate = quota·2^20 div weight` — THE 100 TB sampling primitive
+    * (reproducible across runs/engines, no RNG state, membership
+    * decidable per row with no shuffle; re-running tomorrow's pipeline
+    * samples the same docs). Modulus is a POWER OF TWO so the JVM's
+    * signed floorMod and DuckDB's unsigned `%` agree on the digest's
+    * low bits — the CountMin oracle-replay rule. Reports per source:
+    * achieved docs/tokens vs the token target.
+    *
+    * Scale shape: quota table is source-count-sized and broadcast;
+    * the keep-decision is one map-side hash per row; ONE map-side-
+    * combined aggregation ends the plan.
+    */
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+    val quotas = q167(s, dir) // (source, weight, quota)
+    val hUdf = udf { id: Long =>
+      java.lang.Math.floorMod(
+        graft.functions.Hashing.md5Hash64("smp:" + id), 1048576L)
+    }
+    perDoc.join(broadcast(quotas), "source")
+      .withColumn("rate", expr("(quota * 1048576) div weight"))
+      .withColumn("keep", hUdf(col("doc_id")) < col("rate"))
+      .groupBy("source")
+      .agg(max(col("rate")).as("rate_pm"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("nt")).otherwise(0L)).as("tokens_sampled"),
+        max(col("quota")).as("tokens_target"))
+      .orderBy("source")
+  }
+
+  val q169Sql: String =
+    """WITH w AS (
+      | SELECT source,
+      |   SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS weight
+      | FROM documents GROUP BY 1),
+      |t AS (SELECT SUM(weight) AS W, SUM(weight) // 3 AS B FROM w),
+      |q AS (
+      | SELECT source, weight, (B * weight) // W AS floor_q,
+      |   (B * weight) % W AS rem, B
+      | FROM w CROSS JOIN t),
+      |r AS (
+      | SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |   B - SUM(floor_q) OVER () AS leftover
+      | FROM q),
+      |quota AS (
+      | SELECT source, weight,
+      |   floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+      | FROM r),
+      |d AS (
+      | SELECT doc_id, source,
+      |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+      |   CAST(md5_number_upper('smp:' || doc_id) % 1048576 AS BIGINT) AS h
+      | FROM documents),
+      |j AS (
+      | SELECT d.source, nt, h, (quota * 1048576) // weight AS rate, quota
+      | FROM d JOIN quota ON d.source = quota.source)
+      |SELECT source, CAST(MAX(rate) AS BIGINT) AS rate_pm,
+      | CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      | CAST(SUM(CASE WHEN h < rate THEN nt ELSE 0 END) AS BIGINT) AS tokens_sampled,
+      | CAST(MAX(quota) AS BIGINT) AS tokens_target
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_pack_batches" -> ((s: SparkSession, dir: String) => q161(s, dir)),
     "q165_vocab_growth" -> (q165 _),
     "q166_boilerplate_strip" -> ((s: SparkSession, dir: String) => q166(s, dir)),
     "q167_mix_quota" -> (q167 _),
+    "q169_hash_sample" -> (q169 _),
     "q152_cms_estimates" -> (q152 _),
     "q129_quality_ensemble" -> (q129 _),
     "q127_dup_substring_cut" -> (q127 _),
@@ -2727,6 +2796,7 @@ object CorpusQueries {
     "q165_vocab_growth" -> q165Sql,
     "q166_boilerplate_strip" -> q166Sql,
     "q167_mix_quota" -> q167Sql,
+    "q169_hash_sample" -> q169Sql,
     "q152_cms_estimates" -> q152Sql,
     "q113_kmv_overlap" -> q113Sql,
     "q83_bpe_train" -> goldenSql("q83_bpe_train"),

@@ -575,6 +575,36 @@ class NewQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q169: hash sampling is a deterministic per-row membership replay") {
+    val rows = CorpusQueries.q169(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val quotas = CorpusQueries.q167(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").length.toLong))
+    rows.foreach { case (src, rate, nDocs, nSamp, tokSamp, target) =>
+      val (weight, quota) = quotas(src)
+      assert(rate == quota * 1048576L / weight, s"rate for $src")
+      assert(target == quota)
+      val ds = docs.filter(_._2 == src)
+      val kept = ds.filter { case (id, _, _) =>
+        java.lang.Math.floorMod(
+          graft.functions.Hashing.md5Hash64("smp:" + id), 1048576L) < rate
+      }
+      assert(nDocs == ds.length && nSamp == kept.length,
+        s"membership replay for $src")
+      assert(tokSamp == kept.map(_._3).sum, s"token sum for $src")
+    }
+    // the sampler must neither keep everything nor nothing
+    val (tot, kept) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    assert(kept > 0 && kept < tot)
+  }
+
   test("q168: incremental cluster merge equals the full recompute (q41)") {
     val inc = EmbeddingQueries.q168(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
