@@ -995,7 +995,72 @@ object RelationalQueries {
       |WHERE levenshtein(a.name, b.name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q170 — sole-late-supplier attribution (the TPC-H Q21 shape over
+    * this schema's columns: "late" = shipped > 60 days after the order
+    * date): for multi-supplier orders where EXACTLY ONE supplier
+    * shipped late, count the orders attributed to each such supplier —
+    * the classic EXISTS / NOT-EXISTS composition, expressed as one
+    * left_semi (another supplier exists on the order) and one
+    * left_anti (no OTHER supplier is also late) against the same
+    * distinct (order, supplier) frame.
+    *
+    * Scale shape: everything is keyed on l_orderkey — the semi and
+    * anti probes co-shuffle with the late set on the same key (one
+    * partitioning reused across both joins, AQE broadcasts the probe
+    * sides when small); the supplier name attach is a broadcast; the
+    * final count is a top-20 TakeOrderedAndProject, never a global
+    * sort.
+    */
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    val late = l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .localCheckpoint()
+    val hasOther = late.as("l1").join(
+      pairs.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+      col("l1.l_orderkey") === col("ok2") && col("l1.l_suppkey") =!= col("sk2"),
+      "left_semi")
+    val sole = hasOther.as("l1").join(
+      late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")),
+      col("l1.l_orderkey") === col("ok3") && col("l1.l_suppkey") =!= col("sk3"),
+      "left_anti")
+    sole.groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_suppkey"))
+      .limit(20)
+  }
+
+  val q170Sql: String =
+    """WITH pairs AS (
+      | SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |late AS (
+      | SELECT DISTINCT l_orderkey, l_suppkey
+      | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      | WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+      |sole AS (
+      | SELECT l1.l_orderkey, l1.l_suppkey
+      | FROM late l1
+      | WHERE EXISTS (SELECT 1 FROM pairs p
+      |               WHERE p.l_orderkey = l1.l_orderkey
+      |                 AND p.l_suppkey <> l1.l_suppkey)
+      |   AND NOT EXISTS (SELECT 1 FROM late l3
+      |                   WHERE l3.l_orderkey = l1.l_orderkey
+      |                     AND l3.l_suppkey <> l1.l_suppkey))
+      |SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_suppkey, s.s_name
+      |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_sole_late_supplier" -> (q170 _),
     "q118_sorted_neighborhood" -> (q118 _),
     "q119_robust_outliers" -> (q119 _),
     "q116_cdc_apply" -> (q116 _),
@@ -1031,6 +1096,7 @@ object RelationalQueries {
     "q15_scalar_shaping" -> (q15 _))
 
   val oracles: Map[String, String] = Map(
+    "q170_sole_late_supplier" -> q170Sql,
     "q118_sorted_neighborhood" -> q118Sql,
     "q119_robust_outliers" -> q119Sql,
     "q116_cdc_apply" -> q116Sql,

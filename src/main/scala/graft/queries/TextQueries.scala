@@ -991,10 +991,70 @@ object TextQueries {
       | CAST(SUM(CAST(round(term, 6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  /** q171 — per-source nucleus (top-p) selection: walk each source's
+    * docs in quality-descending order and keep until the kept tokens
+    * reach 80% of the source's total (the crossing doc included) — the
+    * token-budgeted quality trim applied per source before mixing
+    * ("keep the best 80% of tokens", not "the best N docs": long
+    * mediocre docs can't crowd out short good ones). The gate is the
+    * integer comparison `5·cum_before < 4·total` — no float threshold.
+    *
+    * Scale shape: ONE PrefixSum two-pass running-token-total over
+    * (source, −score, doc_id) — never a per-source global window; the
+    * per-source base (tokens before the source's first row) and total
+    * come from a source-count-sized agg broadcast back; one final
+    * grouped aggregation.
+    */
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("nt"),
+        (size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double")).as("score"))
+      .withColumn("neg_score", -col("score"))
+    val run = graft.operators.PrefixSum.withRunningTotalOrdered(
+      scored, Seq("source", "neg_score", "doc_id"), "nt", "__run", 32)
+    val bases = run.groupBy("source")
+      .agg(min(col("__run") - col("nt")).as("__base"),
+        sum(col("nt")).as("total"))
+    run.join(broadcast(bases), Seq("source"))
+      .withColumn("cum_before", col("__run") - col("nt") - col("__base"))
+      .withColumn("keep", col("cum_before") * 5 < col("total") * 4)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("total")).as("tokens_total"),
+        sum(when(col("keep"), col("nt")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  val q171Sql: String =
+    """WITH s AS (
+      | SELECT doc_id, source,
+      |   CAST(len(w) AS BIGINT) AS nt,
+      |   CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS score
+      | FROM (SELECT doc_id, source,
+      |         string_split_regex(lower(trim(text)), '\s+') AS w
+      |       FROM documents)),
+      |r AS (
+      | SELECT *,
+      |   COALESCE(SUM(nt) OVER (PARTITION BY source
+      |     ORDER BY score DESC, doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |   SUM(nt) OVER (PARTITION BY source) AS total
+      | FROM s)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(CASE WHEN cum_before * 5 < total * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      | CAST(MAX(total) AS BIGINT) AS tokens_total,
+      | CAST(SUM(CASE WHEN cum_before * 5 < total * 4 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_lsh_probe" -> (q162 _),
     "q163_source_quantile_norm" -> (q163 _),
     "q164_chi2_drift" -> (q164 _),
+    "q171_top_p_select" -> (q171 _),
     "q149_gopher_repetition" -> (q149 _),
     "q150_token_fertility" -> (q150 _),
     "q155_dedup_savings" -> (q155 _),
@@ -1022,6 +1082,7 @@ object TextQueries {
     "q162_lsh_probe" -> q162Sql,
     "q163_source_quantile_norm" -> q163Sql,
     "q164_chi2_drift" -> q164Sql,
+    "q171_top_p_select" -> q171Sql,
     "q149_gopher_repetition" -> q149Sql,
     "q150_token_fertility" -> q150Sql,
     "q155_dedup_savings" -> q155Sql,

@@ -575,6 +575,63 @@ class NewQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q170: sole-late attribution equals a driver-side replay") {
+    import org.apache.spark.sql.functions.col
+    val got = RelationalQueries.q170(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    def millis(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime => // TIMESTAMP_NTZ decoding
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant => i.toEpochMilli
+    }
+    val l = graft.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), millis(r.get(2))))
+    val o = graft.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> millis(r.get(1))).toMap
+    val sixty = 60L * 24 * 3600 * 1000
+    val pairs = l.map(t => (t._1, t._2)).distinct
+    val late = l.filter(t => t._3 > o(t._1) + sixty).map(t => (t._1, t._2)).distinct
+    val lateByOrder = late.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val suppByOrder = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = late.filter { case (ok, sk) =>
+      (suppByOrder(ok) - sk).nonEmpty && (lateByOrder(ok) - sk).isEmpty
+    }.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (sk, n) => (-n, sk) }.take(20)
+    assert(got == want)
+  }
+
+  test("q171: nucleus keeps the best docs until 80% of tokens, per source") {
+    val rows = TextQueries.q171(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nKept, tot, kept) =>
+      assert(nKept >= 1 && nKept <= nDocs)
+      // kept tokens reach 80% (crossing doc included) but the set
+      // minus its worst kept doc must be strictly under 80%
+      assert(kept * 5 >= tot * 4, s"$src under-filled: $kept of $tot")
+    }
+    // a driver replay of one source pins the exact membership count
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val src0 = docs.filter(_._2 == rows.head._1)
+    val scored = src0.map { case (id, _, t) =>
+      val w = t.trim.toLowerCase.split("\\s+")
+      (id, w.length.toLong, w.distinct.length.toDouble / w.length)
+    }.sortBy { case (id, _, sc) => (-sc, id) }
+    val tot = scored.map(_._2).sum
+    var cum = 0L
+    val keptN = scored.takeWhile { case (_, nt, _) =>
+      val keep = cum * 5 < tot * 4; cum += nt; keep
+    }.length
+    assert(rows.head._3 == keptN, s"membership count for ${rows.head._1}")
+  }
+
   test("q169: hash sampling is a deterministic per-row membership replay") {
     val rows = CorpusQueries.q169(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
