@@ -97,7 +97,7 @@ object Bench {
     "q161_pack_batches", "q162_lsh_probe", "q163_source_quantile_norm",
     "q164_chi2_drift", "q165_vocab_growth", "q166_boilerplate_strip",
     "q167_mix_quota", "q168_cc_incremental", "q169_hash_sample",
-    "q170_sole_late_supplier", "q171_top_p_select")
+    "q170_sole_late_supplier", "q171_top_p_select", "q172_rfm_segments")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this

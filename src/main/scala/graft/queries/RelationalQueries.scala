@@ -1059,8 +1059,75 @@ object RelationalQueries {
       |GROUP BY s.s_suppkey, s.s_name
       |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin
 
+  /** q172 — RFM customer segmentation: each customer scored 1–4 on
+    * Recency (days since last order, relative to the corpus max
+    * date), Frequency (order count) and Monetary (total spend), each
+    * by EXACT integer quartile rank (the q148 convention:
+    * `(rank−1)·4 div n + 1` — no ntile, no percentile estimate), then
+    * counted per RFM cell — the standard customer-base health matrix.
+    *
+    * Scale shape: one orders aggregation to customer grain; the three
+    * quartile ranks come from PrefixSum two-pass scans (never a
+    * global window over the customer table — the q148/q161/q163
+    * discipline, three ranked orders so three scans); one final
+    * map-side-combined cell count. All-integer once the per-customer
+    * aggregates (counts, decimal-summed spend, day diffs) are fixed.
+    */
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val o = Tables.orders(s, dir)
+    val maxDateRow = o.agg(max(col("o_orderdate"))).head.get(0)
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(datediff(lit(maxDateRow), max(col("o_orderdate"))).cast("long").as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(dec2)).as("spend"))
+    val n = cust.count()
+    def quartile(df: DataFrame, orderCols: Seq[String], out: String): DataFrame = {
+      val ranked = graft.operators.PrefixSum.withRunningTotalOrdered(
+        df.withColumn("__one", lit(1)), orderCols, "__one", "__rank", 32)
+      ranked.withColumn(out, expr(s"((__rank - 1L) * 4L) div ${n}L") + lit(1L))
+        .drop("__one", "__rank")
+    }
+    // recency: smaller = better = quartile 1 → rank ascending on days;
+    // frequency/monetary: larger = better = quartile 1 → rank descending
+    val r1 = quartile(cust, Seq("rec_days", "o_custkey"), "r")
+    val r2 = quartile(r1.withColumn("neg_freq", -col("freq")),
+      Seq("neg_freq", "o_custkey"), "f").drop("neg_freq")
+    val r3 = quartile(r2.withColumn("neg_spend", -col("spend")),
+      Seq("neg_spend", "o_custkey"), "m").drop("neg_spend")
+    r3.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("cell_spend"))
+      .orderBy("r", "f", "m")
+  }
+
+  val q172Sql: String =
+    """WITH mx AS (SELECT MAX(o_orderdate) AS md FROM orders),
+      |c AS (
+      | SELECT o_custkey,
+      |   CAST(date_diff('day', MAX(o_orderdate), (SELECT md FROM mx)) AS BIGINT) AS rec_days,
+      |   CAST(COUNT(*) AS BIGINT) AS freq,
+      |   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      | FROM orders GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM c),
+      |r AS (
+      | SELECT *,
+      |  ((row_number() OVER (ORDER BY rec_days, o_custkey) - 1) * 4)
+      |    // (SELECT n FROM n) + 1 AS r,
+      |  ((row_number() OVER (ORDER BY freq DESC, o_custkey) - 1) * 4)
+      |    // (SELECT n FROM n) + 1 AS f,
+      |  ((row_number() OVER (ORDER BY spend DESC, o_custkey) - 1) * 4)
+      |    // (SELECT n FROM n) + 1 AS m
+      | FROM c)
+      |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+      | CAST(m AS BIGINT) AS m,
+      | CAST(COUNT(*) AS BIGINT) AS n_customers,
+      | CAST(SUM(spend) AS DOUBLE) AS cell_spend
+      |FROM r GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_sole_late_supplier" -> (q170 _),
+    "q172_rfm_segments" -> (q172 _),
     "q118_sorted_neighborhood" -> (q118 _),
     "q119_robust_outliers" -> (q119 _),
     "q116_cdc_apply" -> (q116 _),
@@ -1097,6 +1164,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q170_sole_late_supplier" -> q170Sql,
+    "q172_rfm_segments" -> q172Sql,
     "q118_sorted_neighborhood" -> q118Sql,
     "q119_robust_outliers" -> q119Sql,
     "q116_cdc_apply" -> q116Sql,
