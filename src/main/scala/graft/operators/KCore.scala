@@ -34,15 +34,35 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** @param edges undirected pairs (src, dst), each pair once
+  /** Peel rounds the most recent [[kCore]] call took to reach the
+    * fixpoint (including the final nothing-removed probe round). Test /
+    * oracle-calibration instrumentation: q160's unrolled-round SQL
+    * replay is exact only while its unroll depth ≥ this fixpoint, so
+    * the depth constant is pinned against a measured value instead of
+    * guessed (r12 ADVICE).
+    */
+  val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** @param edges undirected pairs (src, dst); duplicate pairs,
+    *              reversed duplicates, and self-loops are canonicalized
+    *              away first, so degree counts distinct neighbors no
+    *              matter how the edge list arrives
     * @param k     minimum within-core degree
     * @return (node, core_deg) for every k-core member, where core_deg
     *         is the node's degree INSIDE the core (≥ k by definition)
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // canonical undirected edge set (the Triangles discipline): a pair
+    // present as both (a,b) and (b,a), repeated, or a self-loop would
+    // otherwise inflate degrees and admit fake cores
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var e = canon
+      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var removed = 1L
     var round = 0
@@ -58,6 +78,7 @@ object KCore {
       }
       round += 1
     }
+    lastRounds.set(round)
     require(removed == 0,
       s"k-core did not converge in $maxRounds rounds — raise maxRounds")
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))

@@ -53,22 +53,40 @@ object LshIndex {
     Handle(b, k, numPerms, bands, numDirs)
   }
 
+  /** Resolve the filesystem OWNING `path` (local, hdfs://, s3a://, …) —
+    * the sidecar must land next to the parquet on the SAME filesystem,
+    * or a remote index writes its data remotely but its parameters
+    * locally and the "parameters travel WITH the data" contract breaks
+    * (r12 ADVICE).
+    */
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   def save(h: Handle, path: String): Unit = {
     h.buckets.write.mode("overwrite").partitionBy("dir").parquet(path)
     val meta = s"""{"k":${h.k},"numPerms":${h.numPerms},"bands":${h.bands},"numDirs":${h.numDirs}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, MetaFile),
-      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (fs, root) = fsFor(h.buckets.sparkSession, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, MetaFile), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Load a saved index; every hash-domain parameter comes from the
     * sidecar, never the caller.
     */
   def load(spark: SparkSession, path: String): Handle = {
-    val metaPath = java.nio.file.Paths.get(path, MetaFile)
-    require(java.nio.file.Files.exists(metaPath),
+    val (fs, root) = fsFor(spark, path)
+    val metaPath = new org.apache.hadoop.fs.Path(root, MetaFile)
+    require(fs.exists(metaPath),
       s"not a graft LSH index (missing $MetaFile): $path")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val in = fs.open(metaPath)
+    val meta =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
     def intOf(key: String): Int =
       ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(meta)
         .map(_.group(1).toInt)

@@ -1380,6 +1380,17 @@ object EmbeddingQueries {
       .orderBy("vec_id")
   }
 
+  /** Unroll depth of q160's peel replay. The oracle is exact only
+    * while this ≥ the peel's true fixpoint (rounds past it are no-ops),
+    * so the constant is pinned against a MEASURED fixpoint, not guessed
+    * (r12 ADVICE): KCoreSpec runs q160 at the gate SF and asserts
+    * [[graft.operators.KCore.lastRounds]] ≤ this value (measured: 2
+    * rounds at sf0.01, 3 at sf0.1 — a 4× margin, and any corpus tier
+    * whose peel ever exceeds it fails that spec loudly instead of
+    * failing the gate mysteriously).
+    */
+  val KCoreOracleUnroll = 12
+
   val q160Sql: String = {
     def cos(a: String, b: String): String =
       s"""list_sum(list_transform(range(1, len($a.e) + 1), i -> $a.e[i] * $b.e[i]))
@@ -1387,8 +1398,8 @@ object EmbeddingQueries {
          |     * sqrt(list_sum(list_transform(range(1, len($b.e) + 1), i -> $b.e[i] * $b.e[i]))))""".stripMargin
     // each e_i is referenced three times (degree agg + two NOT INs of
     // the next round); DuckDB inlines plain CTEs, so without
-    // MATERIALIZED the 8-round unroll re-plans the brute pair join
-    // 3^8 times (observed: fd exhaustion)
+    // MATERIALIZED the unroll re-plans the brute pair join 3^depth
+    // times (observed: fd exhaustion)
     def peel(i: Int): String =
       s"""d$i AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM e${i - 1} GROUP BY 1),
          |bad$i AS MATERIALIZED (SELECT node FROM d$i WHERE c < 2),
@@ -1401,9 +1412,9 @@ object EmbeddingQueries {
        |      FROM v a JOIN v b ON a.vec_id < b.vec_id
        |      WHERE ${cos("a", "b")} >= 0.45),
        |e0 AS MATERIALIZED (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
-       |${(1 to 8).map(peel).mkString("\n")}
+       |${(1 to KCoreOracleUnroll).map(peel).mkString("\n")}
        |cd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
-       |       FROM e8 GROUP BY 1)
+       |       FROM e$KCoreOracleUnroll GROUP BY 1)
        |SELECT emb.vec_id, cd.core_deg,
        | CASE WHEN cd.node IS NOT NULL THEN 1 ELSE 0 END AS in_core
        |FROM embeddings emb LEFT JOIN cd ON emb.vec_id = cd.node

@@ -41,10 +41,38 @@ class KCoreSpec extends AnyFunSuite {
   }
 
   test("duplicate/reversed edges and self-loops do not inflate degrees") {
-    // the caller contract is one row per pair, but the op must not
-    // miscount if a pair arrives reversed too (both directions union)
-    val got = core(2, (1L, 2L), (2L, 3L), (1L, 3L))
-    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // A path 1-2-3 has no 2-core. Feed it with every corruption the
+    // canonicalization must absorb: each pair repeated, each pair also
+    // reversed, and a self-loop on every node — without the internal
+    // least/greatest + distinct + self-loop filter, node 2 would count
+    // degree 6 (and 1/3 degree 3) and a fake 2-core {1,2,3} survives.
+    val got = core(2,
+      (1L, 2L), (2L, 1L), (1L, 2L),
+      (2L, 3L), (3L, 2L), (2L, 3L),
+      (1L, 1L), (2L, 2L), (3L, 3L))
+    assert(got.isEmpty, s"path graph must have no 2-core, got $got")
+    // and the same corruptions on a true triangle change nothing
+    val tri = core(2,
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (1L, 1L), (2L, 2L))
+    assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("q160 oracle unroll depth covers the measured peel fixpoint") {
+    // q160's DuckDB replay unrolls KCoreOracleUnroll peel rounds while
+    // the operator runs to fixpoint; the replay is exact only while
+    // unroll >= fixpoint (later rounds are no-ops). Pin the constant to
+    // the gate data instead of guessing (r12 ADVICE): run q160 on the
+    // correctness-gate SF and assert the measured fixpoint fits with
+    // margin. A corpus tier whose peel ever outgrows the unroll fails
+    // HERE by name, not in the gate as a mystery hash mismatch.
+    val rows = graft.queries.EmbeddingQueries
+      .q160(spark, "/root/testdata/sf0.01").count()
+    assert(rows > 0)
+    val fix = KCore.lastRounds.get()
+    assert(fix >= 1 && fix <= graft.queries.EmbeddingQueries.KCoreOracleUnroll,
+      s"peel fixpoint $fix exceeds the q160 oracle unroll depth " +
+        s"${graft.queries.EmbeddingQueries.KCoreOracleUnroll} — raise it")
   }
 
   test("partition invariance: the k-core is unique regardless of layout") {
