@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline queries on
@@ -97,7 +94,8 @@ object Bench {
     "q161_pack_batches", "q162_lsh_probe", "q163_source_quantile_norm",
     "q164_chi2_drift", "q165_vocab_growth", "q166_boilerplate_strip",
     "q167_mix_quota", "q168_cc_incremental", "q169_hash_sample",
-    "q170_sole_late_supplier", "q171_top_p_select", "q172_rfm_segments")
+    "q170_sole_late_supplier", "q171_top_p_select", "q172_rfm_segments",
+    "q173_langid_nb")
 
   /** Quarantined brute-force oracle forms: measured once (not 3-pass),
     * excluded from the headline total (see class doc). q24 left this
@@ -105,21 +103,6 @@ object Bench {
     * (Dedup.jaccardPrefixJoin), no longer O(n²).
     */
   val oracleTier: Set[String] = Set("q30_embed_neardup")
-
-  /** Accumulates shuffle read+write bytes across all tasks; snapshot the
-    * counter around a query to attribute its shuffle volume (queries run
-    * sequentially and are fully materialized, so deltas don't interleave).
-    */
-  private final class ShuffleBytesListener extends SparkListener {
-    val bytes = new AtomicLong(0L)
-    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
-      val m = taskEnd.taskMetrics
-      if (m != null) {
-        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten +
-          m.shuffleReadMetrics.totalBytesRead)
-      }
-    }
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -185,107 +168,82 @@ object Bench {
     }
     val results = passResults ++ oracleResults
 
-    // Scale rehearsal (VERDICT r8 #5): run the heaviest operators once at
-    // a derived 10× of sf0.1 (disjoint replicas — see ScaleData) and
-    // report each one's empirical scaling exponent log10(t_10x / t_1x) —
-    // the check on every "occurrence-sized partition" claim. ~1.0 =
-    // linear; the per-op documented bounds allow n log n (~1.1). Budgeted
-    // so a pathological query can't eat the round's bench slot; opt out
-    // with SPARK_GRAFT_SCALE_REHEARSAL=0.
+    // Scale rehearsal (VERDICT r8 #5, re-architected r13 per VERDICT
+    // r12 #1): the heaviest operators run at derived 10× and 100×
+    // tiers (disjoint replicas — see ScaleData) in a DEDICATED FORKED
+    // JVM (fresh heap, fresh SparkSession — no residual block-manager
+    // state from the 172-query headline loop, which r12 showed can
+    // swing identical plans 22–165 s), with symmetric multi-run
+    // sampling, raw samples, and shuffle-byte exponents all published.
+    // See ScaleRehearsal for the protocol. Opt out with
+    // SPARK_GRAFT_SCALE_REHEARSAL=0.
     val rehearse = sys.env.getOrElse("SPARK_GRAFT_SCALE_REHEARSAL", "1") == "1" &&
       sfDir.endsWith("sf0.1")
     val (rehearsalJson: String, rehearsalExps: String) =
       if (!rehearse) ("null", "null") else {
-      val factor = 10
-      val scaledDir = "scale/sf1"
-      val names = Seq("q107_fuzzy_join", "q109_profile", "q110_triangle_count",
-        "q114_fuzzy_lookup", "q119_robust_outliers", "q121_containment_dedup",
-        "q123_doc_novelty", "q126_dup_substring_coverage",
-        "q127_dup_substring_cut", "q129_quality_ensemble",
-        // the 100 TB dedup family: banded LSH (classic + DOPH), winnowing,
-        // cluster canonicalization, and embedding SemDeDup
-        "q25_minhash_lsh", "q112_minhash_doph", "q82_winnow_dedup",
-        "q38_dedup_clusters", "q99_semantic_dedup",
-        // r9: the EXACT Jaccard path (prefix-filtered join) — its
-        // scaling claim is the whole point of the rewrite
-        "q24_ngram_jaccard",
-        // r10/r11: the suffix-array family and the weighted APSS prefix
-        // join. ORDER MATTERS within the SA family: buildCached means the
-        // FIRST SA consumer at each tier pays the build, so the rehearsal
-        // must run q137 before q138 exactly as the headline loop does —
-        // r11's first artifact had q138 at 1.3 "exponent" purely because
-        // the 10x build cost landed on it while the 1x build landed on
-        // q137 (attribution skew, not a scaling regression)
-        "q137_suffix_array", "q138_longest_dup_substring",
-        "q140_tfidf_neardup", "q139_phrase_search",
-        // r11 second half: the 4-gram-size repetition explode and the
-        // near-dup-graph label propagation (|E|-bounded rounds)
-        "q149_gopher_repetition", "q153_label_propagation",
-        // r12: the persisted-LSH-index probe lifecycle and the
-        // boilerplate strip (segment-frequency + per-doc rebuild)
-        "q162_lsh_probe", "q166_boilerplate_strip")
       try {
         // Like-for-like q138 exponent (round-11 verdict): the adaptive
         // LCP dispatch picks broadcast-descent at 1× and hash-walk at
         // 10× (the 10× corpus crosses the 256 MB boundary), so the
         // naive exponent compares two different algorithms. Pin the
-        // hash-walk path, measure a fresh 1× base under the pin (the
-        // headline SA cache is still warm, so this times the walk, not
-        // the build — matching the scaled run, which rides q137's 10×
-        // build), and keep the pin for q138's scaled run.
+        // hash-walk path and measure a fresh 1× base under the pin in
+        // THIS session (the headline SA cache is still warm, so this
+        // times the walk, not the build — matching the scaled run,
+        // which rides q137's 10× build); the child keeps the same pin.
         System.setProperty("graft.lcp.path", "hash")
-        val q138Pinned = {
+        val (q138Pinned, q138PinnedBytes) = {
+          val b0 = shuffle.bytes.get()
           val t0 = System.nanoTime()
           val ok = runOne("q138_longest_dup_substring", sfDir)
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          if (ok) ((System.nanoTime() - t0) / 1e9, shuffle.bytes.get() - b0)
+          else (-1.0, -1L)
         }
-        // Headline-tier SA/LCP checkpoints must not sit in executor
-        // storage while the 10× runs need it (round-11: accumulated
-        // orphaned checkpoints starved q110's broadcast-heavy plan,
-        // 36.9 → 194.5 s with unchanged code).
-        graft.operators.SuffixArray.clearCaches(spark)
-        ScaleData.ensure(spark, sfDir, scaledDir, factor)
-        val base = results.collect { case (n, t, _) if names.contains(n) => n -> t }
-          .toMap + ("q138_longest_dup_substring" -> q138Pinned)
-        val budgetNanos = 1200e9.toLong
-        val t0 = System.nanoTime()
-        def timeScaled(name: String): Double =
-          if (System.nanoTime() - t0 > budgetNanos) -1.0
-          else {
-            val q0 = System.nanoTime()
-            val ok = runOne(name, scaledDir)
-            if (ok) (System.nanoTime() - q0) / 1e9 else -1.0
-          }
-        def expOf(name: String, v: Double): Double = base.get(name) match {
-          case Some(b) if v > 0 && b > 0 =>
-            math.log10(v / b) / math.log10(factor.toDouble)
-          case _ => -1.0
-        }
-        val first = names.map(n => n -> timeScaled(n))
-        // Suspected-noise retry: these 10× numbers are single-shot on a
-        // shared box, and r12 measured q110 anywhere from 22 to 165 s
-        // across runs of IDENTICAL code (host contention — the round-2
-        // contention ruling, which min-of-3 protects the headline from
-        // but the rehearsal had no defense against). Any query whose
-        // first exponent exceeds 0.9 gets ONE re-measure with the min
-        // taken, so a transient spike can't publish as a scaling
-        // regression while a REAL super-linear operator (reproducibly
-        // slow) still reports honestly.
-        val timed = first.map { case (name, v) =>
-          if (v > 0 && expOf(name, v) > 0.9) {
-            val v2 = timeScaled(name)
-            name -> (if (v2 > 0) math.min(v, v2) else v)
-          } else name -> v
-        }
-        val ts = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-          .mkString("{", ",", "}")
-        val exps = timed.map { case (k, v) =>
-          val e = expOf(k, v)
-          "\"" + k + "\":" + (if (e == -1.0) "-1" else f"$e%.3f")
-        }.mkString("{", ",", "}")
         System.clearProperty("graft.lcp.path")
-        (f"""{"factor":$factor,"queries":$ts,"exponent":$exps,"q138_base_pinned_hash":$q138Pinned%.3f}""",
-          exps)
+        // 1× bases for the child: headline min-of-3 secs + min bytes,
+        // q138 overridden by the pinned measurement.
+        val baseLines = results.map {
+          case ("q138_longest_dup_substring", _, _) =>
+            s"q138_longest_dup_substring\t$q138Pinned\t$q138PinnedBytes"
+          case (n, t, b) => s"$n\t$t\t$b"
+        }
+        val baseFile = "scale_rehearsal_base.tsv"
+        val outFile = "scale_rehearsal_out.json"
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
+        java.nio.file.Files.write(java.nio.file.Paths.get(baseFile),
+          (baseLines.mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val timeout = 700 +
+          sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BUDGET", "1500").toLong +
+          sys.env.getOrElse("SPARK_GRAFT_DECADE2_BUDGET", "1000").toLong
+        val forked = ScaleRehearsal.fork(sfDir, baseFile, outFile, timeout)
+        if (!forked) {
+          // fallback: same protocol in-process, but on a FRESH session
+          // (stop the headline session first — its block-manager state
+          // is exactly what the fork isolates against)
+          System.err.println("[bench] rehearsal fork unavailable; " +
+            "running in-process on a fresh SparkSession")
+          spark.stop()
+          val spark2 = SparkSession.builder()
+            .master(s"local[$cpus]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+          spark2.sparkContext.setLogLevel("WARN")
+          try ScaleRehearsal.runAll(spark2, sfDir, baseFile, outFile,
+            freshJvm = false)
+          finally spark2.stop()
+        }
+        val json = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outFile)),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        // compact-line exponents: the tier10 exponent map (first
+        // "exponent" object in the child JSON)
+        val exps = "\"exponent\":(\\{[^}]*\\})".r.findFirstMatchIn(json)
+          .map(_.group(1)).getOrElse("null")
+        (json, exps)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale rehearsal failed: ${e.getMessage}")
         System.clearProperty("graft.lcp.path")

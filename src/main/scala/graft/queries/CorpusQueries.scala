@@ -1159,11 +1159,17 @@ object CorpusQueries {
       |ORDER BY fingerprint""".stripMargin
 
   /** One trained BPE model per sf dir (q83/q84/q85 share it): training
-    * reads the corpus once — a single word-count shuffle capped to the
-    * top 2048 words (count-desc/word-asc, deterministic) — and the
-    * driver-side merge loop is bounded by numMerges, the same
-    * bounded-driver-loop budget as IVF's centroid fit. Cached so a
-    * bench/verify run over all three queries trains once.
+    * reads the corpus once — a single word-count shuffle over the FULL
+    * vocabulary (the r1–r12 top-2048-word cap is gone; it existed only
+    * to keep the old naive merge loop affordable) — then
+    * [[graft.functions.Bpe.trainDistributed]]: the widest early merge
+    * rounds run as Spark aggregations, the tail through the
+    * incremental driver loop, budgeted at 8192 merges. On this corpus
+    * (31-word synthetic vocabulary) training exhausts every adjacent
+    * pair at merge 106, so the committed sf0.01 goldens are already
+    * the trainer's fixpoint — the budget lift changes the MECHANISM
+    * (what a real 100 TB vocabulary needs), not these outputs. Cached
+    * so a bench/verify run over all three queries trains once.
     */
   private val bpeModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Bpe.Model]()
@@ -1172,9 +1178,8 @@ object CorpusQueries {
       val words = Tables.documents(s, dir)
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc("w")).limit(2048)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      graft.functions.Bpe.train(words, numMerges = 200)
+      graft.functions.Bpe.trainDistributed(words, "w", "n",
+        numMerges = 8192, distributedRounds = 4)
     })
 
   /** q83 — BPE tokenizer training ([[graft.functions.Bpe]]): the learned

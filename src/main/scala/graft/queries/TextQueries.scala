@@ -117,6 +117,74 @@ object TextQueries {
       | COUNT(*) AS n
       |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
 
+  /** q173 — char-bigram Naive Bayes language ID
+    * ([[graft.operators.LangId]]; r12 verdict #5 — the upgrade over
+    * q22's stopword-marker heuristic): add-one-smoothed bigram profiles
+    * train on the even-doc_id half, every document scores against every
+    * language (log-prior + Σ log P(gram|lang), all DECIMAL(18,6)
+    * after per-term rounding so the sum is order-invariant), argmax
+    * with (max score, min lang) tiebreak, cross-tabbed against the
+    * labeled lang column. Training AND scoring are closed-form
+    * relational — the DuckDB oracle replays the whole pipeline, no
+    * golden. LangIdSpec additionally pins real accuracy on crafted
+    * multilingual snippets (this corpus's text carries no language
+    * signal — its lang label is independent of its 31-word vocabulary —
+    * so the gate proves exactness while the spec proves the model
+    * actually learns).
+    */
+  def q173(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LangId
+      .nbPredict(Tables.documents(s, dir), "doc_id", "text", "lang",
+        n = 2, trainPred = col("doc_id") % 2 === 0)
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  val q173Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, lang, lower(trim(text)) AS t FROM documents),
+      |g AS (
+      | SELECT doc_id, lang, (doc_id % 2 = 0) AS train,
+      |        unnest(list_transform(range(1, length(t)), i -> substring(t, i, 2))) AS gr
+      | FROM d),
+      |counts AS (
+      | SELECT lang AS mlang, gr, COUNT(*) AS c FROM g WHERE train GROUP BY 1, 2),
+      |totals AS (SELECT mlang, SUM(c) AS tot FROM counts GROUP BY 1),
+      |vocab AS (SELECT COUNT(DISTINCT gr) AS v FROM counts),
+      |model AS (
+      | SELECT mlang, gr,
+      |        CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS logp
+      | FROM counts JOIN totals USING (mlang), vocab),
+      |priors AS (
+      | SELECT lang AS mlang,
+      |        CAST(round(ln(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM d WHERE doc_id % 2 = 0) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior
+      | FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+      |miss AS (
+      | SELECT mlang,
+      |        CAST(round(ln(1.0 / CAST(tot + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS miss
+      | FROM totals, vocab),
+      |doctot AS (SELECT doc_id, greatest(length(t) - 1, 0) AS ng FROM d),
+      |dg AS (SELECT doc_id, gr, COUNT(*) AS k FROM g GROUP BY 1, 2),
+      |matched AS (
+      | SELECT dg.doc_id, m.mlang, SUM(dg.k * m.logp) AS s, SUM(dg.k) AS mt
+      | FROM dg JOIN model m ON dg.gr = m.gr GROUP BY 1, 2),
+      |grid AS (
+      | SELECT dt.doc_id, mp.mlang,
+      |        mp.prior + COALESCE(ma.s, CAST(0 AS DECIMAL(18,6)))
+      |          + (dt.ng - COALESCE(ma.mt, 0)) * mp.miss AS score
+      | FROM doctot dt
+      | CROSS JOIN (SELECT miss.mlang, miss.miss, priors.prior
+      |             FROM miss JOIN priors USING (mlang)) mp
+      | LEFT JOIN matched ma ON ma.doc_id = dt.doc_id AND ma.mlang = mp.mlang),
+      |best AS (SELECT doc_id, MAX(score) AS b FROM grid GROUP BY 1),
+      |pred AS (
+      | SELECT grid.doc_id, MIN(grid.mlang) AS predicted
+      | FROM grid JOIN best ON grid.doc_id = best.doc_id AND grid.score = best.b
+      | GROUP BY 1)
+      |SELECT d.lang, pred.predicted, COUNT(*) AS n
+      |FROM pred JOIN d ON pred.doc_id = d.doc_id
+      |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
   /** q23 — document fingerprinting: full-content md5 + order-insensitive
     * bag-of-words fingerprint (SURVEY §7.4 fingerprinting).
     */
@@ -1070,6 +1138,7 @@ object TextQueries {
     "q20_token_stats" -> (q20 _),
     "q21_quality_score" -> (q21 _),
     "q22_langid" -> (q22 _),
+    "q173_langid_nb" -> (q173 _),
     "q23_fingerprint" -> (q23 _),
     "q24_ngram_jaccard" -> (q24 _),
     "q25_minhash_lsh" -> (q25 _),
@@ -1097,6 +1166,7 @@ object TextQueries {
     "q20_token_stats" -> q20Sql,
     "q21_quality_score" -> q21Sql,
     "q22_langid" -> q22Sql,
+    "q173_langid_nb" -> q173Sql,
     "q23_fingerprint" -> q23Sql,
     "q24_ngram_jaccard" -> jaccardOracle,
     "q25_minhash_lsh" -> jaccardOracle,

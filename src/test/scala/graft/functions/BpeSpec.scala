@@ -35,6 +35,66 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.decode(ids, m) == "newest")
   }
 
+  // The r1–r12 naive loop, kept here as the EQUIVALENCE ORACLE for the
+  // incremental trainer: full pair recount per merge, minBy((-c, a, b)).
+  private def naiveMerges(wordCounts: Seq[(String, Long)],
+                          numMerges: Int): Vector[(String, String)] = {
+    var words = wordCounts.toVector.map {
+      case (w, c) => (w.map(_.toString).toVector :+ Bpe.EndOfWord, c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = numMerges > 0
+    while (continue) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        words = words.map { case (syms, c) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 &&
+                syms(i + 1) == best._2) { merged += syms(i) + syms(i + 1); i += 2 }
+            else { merged += syms(i); i += 1 }
+          }
+          (merged.toVector, c)
+        }
+        continue = out.length < numMerges
+      }
+    }
+    out.toVector
+  }
+
+  private val equivCorpus = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+    ("banana", 4L), ("bandana", 1L), ("añejo", 2L), ("aaaa", 7L))
+
+  test("incremental trainer ≡ naive loop, including past exhaustion") {
+    for (n <- Seq(0, 1, 5, 20, 500)) {
+      assert(Bpe.train(equivCorpus, n).merges == naiveMerges(equivCorpus, n),
+        s"numMerges=$n")
+    }
+  }
+
+  test("trainDistributed ≡ train at every round-boundary split") {
+    import spark.implicits._
+    val df = equivCorpus.toDF("w", "n")
+    val want = Bpe.train(equivCorpus, 30)
+    for (r <- Seq(0, 3, 7, 100)) {
+      val got = Bpe.trainDistributed(df, "w", "n", 30, distributedRounds = r)
+      assert(got.merges == want.merges, s"distributedRounds=$r")
+      assert(got.vocab == want.vocab, s"distributedRounds=$r")
+    }
+  }
+
   test("vocab ids are 1-based, 0 reserved; byte tokens occupy 1..256") {
     val m = Bpe.train(Seq(("ab", 3L)), 2)
     assert(!m.vocab.valuesIterator.contains(Bpe.OovId))
