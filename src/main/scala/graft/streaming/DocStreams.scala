@@ -120,11 +120,20 @@ object DocStreams {
     * Duplicate history rows from a replayed append are harmless: the
     * exact tier distincts content hashes and the LSH tier distincts
     * candidates, so dedup results are unaffected.
+    *
+    * SMALL-FILE DISCIPLINE (r12 verdict #6): append-per-batch grows the
+    * history by one parquet fragment per micro-batch FOREVER — the
+    * classic streaming small-file problem (a year of 5-minute batches
+    * is ~100k fragments; every batch's history scan pays the listing +
+    * per-file open cost). After each append the fragment count is
+    * checked and, past `maxHistoryFragments`, the history is rewritten
+    * through [[compactHistory]] into target-sized files.
     */
   def streamingDedupAgainst(incoming: DataFrame, historyDir: String,
                             idCol: String, textCol: String,
                             k: Int, threshold: Double, checkpoint: String,
-                            sink: DataFrame => Unit): StreamingQuery =
+                            sink: DataFrame => Unit,
+                            maxHistoryFragments: Int = 64): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -144,8 +153,55 @@ object DocStreams {
           survivors.select(col(idCol), col(textCol))
             .write.mode("append").parquet(historyDir)
         } finally survivors.unpersist(blocking = false)
+        compactHistory(s, historyDir, maxHistoryFragments)
+        () // foreachBatch body must be Unit-typed
       }
       .start()
+
+  /** Rewrite-compact an append-forever parquet history once it exceeds
+    * `maxFragments` part files: read, rewrite into target-sized files
+    * in a sibling temp dir ([[graft.operators.SizedWriter]] — the same
+    * small-file tool the batch sinks use), move the compacted files in,
+    * delete the old fragments. No-op (returns false) below the
+    * threshold, so the steady-state per-batch cost is one directory
+    * listing.
+    *
+    * PROBE EQUIVALENCE: history content is consumed as a SET of
+    * (id, text) rows — the exact tier distincts content hashes, the
+    * LSH tier distincts candidates — so rewriting the same rows into
+    * fewer files cannot change any dedup/probe result
+    * (DocStreamsSpec pins compaction parity row-for-row).
+    *
+    * CRASH SAFETY by duplicate tolerance, same argument as the
+    * sink-before-append ordering above: compacted files land (from a
+    * COMPLETED temp write) before any old fragment is deleted, so a
+    * crash at any point leaves a row SUPERSET — transient duplicates
+    * the tiers already absorb, cleaned by the next compaction — never
+    * a loss.
+    */
+  def compactHistory(spark: org.apache.spark.sql.SparkSession,
+                     historyDir: String, maxFragments: Int,
+                     targetFileBytes: Long = 128L << 20): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return false
+    def parts() = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val old = parts()
+    if (old.length <= maxFragments) return false
+    val tmp = new org.apache.hadoop.fs.Path(historyDir + "__compact_tmp")
+    fs.delete(tmp, true)
+    graft.operators.SizedWriter.writeSized(
+      spark.read.parquet(historyDir), tmp.toString, targetFileBytes)
+    fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName))
+      }
+    old.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(tmp, true)
+    true
+  }
 
   /** Streaming cluster-share monitor — the drift detector a serving
     * pipeline runs over incoming embeddings: each vector is routed to

@@ -403,6 +403,59 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(hist == Set(1L, 2L, 5L))
   }
 
+  test("history compaction: fragments shrink, probe results identical") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tmp = Files.createTempDirectory("histcompact").toFile.getAbsolutePath
+    val hist = s"$tmp/history"
+    // 8 single-file appends — the append-forever fragment pattern
+    def word(i: Long, j: Int) = s"w${i}x$j"
+    (0L until 8L).foreach { i =>
+      val text = (0 until 12).map(word(i, _)).mkString(" ")
+      spark.createDataFrame(
+          java.util.Arrays.asList(Row(i, text)), schema)
+        .coalesce(1).write.mode("append").parquet(hist)
+    }
+    def partCount(): Int = {
+      val p = new org.apache.hadoop.fs.Path(hist)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p)
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    }
+    def probe(): Seq[(Long, String)] = {
+      // incoming: exact dup of doc 3, near-dup of doc 5, one novel doc
+      val d5near = (0 until 11).map(word(5L, _)).mkString(" ") + " zzz"
+      val incoming = spark.createDataFrame(java.util.Arrays.asList(
+          Row(103L, (0 until 12).map(word(3L, _)).mkString(" ")),
+          Row(105L, d5near),
+          Row(200L, (0 until 12).map(i => s"novel$i").mkString(" "))), schema)
+      graft.operators.Dedup.dedupAgainst(
+          spark.read.parquet(hist), incoming, "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    }
+    val before = probe()
+    val rowsBefore = spark.read.parquet(hist).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(partCount() >= 8)
+    // below threshold: no-op
+    assert(!DocStreams.compactHistory(spark, hist, maxFragments = 100))
+    assert(partCount() >= 8)
+    // above threshold: rewrite into few files
+    assert(DocStreams.compactHistory(spark, hist, maxFragments = 4))
+    assert(partCount() <= 4, s"still ${partCount()} fragments")
+    // parity: same row set, same probe survivors
+    val rowsAfter = spark.read.parquet(hist).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsAfter == rowsBefore)
+    assert(probe() == before)
+    assert(before.map(_._1) == Seq(200L)) // and the probe is non-trivial
+  }
+
   test("near-dup pair spanning micro-batches is detected via bucket state") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val brutePairs = Dedup.jaccardBrute(docs, "doc_id", "text", 3, 0.7)
