@@ -6,10 +6,8 @@ import org.apache.spark.sql.SparkSession
   * driver contract): per-change wall-clock + intermediate cardinality
   * probes for the operator currently being tuned.
   *
-  * Current probe: the round-11 q110 regression replay — three headline
-  * passes of the SA family at sf0.1 (what leaves checkpoints behind),
-  * then q110 at the 10× tier, with and without the clearCaches
-  * boundary Bench now runs.
+  * Current probe: the contraction-CC round count on the shuffled
+  * diameter-1024 chain (the OperatorsSpec deep-chain graph).
   */
 object DevScratch {
   def main(args: Array[String]): Unit = {
@@ -21,31 +19,20 @@ object DevScratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-    def run(name: String, d: String): Unit =
-      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
-    val sf = "/root/testdata/sf0.1"
-    for (p <- 1 to 3) {
-      time(s"q137 pass$p")(run("q137_suffix_array", sf))
-      time(s"q138 pass$p")(run("q138_longest_dup_substring", sf))
-    }
-    System.setProperty("graft.lcp.path", "hash")
-    time("q138 1x pinned-hash")(run("q138_longest_dup_substring", sf))
-    println(s"[scratch] persisted RDD blocks before clear: " +
-      spark.sparkContext.getPersistentRDDs.size)
-    time("clearCaches")(graft.operators.SuffixArray.clearCaches(spark))
-    println(s"[scratch] persisted RDD blocks after clear: " +
-      spark.sparkContext.getPersistentRDDs.size)
-    time("q110 at 10x after SA passes + clear")(run("q110_triangle_count", "scale/sf1"))
-    time("q137 at 10x")(run("q137_suffix_array", "scale/sf1"))
-    time("q138 at 10x pinned-hash")(run("q138_longest_dup_substring", "scale/sf1"))
-    System.clearProperty("graft.lcp.path")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val n = 1025
+    val perm = new scala.util.Random(7).shuffle((0 until n).toVector)
+    val edges = (0 until n - 1)
+      .map(i => (perm(i).toLong, perm(i + 1).toLong)).toDF("src", "dst")
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    val t0 = System.nanoTime()
+    val got = graft.operators.Dedup
+      .connectedComponents(edges, vertices, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(f"[scratch] CC chain: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      s"rounds=${graft.operators.Dedup.lastDistributedRounds.get()}, " +
+      s"correct=${got.size == n && got.values.forall(_ == 0L)}")
     spark.stop()
   }
 }

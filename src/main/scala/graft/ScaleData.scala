@@ -12,49 +12,82 @@ import org.apache.spark.sql.functions._
   *
   *  - key columns shift per replica (disjoint id spaces — exact-distinct
   *    profiling, graph structure, and groups all really scale);
-  *  - `documents.text` is caesar-rotated per replica (letters +i mod 26):
-  *    token/char structure and length are preserved, but shingles,
-  *    40-char grams, and segments are disjoint across replicas, keeping
-  *    the corpus duplication RATE at the original's instead of making
-  *    every gram a 10×-duplicated hot key;
-  *  - `customer.c_name` gets a 2-char replica suffix, so cross-replica
-  *    name pairs sit at edit distance 2 — outside q107's dist-1
-  *    predicate — and the fuzzy-join output scales linearly like a real
-  *    bigger dictionary (verbatim copies would add O(factor²·n) exact-dup
-  *    pairs);
+  *  - `documents.text` goes through a per-replica AFFINE letter cipher
+  *    (c → a·c + b mod 26 with a coprime to 26, case-preserved): token/
+  *    char structure and within-replica repetition are exactly the
+  *    original's (the map is a bijection on the alphabet), but
+  *    shingles, 40-char grams, and segments are disjoint across
+  *    replicas, keeping the corpus duplication RATE at the original's
+  *    instead of making every gram a factor-wide hot key. Affine, not
+  *    caesar (r12): a caesar shift has only 26 distinct states, so any
+  *    factor > 26 (the 100× second-decade tier) would hand replicas
+  *    i and i+26 IDENTICAL text — 312 distinct (a, b) pairs cover both
+  *    tiers with disjoint gram spaces;
+  *  - `customer.c_name` gets a per-replica 6-char suffix built by
+  *    repeating a 2-letter replica code 3× — any two replica codes
+  *    differ in ≥1 letter, so cross-replica twins of the same base name
+  *    sit at edit distance ≥ 3, OUTSIDE both q107's dist-1 and q114's
+  *    dist-2 predicates, and the fuzzy-join/lookup outputs scale
+  *    linearly like a real bigger dictionary (r12's " z$i$i" suffixes
+  *    were pairwise distance 2 — every query name matched all `factor`
+  *    replica twins through the shared 2-deletion variant, an
+  *    O(factor²·n) cross-replica artifact, not real scaling);
   *  - `embeddings.embedding` is circularly dimension-rotated by the
   *    replica index: cosine is invariant under a permutation applied to
   *    both sides, so WITHIN-replica near-dup/cluster structure is
   *    exactly the original's, while rotated replicas are mutually
   *    uncorrelated — verbatim copies (or tiny perturbations) would make
   *    every vector a factor-wide near-dup clique and blow the candidate
-  *    set up O(factor²).
+  *    set up O(factor²). (64 dims bound this tweak to factor ≤ 64; the
+  *    100× tier carries no embedding queries and skips the table.)
   *
   * Synthetic-performance data only — never a correctness input (the
   * oracle gate runs exclusively on the driver's parquet).
   */
 object ScaleData {
 
+  /** The affine cipher's `a` values: the 12 residues coprime to 26.
+    * (a, b) with b ∈ 0..25 gives 312 distinct alphabet bijections —
+    * replica i uses (coprimes(i / 26 mod 12), i mod 26); i = 0 is the
+    * identity, so replica 0 is the original text.
+    */
+  private val Coprimes26 = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
   /** Build `outDir` from `srcDir` at `factor`× if not already present
-    * (idempotent via a marker file; safe across rounds).
+    * (idempotent via a marker file; safe across rounds). `tables`
+    * limits generation to what a tier's query list actually reads —
+    * the 100× tier needs documents/lineitem/customer only.
     */
   def ensure(spark: SparkSession, srcDir: String, outDir: String,
-             factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_SCALED_OK_v2")
+             factor: Int,
+             tables: Set[String] = Set("lineitem", "orders", "customer",
+               "documents", "embeddings")): Unit = {
+    val marker = new java.io.File(s"$outDir/_SCALED_OK_v3")
     if (marker.exists()) return
-    val caesar = udf { (text: String, shift: Int) =>
+    require(factor <= 312 || !tables("documents"),
+      s"affine text tweak supports <= 312 disjoint replicas, got $factor")
+    require(factor <= 64 || !tables("embeddings"),
+      s"rotation tweak supports <= 64 disjoint replicas, got $factor")
+    val affine = udf { (text: String, i: Int) =>
       if (text == null) null
-      else text.map {
-        case c if c >= 'a' && c <= 'z' => (('a' + (c - 'a' + shift) % 26)).toChar
-        case c if c >= 'A' && c <= 'Z' => (('A' + (c - 'A' + shift) % 26)).toChar
-        case c => c
+      else {
+        val a = Coprimes26((i / 26) % 12)
+        val b = i % 26
+        text.map {
+          case c if c >= 'a' && c <= 'z' =>
+            ('a' + ((c - 'a') * a + b) % 26).toChar
+          case c if c >= 'A' && c <= 'Z' =>
+            ('A' + ((c - 'A') * a + b) % 26).toChar
+          case c => c
+        }
       }
     }
-    def replicate(name: String)(tweak: (DataFrame, Int) => DataFrame): Unit = {
-      val src = spark.read.parquet(s"$srcDir/$name.parquet")
-      (0 until factor).map(i => tweak(src, i)).reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    }
+    def replicate(name: String)(tweak: (DataFrame, Int) => DataFrame): Unit =
+      if (tables(name)) {
+        val src = spark.read.parquet(s"$srcDir/$name.parquet")
+        (0 until factor).map(i => tweak(src, i)).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
         .withColumn("l_partkey", col("l_partkey") + lit(i * 100000000L))
@@ -65,12 +98,15 @@ object ScaleData {
         .withColumn("o_custkey", col("o_custkey") + lit(i * 100000000L))
     }
     replicate("customer") { (df, i) =>
+      // 2-letter replica code repeated 3×: codes differ in ≥1 letter →
+      // suffixes differ in ≥3 positions → cross-replica edit dist ≥ 3
+      val code = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
       df.withColumn("c_custkey", col("c_custkey") + lit(i * 100000000L))
-        .withColumn("c_name", concat(col("c_name"), lit(s" z$i$i")))
+        .withColumn("c_name", concat(col("c_name"), lit(s" $code$code$code")))
     }
     replicate("documents") { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * 1000000000L))
-        .withColumn("text", caesar(col("text"), lit(i)))
+        .withColumn("text", affine(col("text"), lit(i)))
     }
     val rotate = udf { (v: Seq[Float], k: Int) =>
       if (v == null) null
@@ -82,8 +118,8 @@ object ScaleData {
     }
     replicate("embeddings") { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * 1000000000L))
-        // shift i·7 is distinct mod 64 for i ∈ 0..9 (no replica collides
-        // with another's rotation)
+        // shift i·7 is distinct mod 64 for i ∈ 0..63 (no replica
+        // collides with another's rotation at factor ≤ 64)
         .withColumn("embedding", rotate(col("embedding"), lit(i * 7)))
     }
     marker.getParentFile.mkdirs()

@@ -1,0 +1,351 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Accumulates shuffle read+write bytes across all tasks; snapshot the
+  * counter around a query to attribute its shuffle volume (queries run
+  * sequentially and are fully materialized, so deltas don't interleave).
+  * Shared by the headline bench loop and the scale rehearsal: shuffle
+  * volume is the metric that predicts 100 TB cost, and — unlike
+  * wall-clock on a shared box — it is DETERMINISTIC, so its scaling
+  * exponent is reproducible evidence even when timing isn't.
+  */
+private[graft] final class ShuffleBytesListener extends SparkListener {
+  val bytes = new AtomicLong(0L)
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) {
+      bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten +
+        m.shuffleReadMetrics.totalBytesRead)
+    }
+  }
+}
+
+/** The bench's scale rehearsal, isolated in its own JVM (r12 verdict
+  * #1: the rehearsal must be a measurement, not a lottery).
+  *
+  * Why a separate main: r12's rehearsal ran single-shot inside the JVM
+  * that had just executed the 172-query headline loop ×3 — residual
+  * block-manager state, heap fragmentation, and GC pressure made
+  * identical code measure 22–165 s across runs (q110), and the
+  * one-sided min-of-two retry could only bias exponents DOWN (r12
+  * ADVICE). This main runs with a fresh heap and a fresh SparkSession;
+  * [[Bench]] forks it via ProcessBuilder (`run / fork := true` means
+  * `java.class.path` carries the full app classpath) and falls back to
+  * an in-process fresh-session run if the fork can't start.
+  *
+  * Sampling protocol — SYMMETRIC, raw samples published:
+  *  - every 10× query gets TWO timed runs (two full interleaved
+  *    passes, so back-to-back cache effects don't correlate), except
+  *    queries whose first run exceeds [[SingleRunCutoffSecs]] — a
+  *    value-independent cost rule (recorded per query in `runs`), not
+  *    an exponent-direction rule;
+  *  - if the two runs' implied exponents disagree by more than
+  *    [[AgreeTol]], a THIRD run decides by median; otherwise the min is
+  *    reported (contention noise is strictly additive);
+  *  - ALL raw samples land in `raw_secs`, so the artifact shows which
+  *    numbers came from a retry and how far apart the samples sat;
+  *  - per-query 10× shuffle bytes and their exponent vs the 1× base
+  *    are reported alongside: the bytes exponent is the deterministic
+  *    scaling statement, immune to box contention entirely.
+  *
+  * Second decade (r12 verdict #3): the 10 heaviest operators run once
+  * more at 100× (`scale/sf10`, documents/lineitem/customer only),
+  * giving a two-decade exponent log10(t_100x / t_1x) / 2 plus the
+  * bytes curve — the 10× tier tops out near 1 GB, and a 100 TB design
+  * claim deserves more than one decade of evidence. Budget-capped with
+  * the skipped tail listed explicitly (no silent truncation).
+  */
+object ScaleRehearsal {
+
+  val ScaledDir10 = "scale/sf1"
+  val ScaledDir100 = "scale/sf10"
+  /** Exponent disagreement between two runs that triggers a tie-break. */
+  val AgreeTol = 0.1
+  /** First-run seconds above which a 10× query gets one run (cost rule:
+    * q138's pinned hash-walk is ~270 s at 10× — a second sample of it
+    * buys little and costs a third of the tier budget).
+    */
+  val SingleRunCutoffSecs = 180.0
+
+  /** 10× tier query list. ORDER MATTERS within the SA family:
+    * buildCached means the FIRST SA consumer at each tier pays the
+    * build, so the rehearsal must run q137 before q138 exactly as the
+    * headline loop does — r11's first artifact had q138 at 1.3
+    * "exponent" purely because the 10× build cost landed on it while
+    * the 1× build landed on q137 (attribution skew, not scaling).
+    */
+  val names: Seq[String] = Seq("q107_fuzzy_join", "q109_profile",
+    "q110_triangle_count",
+    "q114_fuzzy_lookup", "q119_robust_outliers", "q121_containment_dedup",
+    "q123_doc_novelty", "q126_dup_substring_coverage",
+    "q127_dup_substring_cut", "q129_quality_ensemble",
+    // the 100 TB dedup family: banded LSH (classic + DOPH), winnowing,
+    // cluster canonicalization, and embedding SemDeDup
+    "q25_minhash_lsh", "q112_minhash_doph", "q82_winnow_dedup",
+    "q38_dedup_clusters", "q99_semantic_dedup",
+    // r9: the EXACT Jaccard path (prefix-filtered join) — its
+    // scaling claim is the whole point of the rewrite
+    "q24_ngram_jaccard",
+    "q137_suffix_array", "q138_longest_dup_substring",
+    "q140_tfidf_neardup", "q139_phrase_search",
+    "q149_gopher_repetition", "q153_label_propagation",
+    "q162_lsh_probe", "q166_boilerplate_strip",
+    // r13: complete the top-10-heaviest set (verdict #3) so the
+    // two-decade curve has a 10× midpoint for every member
+    "q145_dedup_sweep", "q148_dedup_quality_audit")
+
+  /** 100× tier, priority-ordered: q110 first (the open weak claim),
+    * then cheapest-first so a budget cut drops the fewest queries.
+    */
+  val decade2Names: Seq[String] = Seq("q110_triangle_count",
+    "q114_fuzzy_lookup", "q149_gopher_repetition",
+    "q148_dedup_quality_audit", "q145_dedup_sweep",
+    "q121_containment_dedup", "q126_dup_substring_coverage",
+    "q127_dup_substring_cut", "q137_suffix_array", "q140_tfidf_neardup")
+
+  private def jmap(m: Seq[(String, String)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  private def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+
+  /** args: sfDir baseFile outFile.
+    * baseFile: one `name<TAB>secs<TAB>bytes` line per headline query
+    * (1× minimums from the parent's 3-pass loop; q138's entry is the
+    * pinned-hash base). outFile: the rehearsal JSON, written after the
+    * 10× tier and rewritten after the 100× tier so a crashed/killed
+    * child still leaves the completed tiers on disk.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, baseFile, outFile) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try runAll(spark, sfDir, baseFile, outFile, freshJvm = true)
+    finally spark.stop()
+  }
+
+  /** The rehearsal proper; also callable in-process on a fresh session
+    * when the fork path is unavailable.
+    */
+  def runAll(spark: SparkSession, sfDir: String, baseFile: String,
+             outFile: String, freshJvm: Boolean): Unit = {
+    val shuffle = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(shuffle)
+    val base: Map[String, (Double, Long)] =
+      scala.io.Source.fromFile(baseFile).getLines().flatMap { line =>
+        line.split('\t') match {
+          case Array(n, s, b) => Some(n -> (s.toDouble, b.toLong))
+          case _ => None
+        }
+      }.toMap
+    // q138's adaptive LCP dispatch picks broadcast-descent at 1× and
+    // hash-walk at 10×; pin hash for the whole rehearsal so the
+    // exponent compares the same algorithm (the 1× base in baseFile
+    // was measured under the same pin).
+    System.setProperty("graft.lcp.path", "hash")
+
+    def runOne(name: String, dir: String): Boolean =
+      SparkEntry.queries.get(name) match {
+        case None =>
+          System.err.println(s"[rehearsal] $name is not in SparkEntry.queries")
+          false
+        case Some(fn) =>
+          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[rehearsal] $name failed at $dir: ${e.getMessage}")
+            false
+          }
+      }
+    /** (secs, shuffleBytes); (-1, -1) on failure. */
+    def timeOne(name: String, dir: String): (Double, Long) = {
+      val b0 = shuffle.bytes.get()
+      val t0 = System.nanoTime()
+      val ok = runOne(name, dir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) (dt, shuffle.bytes.get() - b0) else (-1.0, -1L)
+    }
+    def expOf(name: String, secs: Double, decades: Int): Double =
+      base.get(name) match {
+        case Some((b, _)) if secs > 0 && b > 0 =>
+          math.log10(secs / b) / decades
+        case _ => -999.0
+      }
+
+    // JIT/codegen warmup on the smallest SF — this JVM is cold, and an
+    // unwarmed pass-1 would systematically disagree with pass-2.
+    val warmupDir = "/root/testdata/sf0.001"
+    val allNames = (names ++ decade2Names).distinct
+    if (new java.io.File(warmupDir).isDirectory)
+      allNames.foreach(runOne(_, warmupDir))
+
+    // ---- 10× tier: two interleaved passes + tie-break ----
+    ScaleData.ensure(spark, sfDir, ScaledDir10, 10)
+    // Default sized for the observed pass profile: pass 1 pays the
+    // scaled-tier codegen/JIT (the warmup covers the sf0.001 plan
+    // SHAPES; AQE picks different joins at 10× and their generated
+    // code compiles on first execution — measured q110: 98 s cold,
+    // 25 s, 15 s across three same-JVM runs), so most heavy queries
+    // disagree pass-1-vs-2 and take the third, warm-dominated median.
+    val budget10 = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BUDGET", "1800")
+      .toDouble
+    val deadline10 = System.nanoTime() + (budget10 * 1e9).toLong
+    def inBudget10: Boolean = System.nanoTime() < deadline10
+    val samples = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Double, Long)]]()
+    names.foreach(n => samples(n) = scala.collection.mutable.ArrayBuffer.empty)
+    // pass 1
+    names.foreach { n =>
+      if (inBudget10) samples(n) += timeOne(n, ScaledDir10)
+    }
+    // pass 2 (skip failures, budget-outs, and over-cutoff singles)
+    names.foreach { n =>
+      val s = samples(n)
+      if (inBudget10 && s.nonEmpty && s.head._1 > 0 &&
+          s.head._1 <= SingleRunCutoffSecs)
+        s += timeOne(n, ScaledDir10)
+    }
+    // tie-break pass: two samples whose implied exponents disagree
+    names.foreach { n =>
+      val s = samples(n)
+      if (inBudget10 && s.size == 2 && s.forall(_._1 > 0) &&
+          math.abs(expOf(n, s(0)._1, 1) - expOf(n, s(1)._1, 1)) > AgreeTol)
+        s += timeOne(n, ScaledDir10)
+    }
+    def finalSecs(s: Seq[Double]): Double = {
+      val ok = s.filter(_ > 0)
+      if (ok.isEmpty) -1.0
+      else if (ok.size <= 2) ok.min // additive noise ⇒ min is the engine cost
+      else ok.sorted.apply(ok.size / 2) // median decides a disagreement
+    }
+    val tier10 = names.map { n =>
+      val s = samples(n).toSeq
+      val secs = finalSecs(s.map(_._1))
+      val bytes = { val ok = s.map(_._2).filter(_ >= 0); if (ok.isEmpty) -1L else ok.min }
+      (n, secs, bytes, s)
+    }
+    def bytesExp(name: String, bytes: Long, decades: Int): Double =
+      base.get(name) match {
+        case Some((_, b)) if bytes > 0 && b > 0 =>
+          math.log10(bytes.toDouble / b) / decades
+        case _ => -999.0
+      }
+    def tierJson(rows: Seq[(String, Double, Long, Seq[(Double, Long)])],
+                 decades: Int, skipped: Seq[String]): String = jmap(Seq(
+      "queries" -> jmap(rows.map(r => r._1 -> fmt(r._2))),
+      "exponent" -> jmap(rows.map(r =>
+        r._1 -> { val e = expOf(r._1, r._2, decades)
+          if (e == -999.0) "-1" else f"$e%.3f" })),
+      "raw_secs" -> jmap(rows.map(r =>
+        r._1 -> r._4.map(x => fmt(x._1)).mkString("[", ",", "]"))),
+      "runs" -> jmap(rows.map(r => r._1 -> r._4.count(_._1 > 0).toString)),
+      "shuffle_bytes" -> jmap(rows.map(r => r._1 -> r._3.toString)),
+      "bytes_exponent" -> jmap(rows.map(r =>
+        r._1 -> { val e = bytesExp(r._1, r._3, decades)
+          if (e == -999.0) "-1" else f"$e%.3f" })),
+      "skipped_budget" -> skipped.map("\"" + _ + "\"").mkString("[", ",", "]")))
+    val skipped10 = names.filter(n => samples(n).isEmpty)
+    def writeOut(decade2Json: String): Unit = {
+      val json = jmap(Seq(
+        "factor" -> "10",
+        "fresh_jvm" -> freshJvm.toString,
+        "agree_tol" -> AgreeTol.toString,
+        "single_run_cutoff_secs" -> SingleRunCutoffSecs.toString) ++
+        Seq("tier10" -> tierJson(tier10, 1, skipped10),
+          "decade2" -> decade2Json))
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    writeOut("null") // 10× tier is durable even if the 100× tier dies
+
+    // ---- 100× tier: one run each, priority-ordered, budget-capped ----
+    val budget100 = sys.env.getOrElse("SPARK_GRAFT_DECADE2_BUDGET", "1400")
+      .toDouble
+    if (budget100 > 0) {
+      graft.operators.SuffixArray.clearCaches(spark)
+      ScaleData.ensure(spark, sfDir, ScaledDir100, 100,
+        tables = Set("documents", "lineitem", "customer"))
+      val deadline100 = System.nanoTime() + (budget100 * 1e9).toLong
+      val ran = scala.collection.mutable.ArrayBuffer[(String, Double, Long,
+        Seq[(Double, Long)])]()
+      val skipped = scala.collection.mutable.ArrayBuffer[String]()
+      decade2Names.foreach { n =>
+        if (System.nanoTime() < deadline100) {
+          val r = timeOne(n, ScaledDir100)
+          ran += ((n, r._1, r._2, Seq(r)))
+        } else skipped += n
+      }
+      writeOut(tierJson(ran.toSeq, 2, skipped.toSeq))
+    }
+  }
+
+  /** Parent-side fork: launch this main in a dedicated JVM. Returns
+    * true if the child ran and produced `outFile`. Child stdout/stderr
+    * go to `scale_rehearsal_child.log` (the parent's stdout carries the
+    * bench's one-line JSON contract and must stay clean).
+    */
+  def fork(sfDir: String, baseFile: String, outFile: String,
+           timeoutSecs: Long): Boolean = {
+    try {
+      val cp = System.getProperty("java.class.path")
+      if (cp == null || !cp.contains("classes")) {
+        System.err.println(s"[rehearsal] classpath unusable for fork: $cp")
+        return false
+      }
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+      // Dedicated tmpdir for the child's Spark local dirs (blockmgr,
+      // shuffle spills): a timeout-killed JVM cannot clean its own —
+      // measured: one killed rehearsal left a 43 GB blockmgr orphan in
+      // /tmp that drove the NEXT run into No-space-left spill failures.
+      // The parent owns the dir and deletes it after waitFor, whatever
+      // the exit path.
+      val childTmp = new java.io.File("scale_rehearsal_tmp").getAbsoluteFile
+      childTmp.mkdirs()
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(s"-Xmx$mem",
+        "-Duser.timezone=UTC", s"-Djava.io.tmpdir=$childTmp",
+        "-cp", cp, "graft.ScaleRehearsal",
+        sfDir, baseFile, outFile)
+      val pb = new ProcessBuilder(cmd: _*)
+      val log = new java.io.File("scale_rehearsal_child.log")
+      pb.redirectOutput(ProcessBuilder.Redirect.to(log))
+      pb.redirectError(ProcessBuilder.Redirect.appendTo(log))
+      val p = pb.start()
+      try {
+        val done = p.waitFor(timeoutSecs, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { p.destroyForcibly(); p.waitFor() }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(childTmp)
+      }
+      // a killed child may still have written the 10× tier (writeOut
+      // runs per tier) — partial evidence beats none
+      new java.io.File(outFile).isFile
+    } catch { case e: Exception =>
+      System.err.println(s"[rehearsal] fork failed: ${e.getMessage}")
+      false
+    }
+  }
+}
