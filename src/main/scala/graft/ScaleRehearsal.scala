@@ -125,6 +125,13 @@ object ScaleRehearsal {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Spill-awareness at the scaled tiers (the 100× runs that OOMed
+      // r13's first decade-2 attempt): shuffles START wide and AQE
+      // coalesces small ones back to ~target size, so a 120 GB sort at
+      // 100× gets ~256 tasks while bench-scale stages still collapse
+      // to a handful — the adaptive answer to "shuffle.partitions=32
+      // is sized for sf0.1, not for 100× of it".
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -312,7 +319,12 @@ object ScaleRehearsal {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar",
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+      // 48g default (box: 128 GiB; the idle parent holds 32g): the 100×
+      // tier's SA build OOMed at 32g — near-dup corpora put identical
+      // 64-char start keys in ONE range partition (equal keys cannot be
+      // split), so the hot partition's sort needs headroom no partition
+      // COUNT can provide.
+      val mem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "48g")
       // Dedicated tmpdir for the child's Spark local dirs (blockmgr,
       // shuffle spills): a timeout-killed JVM cannot clean its own —
       // measured: one killed rehearsal left a 43 GB blockmgr orphan in

@@ -636,32 +636,39 @@ object Dedup {
     * exactly what [[ccLocal]] and [[IncrementalCC]] rely on.
     */
   private def ccDistributed(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    // localCheckpoint + rebuild from the checkpointed RDD: cuts BOTH
-    // lineage and INHERITED STATISTICS. LogicalRDD checkpoints carry
-    // the origin plan's sizeInBytes forward, and join estimates
-    // MULTIPLY — an iterated self-join (compress) therefore SQUARES
-    // the estimate each round, doubling its bit-length per join, until
-    // Catalyst sits for minutes inside BigInteger.multiply just
-    // answering canBroadcastBySize (measured on the deep-chain test:
-    // the hang was stats estimation, not work — jstack showed
-    // Toom-Cook multiplication under SizeInBytesOnlyStatsPlanVisitor).
-    // The rebuilt frame reports defaultSizeInBytes; static join
-    // selection turns pessimistic and AQE picks the real strategy from
-    // runtime shuffle sizes (the GraphFrames CC workaround). Row
-    // conversion cost is per-level and level sizes shrink
-    // geometrically, so the roundtrip is noise next to the shuffles.
-    def checkpointFresh(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    // Checkpoints.trackedFresh = localCheckpoint + rebuild from the
+    // checkpointed RDD: cuts BOTH lineage and INHERITED STATISTICS.
+    // LogicalRDD checkpoints carry the origin plan's sizeInBytes
+    // forward, and join estimates MULTIPLY — an iterated self-join
+    // (compress) therefore SQUARES the estimate each round, doubling
+    // its bit-length per join, until Catalyst sits for minutes inside
+    // BigInteger.multiply just answering canBroadcastBySize (measured
+    // on the deep-chain test: the hang was stats estimation, not work —
+    // jstack showed Toom-Cook multiplication under
+    // SizeInBytesOnlyStatsPlanVisitor). The rebuilt frame reports
+    // defaultSizeInBytes; static join selection turns pessimistic and
+    // AQE picks the real strategy from runtime shuffle sizes (the
+    // GraphFrames CC workaround). Row conversion cost is per-level and
+    // level sizes shrink geometrically, so the roundtrip is noise next
+    // to the shuffles. Every superseded checkpoint's blocks are
+    // released by tracked id (the leak class that made repeated q153
+    // runs climb 8.8 → 20.1 s in one session).
+    var allIds = Set.empty[Int]
+    def ckptFresh(df: DataFrame): (DataFrame, Set[Int]) = {
+      val (fresh, ids) = Checkpoints.trackedFresh(df)
+      allIds ++= ids
+      (fresh, ids)
     }
-    var e = checkpointFresh(edges.select(col("src"), col("dst"))
+    var e = ckptFresh(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")))
+      .filter(col("src") =!= col("dst")))._1
     var rounds = 0
-    val stack = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // each level's compressed map, WITH the block ids backing it — the
+    // unwind must know which ids back the frame it finally returns
+    val stack = scala.collection.mutable.ListBuffer.empty[(DataFrame, Set[Int])]
     while (!e.isEmpty) {
       // hook: l(v) = min(v, min over neighbors)
-      var l = checkpointFresh(e.groupBy(col("src").as("id"))
+      var (l, lIds) = ckptFresh(e.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("m"))
         .select(col("id"), least(col("id"), col("m")).as("label")))
       rounds += 1
@@ -670,35 +677,41 @@ object Dedup {
       var changed = true
       while (changed) {
         val l2 = l.select(col("id").as("__jid"), col("label").as("__jlabel"))
-        val composed = checkpointFresh(
+        val (composed, cIds) = ckptFresh(
           l.join(l2, l("label") === l2("__jid"), "left")
             .select(l("id"), l("label").as("__old"),
               coalesce(col("__jlabel"), l("label")).as("label")))
         rounds += 1
         changed = !composed.filter(col("label") =!= col("__old")).isEmpty
         l = composed.select(col("id"), col("label"))
+        lIds = cIds
       }
-      stack += l
+      stack += ((l, lIds))
       // contract: edges between super-nodes, loops dropped
-      e = checkpointFresh(e
+      e = ckptFresh(e
         .join(l.select(col("id").as("src"), col("label").as("__ls")), Seq("src"))
         .join(l.select(col("id").as("dst"), col("label").as("__ld")), Seq("dst"))
         .select(col("__ls").as("src"), col("__ld").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct())._1
       rounds += 1
     }
     lastDistributedRounds.set(rounds)
     // unwind: final(v) = m_k(…m_2(m_1(v))) — compose top-down so every
     // join after the first runs against an already-collapsed map
     val full = stack.reduceRightOption { (m, acc) =>
-      val a = acc.select(col("id").as("__aid"), col("label").as("__alabel"))
-      checkpointFresh(m.join(a, m("label") === a("__aid"), "left")
-        .select(m("id"),
-          coalesce(col("__alabel"), m("label")).as("label")))
+      val a = acc._1.select(col("id").as("__aid"), col("label").as("__alabel"))
+      ckptFresh(m._1.join(a, m._1("label") === a("__aid"), "left")
+        .select(m._1("id"),
+          coalesce(col("__alabel"), m._1("label")).as("label")))
     }
+    // free every checkpoint this call created EXCEPT the blocks backing
+    // the returned map (with a single level, that is the level's own
+    // compressed map — no compose ran). All checkpoints are eager, so a
+    // superseded checkpoint is no longer an input to anything.
+    Checkpoints.release(vertices, allIds -- full.map(_._2).getOrElse(Set.empty))
     full match {
-      case Some(labels) =>
+      case Some((labels, _)) =>
         vertices.select(col("id"))
           .join(labels.select(col("id"), col("label").as("__cc_label")),
             Seq("id"), "left")

@@ -69,15 +69,20 @@ object FuzzyJoin {
     val d = dict
       .select(col(dId).as("d_id"), col(dStr).as("d_s"))
       .withColumn("v", explode(vUdf(col("d_s"))))
-    // shuffle_hash, NOT the planner's choice: size estimates predate the
+    // merge (SMJ), NOT the planner's choice: size estimates predate the
     // explode (a UDF generator inflates rows ~len²/2× invisibly), so the
     // static planner happily BROADCASTS the whole exploded dictionary —
     // measured 3.4 GiB at the 10× rehearsal, an executor/driver OOM at
     // real dictionary scale — and AQE can convert shuffle→broadcast at
-    // runtime but never demote a planned broadcast. A shuffled hash join
-    // keyed by variant is bounded by partition size on both sides and
-    // keeps AQE skew-splitting for hot short variants.
-    q.join(d.hint("shuffle_hash"), "v")
+    // runtime but never demote a planned broadcast. r12 used a
+    // shuffle_hash hint here; the r13 100× rehearsal killed it with
+    // "not enough memory to build hash map" — a FORCED hash build
+    // cannot spill, so its safety depends on partition sizing holding
+    // at every scale, which is exactly the assumption a 100 TB design
+    // must not make. Sort-merge spills to disk by construction and
+    // keeps AQE skew-splitting for hot short variants; measured at
+    // bench scale the difference is noise (the verify join dominates).
+    q.join(d.hint("merge"), "v")
       .select("q_id", "d_id", "q_s", "d_s").distinct()
       .withColumn("dist", levenshtein(col("q_s"), col("d_s")).cast("long"))
       .filter(col("dist") <= maxDist)

@@ -138,8 +138,11 @@ object SuffixArray {
             textCol: String = "text", numPartitions: Int = 32,
             startKeyChars: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    val maxRow = docs.agg(max(length(col(textCol)))).head
+    val statsRow = docs
+      .agg(max(length(col(textCol))), sum(length(col(textCol)))).head
+    val maxRow = statsRow
     val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
+    val sumLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     // rank lookups probe gid + k with p ≤ maxLen and k < maxLen, so the
     // per-doc id range must absorb offsets up to 2·maxLen or a probe
     // past one doc's end would alias into the NEXT doc's positions
@@ -169,8 +172,18 @@ object SuffixArray {
         explode(sequence(lit(1), length(col(textCol)))).as("p"))
       .select((col("d") * stride + col("p")).as("gid"),
         expr(s"substring(t, p, $k0)").as("k"))
-    var t = headRank(pos, numPartitions)
-      .repartition(numPartitions, col("gid"))
+    // SPILL-AWARE partition count (the second-decade rehearsal's find:
+    // the fixed 32 blew Java heap at 100× — 1.5G suffix rows × ~(key +
+    // gid) bytes ≈ 120 GB through 32 sort partitions is ~3.8 GB per
+    // task). Partitions scale with the suffix table's estimated bytes
+    // (one row per corpus char, each carrying the k0-char start key)
+    // at ~256 MB per partition; `numPartitions` stays the floor so
+    // bench-scale plans are unchanged, and the cap bounds driver-side
+    // boundary arrays (headRank holds two numPartitions-length arrays).
+    val partitions = math.max(numPartitions,
+      math.min(1024L, sumLen * (k0 + 16L) / (256L << 20) + 1L).toInt)
+    var t = headRank(pos, partitions)
+      .repartition(partitions, col("gid"))
       .localCheckpoint()
     // active = members of groups of size >= 2 (agg + join-back, never a
     // per-group window over members)
