@@ -213,8 +213,8 @@ object Bench {
           (baseLines.mkString("\n") + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val timeout = 700 +
-          sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BUDGET", "1800").toLong +
-          sys.env.getOrElse("SPARK_GRAFT_DECADE2_BUDGET", "1400").toLong
+          sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BUDGET", "1500").toLong +
+          sys.env.getOrElse("SPARK_GRAFT_DECADE2_BUDGET", "1200").toLong
         val forked = ScaleRehearsal.fork(sfDir, baseFile, outFile, timeout)
         if (!forked) {
           // fallback: same protocol in-process, but on a FRESH session

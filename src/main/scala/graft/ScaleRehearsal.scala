@@ -203,7 +203,7 @@ object ScaleRehearsal {
     // code compiles on first execution — measured q110: 98 s cold,
     // 25 s, 15 s across three same-JVM runs), so most heavy queries
     // disagree pass-1-vs-2 and take the third, warm-dominated median.
-    val budget10 = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BUDGET", "1800")
+    val budget10 = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BUDGET", "1500")
       .toDouble
     val deadline10 = System.nanoTime() + (budget10 * 1e9).toLong
     def inBudget10: Boolean = System.nanoTime() < deadline10
@@ -275,7 +275,7 @@ object ScaleRehearsal {
     writeOut("null") // 10× tier is durable even if the 100× tier dies
 
     // ---- 100× tier: one run each, priority-ordered, budget-capped ----
-    val budget100 = sys.env.getOrElse("SPARK_GRAFT_DECADE2_BUDGET", "1400")
+    val budget100 = sys.env.getOrElse("SPARK_GRAFT_DECADE2_BUDGET", "1200")
       .toDouble
     if (budget100 > 0) {
       graft.operators.SuffixArray.clearCaches(spark)
