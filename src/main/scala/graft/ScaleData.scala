@@ -56,17 +56,27 @@ object ScaleData {
   /** Build `outDir` from `srcDir` at `factor`× if not already present
     * (idempotent via a marker file; safe across rounds). `tables`
     * limits generation to what a tier's query list actually reads —
-    * the 100× tier needs documents/lineitem/customer only.
+    * the 100× tier needs documents/lineitem/customer only. The marker
+    * records WHICH tables it covers (one line per table), so a later
+    * ensure() on the same outDir asking for a table a previous partial
+    * generation skipped generates just the missing ones instead of
+    * silently no-opping and leaving readers to fail on absent parquet.
     */
   def ensure(spark: SparkSession, srcDir: String, outDir: String,
              factor: Int,
              tables: Set[String] = Set("lineitem", "orders", "customer",
                "documents", "embeddings")): Unit = {
-    val marker = new java.io.File(s"$outDir/_SCALED_OK_v3")
-    if (marker.exists()) return
-    require(factor <= 312 || !tables("documents"),
+    val marker = new java.io.File(s"$outDir/_SCALED_OK_v4")
+    val already: Set[String] =
+      if (marker.exists())
+        scala.io.Source.fromFile(marker).getLines().map(_.trim)
+          .filter(_.nonEmpty).toSet
+      else Set.empty
+    val missing = tables -- already
+    if (missing.isEmpty) return
+    require(factor <= 312 || !missing("documents"),
       s"affine text tweak supports <= 312 disjoint replicas, got $factor")
-    require(factor <= 64 || !tables("embeddings"),
+    require(factor <= 64 || !missing("embeddings"),
       s"rotation tweak supports <= 64 disjoint replicas, got $factor")
     val affine = udf { (text: String, i: Int) =>
       if (text == null) null
@@ -83,7 +93,7 @@ object ScaleData {
       }
     }
     def replicate(name: String)(tweak: (DataFrame, Int) => DataFrame): Unit =
-      if (tables(name)) {
+      if (missing(name)) {
         val src = spark.read.parquet(s"$srcDir/$name.parquet")
         (0 until factor).map(i => tweak(src, i)).reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -123,6 +133,8 @@ object ScaleData {
         .withColumn("embedding", rotate(col("embedding"), lit(i * 7)))
     }
     marker.getParentFile.mkdirs()
-    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    java.nio.file.Files.write(marker.toPath,
+      (already ++ missing).toSeq.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -48,6 +48,44 @@ object Bpe extends Serializable {
   private def isByteTok(sym: String): Boolean =
     sym.length == 6 && sym.startsWith("<0x") && sym.charAt(5) == '>'
 
+  /** Split a word into CODE-POINT symbols (not UTF-16 units): a
+    * supplementary character (emoji, rare CJK) stays one symbol
+    * instead of decomposing into two lone surrogates that a UDF
+    * round-trip through UTF8String would corrupt to '?'.
+    */
+  private[functions] def symbolize(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Code-point (= UTF-8 binary) string order — the order Spark's
+    * UTF8String comparisons and `orderBy` use. The driver merge loop's
+    * tiebreaks MUST use this (not String.compareTo, which orders by
+    * UTF-16 unit and ranks U+E000..U+FFFF ABOVE supplementary
+    * characters) or [[trainDistributed]]'s documented exact
+    * equivalence to [[train]] breaks on non-BMP text.
+    */
+  private[functions] def cpCompare(x: String, y: String): Int = {
+    val a = x.getBytes(StandardCharsets.UTF_8)
+    val b = y.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+  private[functions] val CpOrdering: Ordering[String] =
+    (x: String, y: String) => cpCompare(x, y)
+
   /** A trained tokenizer: ordered merge list, 1-based symbol vocabulary
     * (0 = OOV sentinel, ids 1–256 = byte tokens), and the rank table
     * driving the greedy encode. Serializable so executors can apply it
@@ -95,10 +133,10 @@ object Bpe extends Serializable {
     */
   def train(wordCounts: Seq[(String, Long)], numMerges: Int): Model = {
     val words: Vector[(Vector[String], Long)] = wordCounts.toVector.map {
-      case (w, c) => (w.map(_.toString).toVector :+ EndOfWord, c)
+      case (w, c) => (symbolize(w) :+ EndOfWord, c)
     }
     buildModel(
-      wordCounts.flatMap(_._1.toSeq).distinct.sorted.map(_.toString),
+      wordCounts.flatMap(wc => symbolize(wc._1)).distinct.sorted(CpOrdering),
       mergeLoop(words, numMerges))
   }
 
@@ -128,8 +166,8 @@ object Bpe extends Serializable {
           val c = java.lang.Long.compare(y._1, x._1) // count DESC
           if (c != 0) c
           else {
-            val a = x._2.compareTo(y._2)
-            if (a != 0) a else x._3.compareTo(y._3)
+            val a = cpCompare(x._2, y._2)
+            if (a != 0) a else cpCompare(x._3, y._3)
           }
         }
       })
@@ -217,15 +255,22 @@ object Bpe extends Serializable {
                        distributedRounds: Int = 4): Model = {
     import org.apache.spark.sql.functions._
     require(numMerges >= 0 && distributedRounds >= 0)
-    val symsUdf = udf { w: String => w.map(_.toString) :+ EndOfWord }
-    var df = wordCounts
-      .select(symsUdf(col(wordCol)).as("syms"),
-        col(countCol).cast("long").as("n"))
-      .localCheckpoint()
-    val baseChars = wordCounts
-      .select(explode(filter(split(col(wordCol), ""), c => length(c) > 0))
-        .as("ch"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // code-point symbolization (NOT per-UTF-16-char): supplementary
+    // characters stay whole symbols, matching [[train]]
+    val symsUdf = udf { w: String => symbolize(w) :+ EndOfWord }
+    // per-round eager checkpoints go through Checkpoints.tracked —
+    // Dataset.unpersist cannot free a localCheckpoint, so each round
+    // releases the superseded round's blocks explicitly (and the final
+    // one is released after the collect())
+    var (df, dfIds) = graft.operators.Checkpoints.tracked(
+      wordCounts.select(symsUdf(col(wordCol)).as("syms"),
+        col(countCol).cast("long").as("n")))
+    // base chars from the SAME symbolization (code-point symbols), in
+    // code-point order so vocab ids match train()'s exactly
+    val baseChars = df
+      .select(explode(col("syms")).as("ch"))
+      .where(col("ch") =!= EndOfWord)
+      .distinct().collect().map(_.getString(0)).sorted(CpOrdering).toSeq
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < math.min(distributedRounds, numMerges) && !exhausted) {
@@ -245,12 +290,15 @@ object Bpe extends Serializable {
         val applyUdf = udf { s: Seq[String] =>
           mergeOnce(s.toVector, best): Seq[String]
         }
-        df = df.select(applyUdf(col("syms")).as("syms"), col("n"))
-          .localCheckpoint()
+        val (ck, ids) = graft.operators.Checkpoints.tracked(
+          df.select(applyUdf(col("syms")).as("syms"), col("n")))
+        graft.operators.Checkpoints.release(df, dfIds)
+        df = ck; dfIds = ids
       }
     }
     val words = df.collect().map(r =>
       (r.getSeq[String](0).toVector, r.getLong(1))).toVector
+    graft.operators.Checkpoints.release(df, dfIds)
     val tail =
       if (exhausted) IndexedSeq.empty
       else mergeLoop(words, numMerges - merges.length)
@@ -261,7 +309,7 @@ object Bpe extends Serializable {
     * symbol → id with UTF-8 byte fallback for unseen characters.
     */
   private def encodeWord(w: String, m: Model): Seq[Int] = {
-    var syms = (w.map(_.toString) :+ EndOfWord).toVector
+    var syms = symbolize(w) :+ EndOfWord
     var continue = true
     while (continue && syms.length > 1) {
       var bestRank = Int.MaxValue

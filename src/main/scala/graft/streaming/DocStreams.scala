@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.functions.Hashing
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -26,6 +27,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * candidates through the exact batch verify where byte truth matters.
   */
 object DocStreams {
+
+  // Logging via a private holder, not `extends Logging`: the trait's
+  // `log` member would shadow org.apache.spark.sql.functions.log used
+  // by the perplexity stream below.
+  private object Log extends Logging {
+    def warn(msg: => String): Unit = logWarning(msg)
+  }
 
   final case class BucketDoc(bucket: Long, docId: Long, sig: Array[Long])
   final case class NearDupCandidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
@@ -176,8 +184,15 @@ object DocStreams {
     * sink-before-append ordering above: compacted files land (from a
     * COMPLETED temp write) before any old fragment is deleted, so a
     * crash at any point leaves a row SUPERSET — transient duplicates
-    * the tiers already absorb, cleaned by the next compaction — never
-    * a loss.
+    * the tiers already absorb, cleaned by the next compaction (the
+    * rewrite applies `.distinct()`, so duplicate rows a crash left
+    * behind really are collapsed the next time the threshold trips) —
+    * never a loss. Hadoop `FileSystem.rename` signals failure by
+    * returning FALSE (destination exists, quota, cross-FS move), not
+    * by throwing, so every rename's result is checked: if any move
+    * fails the compaction aborts with old fragments and the temp dir
+    * intact, and NOTHING is deleted — old fragments are removed only
+    * after all compacted files verifiably landed.
     */
   def compactHistory(spark: org.apache.spark.sql.SparkSession,
                      historyDir: String, maxFragments: Int,
@@ -192,12 +207,17 @@ object DocStreams {
     val tmp = new org.apache.hadoop.fs.Path(historyDir + "__compact_tmp")
     fs.delete(tmp, true)
     graft.operators.SizedWriter.writeSized(
-      spark.read.parquet(historyDir), tmp.toString, targetFileBytes)
-    fs.listStatus(tmp)
+      spark.read.parquet(historyDir).distinct(), tmp.toString, targetFileBytes)
+    val moved = fs.listStatus(tmp)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .foreach { st =>
+      .map { st =>
         fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName))
       }
+    if (moved.exists(ok => !ok)) {
+      Log.warn(s"history compaction aborted: ${moved.count(!_)} rename(s) " +
+        s"into $historyDir returned false; leaving old fragments and $tmp in place")
+      return false
+    }
     old.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
     true

@@ -72,4 +72,24 @@ class ScaleDataSpec extends AnyFunSuite {
     ScaleData.ensure(spark, src, out, factor = 2)
     assert((System.nanoTime() - t0) / 1e9 < 1.0, "second ensure must be a no-op")
   }
+
+  test("a partial generation's marker records its tables; a later ensure fills the gap") {
+    val dir = java.nio.file.Files.createTempDirectory("scaled_part")
+      .toFile.getAbsolutePath
+    ScaleData.ensure(spark, src, dir, factor = 2, tables = Set("lineitem"))
+    assert(new java.io.File(s"$dir/lineitem.parquet").exists())
+    assert(!new java.io.File(s"$dir/orders.parquet").exists())
+    // the 100x-tier bug shape: same outDir, wider table set — the
+    // marker must NOT mark orders complete, and the second call must
+    // generate it (and only it: lineitem's mtime stays put)
+    val liBefore = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+    ScaleData.ensure(spark, src, dir, factor = 2,
+      tables = Set("lineitem", "orders"))
+    assert(new java.io.File(s"$dir/orders.parquet").exists(),
+      "missing table must be generated on the wider request")
+    assert(new java.io.File(s"$dir/lineitem.parquet").lastModified() == liBefore,
+      "already-covered table must not be rebuilt")
+    val n = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(n == 2 * spark.read.parquet(s"$src/orders.parquet").count())
+  }
 }

@@ -40,7 +40,7 @@ class BpeSpec extends AnyFunSuite {
   private def naiveMerges(wordCounts: Seq[(String, Long)],
                           numMerges: Int): Vector[(String, String)] = {
     var words = wordCounts.toVector.map {
-      case (w, c) => (w.map(_.toString).toVector :+ Bpe.EndOfWord, c)
+      case (w, c) => (Bpe.symbolize(w) :+ Bpe.EndOfWord, c)
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = numMerges > 0
@@ -55,7 +55,8 @@ class BpeSpec extends AnyFunSuite {
       }
       if (counts.isEmpty) continue = false
       else {
-        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, Bpe.CpOrdering, Bpe.CpOrdering))._1
         out += best
         words = words.map { case (syms, c) =>
           val merged = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -93,6 +94,30 @@ class BpeSpec extends AnyFunSuite {
       assert(got.merges == want.merges, s"distributedRounds=$r")
       assert(got.vocab == want.vocab, s"distributedRounds=$r")
     }
+  }
+
+  test("non-BMP: code-point symbols, cp-order tiebreaks, train ≡ distributed") {
+    import spark.implicits._
+    // \uE000 sorts ABOVE 😀 (U+1F600) in UTF-16 unit order but BELOW
+    // it in code-point / UTF-8 binary order (Spark's orderBy order);
+    // the count-3 tie at merge 2 discriminates the two orderings.
+    val corpus = Seq(("😀a", 3L), ("\uE000a", 3L), ("b😀", 1L))
+    val want = naiveMerges(corpus, 4)
+    val m = Bpe.train(corpus, 4)
+    assert(m.merges == want)
+    // the tie really broke by code point: \uE000 merged before 😀 did
+    assert(m.merges.indexWhere(_._1 == "\uE000") <
+      m.merges.indexWhere(_._1 == "😀"))
+    // the distributed prefix round-trips supplementary symbols through
+    // the UDF / UTF8String boundary intact and agrees exactly
+    val dist = Bpe.trainDistributed(corpus.toDF("w", "n"), "w", "n", 4,
+      distributedRounds = 2)
+    assert(dist.merges == want)
+    assert(dist.vocab == m.vocab)
+    // a seen supplementary char encodes as one symbol; an UNSEEN one
+    // (🤯) takes the 4-byte fallback — both round-trip
+    val ids = Bpe.encode("a😀b 🤯", m)
+    assert(Bpe.decode(ids, m) == "a😀b 🤯")
   }
 
   test("vocab ids are 1-based, 0 reserved; byte tokens occupy 1..256") {
