@@ -137,6 +137,12 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
+          // release query-transient persists (LSH shingle tables):
+          // without this, 173 queries x 3 passes accumulate dozens of
+          // un-evictable MEMORY_AND_DISK tables and the storage
+          // pressure makes later passes of unrelated queries spike
+          // (the r13 q112 variance — see TransientPersists)
+          finally graft.operators.TransientPersists.releaseAll()
       }
 
     // Untimed warmup: run every headline plan once at the smallest SF so

@@ -17,6 +17,7 @@ object BenchOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      graft.operators.TransientPersists.releaseAll()
       println(f"[bench] $name pass$p ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -172,6 +172,10 @@ object ScaleRehearsal {
             System.err.println(s"[rehearsal] $name failed at $dir: ${e.getMessage}")
             false
           }
+          // per-sample release of query-transient persists — each
+          // sample must see the same storage state, or pass-2 runs
+          // measure the leak, not the engine (see TransientPersists)
+          finally graft.operators.TransientPersists.releaseAll()
       }
     /** (secs, shuffleBytes); (-1, -1) on failure. */
     def timeOne(name: String, dir: String): (Double, Long) = {

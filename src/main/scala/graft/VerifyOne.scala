@@ -29,6 +29,7 @@ object VerifyOne {
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
+      graft.operators.TransientPersists.releaseAll()
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -269,8 +269,10 @@ object Dedup {
     // The shingle set is consumed three times (banding + both sides of the
     // verify join) — materialize it once. MEMORY_AND_DISK: at 100 TB the
     // shingle table exceeds memory and spills instead of recomputing.
-    val t = withShingles(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Tracked: the persist outlives this method (the returned lazy frame
+    // reads it), so the consuming harness releases it after its action —
+    // see TransientPersists.
+    val t = TransientPersists.track(withShingles(docs, idCol, textCol, k))
     val banded = t.select(col("doc_id"), explode(bucketsUdf(col("shingles"))).as("bucket"))
     // Candidate pairs: docs sharing any band bucket. Shuffle key is the
     // bucket, so skew is bounded by bucket collision width, not corpus
@@ -317,8 +319,8 @@ object Dedup {
       val toks = text.trim.toLowerCase.split("\\s+")
       Hashing.simhash64(Hashing.md5TokenHashes(toks))
     }
-    val sigs = docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = TransientPersists.track(
+      docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig")))
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until bands).map { b =>
           // band index in the high bits keeps buckets of different bands apart
@@ -485,9 +487,9 @@ object Dedup {
     val cosine = (a: Column, b: Column) =>
       graft.functions.CosineSimilarity(vectors.sparkSession, a, b)
     if (verifyInJoin) {
-      val banded = t.select(col("vec_id"), col("embedding"),
-        explode(bucketsUdf(col("embedding"))).as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = TransientPersists.track(
+        t.select(col("vec_id"), col("embedding"),
+          explode(bucketsUdf(col("embedding"))).as("bucket")))
       val left = banded.select(col("bucket"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"))
       val right = banded.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -503,9 +505,9 @@ object Dedup {
       // persist it so the signature matrix-product runs once per row
       // (same reasoning as minhashLsh's shingle persist; MEMORY_AND_DISK
       // spills instead of recomputing at corpus scale).
-      val banded = t.select(col("vec_id"),
-        explode(bucketsUdf(col("embedding"))).as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = TransientPersists.track(
+        t.select(col("vec_id"),
+          explode(bucketsUdf(col("embedding"))).as("bucket")))
       val left = banded.select(col("bucket"), col("vec_id").as("vec_a"))
       val right = banded.select(col("bucket"), col("vec_id").as("vec_b"))
       val candidates = left.join(right, Seq("bucket"))
