@@ -185,8 +185,9 @@ object Bench {
     // SPARK_GRAFT_SCALE_REHEARSAL=0.
     val rehearse = sys.env.getOrElse("SPARK_GRAFT_SCALE_REHEARSAL", "1") == "1" &&
       sfDir.endsWith("sf0.1")
-    val (rehearsalJson: String, rehearsalExps: String) =
-      if (!rehearse) ("null", "null") else {
+    val (rehearsalJson: String, rehearsalExps: String,
+         rehearsalBytesGate: String) =
+      if (!rehearse) ("null", "null", "null") else {
       try {
         // Like-for-like q138 exponent (round-11 verdict): the adaptive
         // LCP dispatch picks broadcast-descent at 1× and hash-walk at
@@ -249,11 +250,24 @@ object Bench {
         // "exponent" object in the child JSON)
         val exps = "\"exponent\":(\\{[^}]*\\})".r.findFirstMatchIn(json)
           .map(_.group(1)).getOrElse("null")
-        (json, exps)
+        // the deterministic shuffle-bytes gate (r13 verdict #8): union
+        // of every tier's failures — non-empty means a plan got
+        // superlinear in BYTES, which no amount of wall-clock noise can
+        // explain away. Carried on the compact line AND shouted to
+        // stderr so the regression cannot land silently.
+        val gateFails = "\"bytes_gate_failures\":(\\[[^\\]]*\\])".r
+          .findAllMatchIn(json).map(_.group(1)).toSeq
+        val failing = gateFails.flatMap(
+          "\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1))).distinct
+        if (failing.nonEmpty)
+          System.err.println("[bench] BYTES-EXPONENT GATE FAILED (exp > " +
+            s"${ScaleRehearsal.BytesGateMax}): ${failing.mkString(", ")}")
+        val gate = failing.map("\"" + _ + "\"").mkString("[", ",", "]")
+        (json, exps, gate)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale rehearsal failed: ${e.getMessage}")
         System.clearProperty("graft.lcp.path")
-        ("null", "null")
+        ("null", "null", "null")
       }
     }
 
@@ -278,7 +292,7 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val compact =
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${passResults.size},"queries":$topQ,"errors":$errs,"scale_exponent":$rehearsalExps,"sf":"$sfDir","full":"bench_out.json"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${passResults.size},"queries":$topQ,"errors":$errs,"scale_exponent":$rehearsalExps,"bytes_gate_failures":$rehearsalBytesGate,"sf":"$sfDir","full":"bench_out.json"}"""
     println(compact)
     // Durability: ALWAYS persist to a repo-local file too — round 6's
     // driver artifact was tail-truncated (the JSON line outgrew the

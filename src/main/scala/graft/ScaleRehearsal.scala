@@ -65,6 +65,15 @@ object ScaleRehearsal {
   val ScaledDir100 = "scale/sf10"
   /** Exponent disagreement between two runs that triggers a tie-break. */
   val AgreeTol = 0.1
+  /** The shuffle-BYTES exponent gate (r13 verdict #8): bytes are
+    * deterministic — immune to box contention, JIT, and GC — so a
+    * per-decade bytes exponent above this bound is plan-level
+    * superlinearity, not noise, and must fail loudly even when wall
+    * clock is too noisy to prove anything. 1.1 allows boundary effects
+    * (AQE picking a different join at the bigger tier, partial-agg
+    * ratios shifting) but catches any O(n^1.3+) plan regression.
+    */
+  val BytesGateMax = 1.1
   /** First-run seconds above which a 10× query gets one run (cost rule:
     * q138's pinned hash-walk is ~270 s at 10× — a second sample of it
     * buys little and costs a third of the tier budget).
@@ -146,6 +155,19 @@ object ScaleRehearsal {
     */
   def runAll(spark: SparkSession, sfDir: String, baseFile: String,
              outFile: String, freshJvm: Boolean): Unit = {
+    // Targeted-validation filter (round-tooling use only, never set by
+    // the driver): a comma list narrows both tiers to the named queries so
+    // a fix can be re-rehearsed in minutes instead of re-running all
+    // 28. Order is preserved from the canonical lists (the SA-family
+    // ordering invariant documented on `names` still holds as long as
+    // the filter keeps q137 when it keeps q138).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val names = only.fold(ScaleRehearsal.names)(
+      f => ScaleRehearsal.names.filter(f))
+    val decade2Names = only.fold(ScaleRehearsal.decade2Names)(
+      f => ScaleRehearsal.decade2Names.filter(f))
     val shuffle = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(shuffle)
     val base: Map[String, (Double, Long)] =
@@ -251,19 +273,32 @@ object ScaleRehearsal {
         case _ => -999.0
       }
     def tierJson(rows: Seq[(String, Double, Long, Seq[(Double, Long)])],
-                 decades: Int, skipped: Seq[String]): String = jmap(Seq(
-      "queries" -> jmap(rows.map(r => r._1 -> fmt(r._2))),
-      "exponent" -> jmap(rows.map(r =>
-        r._1 -> { val e = expOf(r._1, r._2, decades)
-          if (e == -999.0) "-1" else f"$e%.3f" })),
-      "raw_secs" -> jmap(rows.map(r =>
-        r._1 -> r._4.map(x => fmt(x._1)).mkString("[", ",", "]"))),
-      "runs" -> jmap(rows.map(r => r._1 -> r._4.count(_._1 > 0).toString)),
-      "shuffle_bytes" -> jmap(rows.map(r => r._1 -> r._3.toString)),
-      "bytes_exponent" -> jmap(rows.map(r =>
-        r._1 -> { val e = bytesExp(r._1, r._3, decades)
-          if (e == -999.0) "-1" else f"$e%.3f" })),
-      "skipped_budget" -> skipped.map("\"" + _ + "\"").mkString("[", ",", "]")))
+                 decades: Int, skipped: Seq[String]): String = {
+      // the deterministic gate: any measurable bytes exponent above
+      // BytesGateMax is asserted as a failure IN the artifact, so a
+      // plan-level superlinearity cannot hide behind wall-clock noise
+      val gateFails = rows.flatMap { r =>
+        val e = bytesExp(r._1, r._3, decades)
+        if (e != -999.0 && e > BytesGateMax) Some(r._1) else None
+      }
+      jmap(Seq(
+        "queries" -> jmap(rows.map(r => r._1 -> fmt(r._2))),
+        "exponent" -> jmap(rows.map(r =>
+          r._1 -> { val e = expOf(r._1, r._2, decades)
+            if (e == -999.0) "-1" else f"$e%.3f" })),
+        "raw_secs" -> jmap(rows.map(r =>
+          r._1 -> r._4.map(x => fmt(x._1)).mkString("[", ",", "]"))),
+        "runs" -> jmap(rows.map(r => r._1 -> r._4.count(_._1 > 0).toString)),
+        "shuffle_bytes" -> jmap(rows.map(r => r._1 -> r._3.toString)),
+        "bytes_exponent" -> jmap(rows.map(r =>
+          r._1 -> { val e = bytesExp(r._1, r._3, decades)
+            if (e == -999.0) "-1" else f"$e%.3f" })),
+        "bytes_gate_max" -> BytesGateMax.toString,
+        "bytes_gate_failures" -> gateFails.map("\"" + _ + "\"")
+          .mkString("[", ",", "]"),
+        "bytes_gate_ok" -> gateFails.isEmpty.toString,
+        "skipped_budget" -> skipped.map("\"" + _ + "\"").mkString("[", ",", "]")))
+    }
     val skipped10 = names.filter(n => samples(n).isEmpty)
     def writeOut(decade2Json: String): Unit = {
       val json = jmap(Seq(
@@ -324,10 +359,11 @@ object ScaleRehearsal {
         "java.base/sun.security.action", "java.base/sun.util.calendar",
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       // 48g default (box: 128 GiB; the idle parent holds 32g): the 100×
-      // tier's SA build OOMed at 32g — near-dup corpora put identical
-      // 64-char start keys in ONE range partition (equal keys cannot be
-      // split), so the hot partition's sort needs headroom no partition
-      // COUNT can provide.
+      // tier's SA build OOMed at 32g when identical 64-char start keys
+      // landed in ONE range partition. That ceiling is since fixed at
+      // the source (headRank range-partitions on (key, gid), so equal
+      // keys split — see SuffixArray.rangeByKeyGid); the headroom stays
+      // because the 100× tier's other sorts/joins are sized for it.
       val mem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "48g")
       // Dedicated tmpdir for the child's Spark local dirs (blockmgr,
       // shuffle spills): a timeout-killed JVM cannot clean its own —

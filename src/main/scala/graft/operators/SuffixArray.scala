@@ -57,10 +57,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object SuffixArray {
 
+  /** Range-layout for [[headRank]]: global sort order on `k`, with
+    * `gid` as a SECONDARY range key so byte-equal keys split across
+    * partitions instead of piling into one (a RangePartitioner cannot
+    * split ties on its sole key — r13's measured ceiling: a
+    * dup-degenerate corpus put every copy of the template's 64-char
+    * start key into ONE partition, and no partition COUNT could cap
+    * that task's sort). gid is unique, so (k, gid) has no ties at all;
+    * within-group order is irrelevant to headRank (members share their
+    * head's rank), and a group straddling partitions was ALREADY
+    * handled by the driver-side continuation fold — the secondary key
+    * just makes the straddle the designed-for layout rather than an
+    * edge case.
+    */
+  private[operators] def rangeByKeyGid(df: DataFrame,
+                                       numPartitions: Int): DataFrame =
+    df.select(col("gid"), col("k"))
+      .repartitionByRange(numPartitions, col("k"), col("gid"))
+      .sortWithinPartitions("k", "gid")
+
   /** Two-pass distributed head rank over `df(gid, k)`: every row gets
     * the 1-based GLOBAL ROW NUMBER of the first row of its key-group
     * in ascending-key order (ties share; sparse, order-embedding).
-    * Range-partition + sort-within (one shuffle, stays parallel),
+    * Range-partition on (key, gid) + sort-within (one shuffle, stays
+    * parallel, equal keys split — see [[rangeByKeyGid]]),
     * per-partition row counts and boundary keys to the driver
     * (numPartitions-sized, not data-sized), then a second pass
     * assigns `partition row base + local group head index`; a group
@@ -69,9 +89,7 @@ object SuffixArray {
     */
   def headRank(df: DataFrame, numPartitions: Int = 32): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col("gid"), col("k"))
-      .repartitionByRange(numPartitions, col("k"))
-      .sortWithinPartitions("k")
+    val rdd = rangeByKeyGid(df, numPartitions)
       .rdd.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // (pid, rowCount, firstKey, lastKey, localIdxOfLastGroupHead) —

@@ -222,6 +222,39 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(cuts.count(_._1 == 2L) == 1) // overlapping occurrences merged
   }
 
+  test("equal start keys split across range partitions (dup-degenerate ceiling)") {
+    import spark.implicits._
+    // the adversarial case for a DEDUP engine: a corpus that is mostly
+    // one template. Before the (k, gid) secondary range key, every copy
+    // of the template's start key landed in ONE partition — the r13
+    // 100x-tier OOM no partition count could fix.
+    val n = 5000
+    val oneKey = (0 until n).map(i => (i.toLong, "identical-template-start-key"))
+    val layout = SuffixArray.rangeByKeyGid(oneKey.toDF("gid", "k"), 8)
+    val sizes = layout.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.sum == n)
+    // a single-key table must SPREAD: the old layout put all n rows in
+    // one partition; the secondary gid key caps the hottest partition
+    // near n / 8 (range sampling is approximate — allow 2x slack)
+    assert(sizes.max <= n / 8 * 2,
+      s"hot partition holds ${sizes.max} of $n rows: ${sizes.toList}")
+  }
+
+  test("an all-equal-template corpus builds correctly while equal keys split") {
+    // 90%-one-template corpus: 270 identical docs + 30 distinct ones.
+    // Every suffix of the template repeats 270x, so ALL its start keys
+    // are equal and the final tie-break groups are 270 deep — the
+    // degenerate shape the (k, gid) split exists for. Brute parity
+    // proves the split + continuation fold + residual tie-break agree
+    // with the single-machine ground truth.
+    val template = "all work and no play makes a dull corpus"
+    val docs = (0 until 270).map(i => (i.toLong, template)) ++
+      (0 until 30).map(i => ((1000 + i).toLong, s"unique filler number $i"))
+    val got = buildSa(docs, 8).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getInt(1).toLong)).sorted
+    assert(got.toSeq == bruteSa(docs))
+  }
+
   test("longest duplicated substring surfaces a planted cross-doc passage") {
     val planted = "this exact passage was planted twice in the corpus"
     val docs = Seq(

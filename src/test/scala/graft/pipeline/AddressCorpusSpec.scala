@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import graft.pipeline.AddressParser._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus fuzz of the rule-based tagger (r13 verdict #5): 221
+  * address-shaped strings (goldens/address_corpus.tsv — deterministic
+  * synthetic assembly from public street/city vocabulary, seeded, no
+  * real addresses) with per-FIELD ground truth carried alongside, so
+  * divergence from the reference's CRF-tagger behavior is ENUMERATED
+  * here rather than discovered by users.
+  *
+  * Class contract:
+  *  - 13 exact classes (plain, pre/post-directional, ordinal,
+  *    multi-word street, unit, PO box, intersection, hyphenated house,
+  *    fraction, highway, accent, no-house) must parse field-exact —
+  *    zero divergence, asserted;
+  *  - 5 `div_*` classes are the DOCUMENTED divergences of the rule
+  *    tagger vs a learned CRF, each asserted to actually diverge (so
+  *    this spec doubles as the documentation's freshness check — if a
+  *    future tagger improvement fixes a class, update the class list
+  *    here and in the SURVEY E3 row):
+  *      div_lowercase_city      place walk requires capitalization
+  *      div_suffix_city         "St Paul": St reads as street suffix
+  *      div_directional_city    "West Hartford": directional stops walk
+  *      div_nosuffix_multicity  suffixless street gives walk no anchor
+  *      div_lowercase_state     StateName rule requires uppercase
+  *
+  * Every row additionally passes the sanitization invariants (charset
+  * whitelists F9) regardless of class.
+  */
+class AddressCorpusSpec extends AnyFunSuite {
+
+  private case class Case(cls: String, house: String, street: String,
+                          line2: String, city: String, state: String,
+                          zip: String) {
+    def full: String = Seq(house, street, line2, city, state, zip)
+      .filter(_.nonEmpty).mkString(" ")
+  }
+
+  private lazy val corpus: Seq[Case] = {
+    val src = scala.io.Source.fromFile("goldens/address_corpus.tsv", "UTF-8")
+    try src.getLines().drop(1).map { line =>
+      val f = line.split('\t').padTo(7, "")
+      Case(f(0), f(1), f(2), f(3), f(4), f(5), f(6))
+    }.toList
+    finally src.close()
+  }
+
+  private val divClasses = Set("div_lowercase_city", "div_suffix_city",
+    "div_directional_city", "div_nosuffix_multicity", "div_lowercase_state")
+
+  /** Field-exact expectation for a case, mirroring reformat's output
+    * contract (ground truth sanitized through the same F8/F9 functions
+    * the parser applies — the corpus pins TAGGING, not sanitization,
+    * which AddressParserSpec pins separately).
+    */
+  private def expected(c: Case): AddressParts = c.cls match {
+    case "pobox" =>
+      // USPSBox labels stay outside street/line2 → address empties and
+      // the row exits at the geocodable filter (P9), as in the reference
+      AddressParts("", c.city, c.state, c.zip, c.full, "", "")
+    case "intersection" =>
+      // RepeatedLabels combine: StreetName portions in order, then
+      // PostType portions in order, duplicates collapsed
+      val toks = c.street.split(' ').toSeq
+      val sep = toks.indexWhere(t => t == "&" || t.equalsIgnoreCase("and"))
+      val (a, b) = (toks.take(sep), toks.drop(sep + 1))
+      val names = Seq(a.dropRight(1), b.dropRight(1)).flatten
+      val sufs = Seq(a.last, b.last).distinct
+      val street = (names ++ sufs).mkString(" ")
+      AddressParts(street, c.city, c.state, c.zip, c.full, "", street)
+    case _ =>
+      val addr = sanitizeStreet(
+        Seq(c.house, c.street, c.line2).filter(_.nonEmpty).mkString(" "))
+      AddressParts(addr, sanitizeCityRegion(c.city), c.state, c.zip, c.full,
+        translit(c.house), sanitizeStreet(c.street))
+  }
+
+  test("exact classes parse field-exact; divergences only in documented classes") {
+    val results = corpus.map { c =>
+      val out = reformat(AddressParts("", "", "", "", c.full))
+      (c, out, out == expected(c))
+    }
+    val badExact = results.filter { case (c, _, ok) =>
+      !divClasses(c.cls) && !ok
+    }
+    assert(badExact.isEmpty, badExact.take(5).map { case (c, out, _) =>
+      s"\n[${c.cls}] '${c.full}'\n  got      $out\n  expected ${expected(c)}"
+    }.mkString)
+    // enumerate the documented divergence rate per class
+    val byCls = results.groupBy(_._1.cls).toSeq.sortBy(_._1)
+    byCls.filter(t => divClasses(t._1)).foreach { case (cls, rs) =>
+      val n = rs.count(!_._3)
+      info(f"$cls%-24s ${n}/${rs.size} diverge (documented)")
+      // each documented class must still BE divergent — a fixed class
+      // means stale documentation, update the list here + SURVEY E3
+      assert(n > 0, s"$cls no longer diverges — update the documented list")
+    }
+    val totalDiv = results.count(!_._3)
+    val divRows = corpus.count(c => divClasses(c.cls))
+    info(f"overall: $totalDiv/${corpus.size} diverge " +
+      f"(${100.0 * totalDiv / corpus.size}%.1f%%), all inside the " +
+      f"$divRows documented-class rows")
+    assert(totalDiv <= divRows)
+  }
+
+  test("sanitization invariants hold on every corpus row (F9 whitelists)") {
+    corpus.foreach { c =>
+      val out = reformat(AddressParts("", "", "", "", c.full))
+      assert(out.postalCode.matches("[\\d-]*"), s"postal '${out.postalCode}'")
+      assert(out.city.matches("[A-Za-z\\-\\s]*"), s"city '${out.city}'")
+      assert(out.region.matches("[A-Za-z\\-\\s]*"), s"region '${out.region}'")
+      assert(!out.address.exists(ch => "$%{[∆".contains(ch)), s"address '${out.address}'")
+      assert(out.fullAddress == c.full) // the original is never mutated
+    }
+  }
+}
