@@ -25,9 +25,13 @@ import org.apache.spark.sql.SparkSession
   *    contention vs 1.3 s warm on a quiet machine).
   *  - the JSON line is also written to `SPARK_GRAFT_BENCH_OUT` if set, so
   *    the driver parses a file instead of scraping sbt-prefixed stdout.
-  *  - per-query shuffle bytes (read+write) via SparkListener: plan
-  *    regressions (new exchanges) are visible even when wall-clock noise
-  *    isn't, and shuffle volume is the metric that predicts 100 TB cost.
+  *  - per-query shuffle WRITE bytes via SparkListener: plan regressions
+  *    (new exchanges) are visible even when wall-clock noise isn't, and
+  *    shuffle volume is the metric that predicts 100 TB cost. Write-only
+  *    since r14 — read volume includes AQE skew-split re-reads and retry
+  *    re-fetches, which are remediation, not plan-requested movement
+  *    (the rehearsal artifact still publishes reads as the skew
+  *    diagnostic).
   *
   * Each query is fully materialized via a noop write (count() could skip
   * projection work under column pruning).
@@ -206,11 +210,43 @@ object Bench {
           else (-1.0, -1L)
         }
         System.clearProperty("graft.lcp.path")
-        // 1× bases for the child: headline min-of-3 secs + min bytes,
-        // q138 overridden by the pinned measurement.
+        // Like-for-like 1× bases for the data-scaled-broadcast class
+        // (ScaleRehearsal.NoBroadcastBase): re-measure each with
+        // broadcast joins disabled — the join strategy every scaled
+        // tier (and any real 100 TB run) uses — so the child's
+        // exponent compares the same algorithm at both tiers. The
+        // headline numbers above stay unpinned.
+        val nbBases: Map[String, (Double, Long)] =
+          ScaleRehearsal.NoBroadcastBase.iterator
+            .filter(n => headline.contains(n) && !failed.contains(n))
+            .flatMap { n =>
+              val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+              val prevABc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+              spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+              spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+              try {
+                val b0 = shuffle.bytes.get()
+                val t0 = System.nanoTime()
+                val ok = runOne(n, sfDir)
+                val dt = (System.nanoTime() - t0) / 1e9
+                if (ok) Some(n -> (dt, shuffle.bytes.get() - b0)) else None
+              } finally {
+                def restore(key: String, v: Option[String]): Unit = v match {
+                  case Some(x) => spark.conf.set(key, x)
+                  case None => spark.conf.unset(key)
+                }
+                restore("spark.sql.autoBroadcastJoinThreshold", prevBc)
+                restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevABc)
+              }
+            }.toMap
+        // 1× bases for the child: headline min-of-3 secs + min bytes;
+        // q138 overridden by the lcp-path pin, NoBroadcastBase queries
+        // by the no-broadcast pin.
         val baseLines = results.map {
           case ("q138_longest_dup_substring", _, _) =>
             s"q138_longest_dup_substring\t$q138Pinned\t$q138PinnedBytes"
+          case (n, _, _) if nbBases.contains(n) =>
+            s"$n\t${nbBases(n)._1}\t${nbBases(n)._2}"
           case (n, t, b) => s"$n\t$t\t$b"
         }
         val baseFile = "scale_rehearsal_base.tsv"

@@ -7,18 +7,16 @@ import org.apache.spark.sql.functions._
   * driver contract): per-change wall-clock + intermediate cardinality
   * probes for the operator currently being tuned.
   *
-  * Current probe (r14, VERDICT #1 — q112's irreproducible exponent):
-  * shingle-count distribution of the corpus, and CANDIDATE-PAIR counts
-  * of the classic-minhash vs DOPH band bucketing at 1× and 10× — the
-  * committed rehearsal shows q112 shuffling 27× the bytes of q25 on
-  * the identical bandedVerify plan, so the variance suspect is
-  * densification-correlated buckets inflating the candidate set.
+  * Current probe (r14, VERDICT #7 — q138's hash-walk cost): does a
+  * repartition+sortWithinPartitions+localCheckpoint layout actually
+  * carry its partitioning/ordering into a downstream equi-join's plan
+  * (no Exchange/Sort on the checkpointed side), with and without AQE?
   */
 object DevScratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,42 +24,25 @@ object DevScratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.functions.Hashing
+    import spark.implicits._
 
-    def probe(dir: String): Unit = {
-      val docs = Tables.documents(spark, dir)
-      val sh = graft.operators.Dedup.withShingles(docs, "doc_id", "text", 3)
-        .select(col("doc_id"), col("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dist = sh.select(size(col("shingles")).as("n"))
-        .agg(count(lit(1)).as("docs"), min("n"), expr("percentile(n, 0.5)"),
-          expr("percentile(n, 0.9)"), max("n"),
-          sum(when(col("n") < lit(128), 1).otherwise(0)).as("lt128"),
-          sum(when(col("n") < lit(16), 1).otherwise(0)).as("lt16"))
-        .collect()(0)
-      println(s"[scratch] $dir shingles: $dist")
-      def candCount(name: String, bucketsOf: Seq[String] => Array[Long]): Unit = {
-        val u = udf { s: Seq[String] =>
-          bucketsOf(s)
-        }
-        val banded = sh.select(col("doc_id"), explode(u(col("shingles"))).as("bucket"))
-        val t0 = System.nanoTime()
-        val n = banded.toDF("doc_a", "bucket")
-          .join(banded.toDF("doc_b", "bucket"), "bucket")
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct().count()
-        println(f"[scratch] $dir $name candidates=$n (${(System.nanoTime() - t0) / 1e9}%.1f s)")
-      }
-      candCount("classic", s =>
-        Hashing.bandBuckets(Hashing.minhashSignature(
-          s.map(Hashing.stringHash64).toArray, 128), 32))
-      candCount("doph", s =>
-        Hashing.bandBuckets(Hashing.dophSignature(
-          s.map(Hashing.stringHash64).toArray, 128), 32))
-      sh.unpersist(blocking = true)
-    }
-    probe("/root/testdata/sf0.1")
-    probe("scale/sf1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val hv = (1L to 100000L).map(i => (i % 977, i, i * 31)).toDF("d", "q", "h")
+      .repartition(8, col("d"), col("q"))
+      .sortWithinPartitions("d", "q")
+      .localCheckpoint()
+    println("== hv.queryExecution.executedPlan.outputPartitioning / ordering ==")
+    println(hv.queryExecution.executedPlan.outputPartitioning)
+    println(hv.queryExecution.executedPlan.outputOrdering)
+
+    val probe = (1L to 5000L).map(i => (i % 977, i % 997, i)).toDF("doc_a", "p_a", "lcp")
+      .hint("shuffle_hash")
+    val ha = hv.select(col("d").as("doc_a"), col("q").as("qa"), col("h").as("ha"))
+    val j = probe.join(ha, probe("doc_a") === ha("doc_a") &&
+      (probe("p_a") + probe("lcp")) === ha("qa")).drop(ha("doc_a"))
+    j.write.format("noop").mode("overwrite").save()
+    println("== join plan (AQE final) ==")
+    println(j.queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n"))
     spark.stop()
   }
 }

@@ -503,19 +503,51 @@ object SuffixArray {
 
   /** Large-corpus LCP path (the 100 TB shape: doc texts are never
     * shipped to pairs or broadcast). See [[adjacentLcp]].
+    *
+    * The walk runs with AQE DISABLED (saved/restored around the loop):
+    * under AQE a localCheckpoint's LogicalRDD reports
+    * UnknownPartitioning/no ordering (AdaptiveSparkPlanExec hides the
+    * final plan's layout), so every round's join re-exchanged AND
+    * re-sorted the corpus-sized hv table — measured 23.4 GB shuffled
+    * at 10× (r13's 2.4 bytes exponent) for a walk whose own data needs
+    * are active-set-sized. With AQE off the layout survives and each
+    * round moves only the active side. Nothing here wants AQE anyway:
+    * every join key is a unique (doc, position) — no skew to split,
+    * and partition counts are byte-scaled explicitly below (the same
+    * spill rule as [[build]]).
     */
   private[operators] def lcpByHashWalk(sa: DataFrame, docs: DataFrame,
                                        docIdCol: String, textCol: String,
                                        numPartitions: Int): DataFrame = {
     val spark = docs.sparkSession
-    val maxRow = docs.agg(max(length(col(textCol)))).head
-    val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try lcpByHashWalkNoAqe(sa, docs, docIdCol, textCol, numPartitions)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private def lcpByHashWalkNoAqe(sa: DataFrame, docs: DataFrame,
+                                 docIdCol: String, textCol: String,
+                                 numPartitions: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val statsRow = docs
+      .agg(max(length(col(textCol))), sum(length(col(textCol)))).head
+    val maxLen = if (statsRow.isNullAt(0)) 0 else statsRow.getInt(0)
+    val sumLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val maxJ = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen.toLong))).toInt
+    // spill-aware partition count (no AQE to widen shuffles here): one
+    // hv row per corpus char at 16B keys + 8B per level hash
+    val parts = math.max(numPartitions,
+      math.min(1024L, sumLen * (16L + 8L * (maxJ + 1)) / (256L << 20) + 1L).toInt)
     // per-position vector of ALL level hashes (index j ↔ 2^j-char
     // block) — explicit columns, not a transform lambda, so the
-    // substring/hash chain stays in whole-stage codegen; partitioned
-    // on its lookup key and checkpointed ONCE so every walk round
-    // streams it without re-shuffling or re-sorting
+    // substring/hash chain stays in whole-stage codegen. Partitioned
+    // on the lookup key AND sorted within partitions by it BEFORE the
+    // checkpoint: with AQE disabled (see the dispatcher above) the
+    // LogicalRDD carries this layout, so every walk round's join
+    // accepts hv as-is — no exchange, no per-round sort of the
+    // corpus-sized side; only the shrinking active side shuffles.
+    val tHv0 = System.nanoTime()
     val hv = docs
       .filter(length(col(textCol)) >= 1) // sequence(1,0) is descending
       .select(col(docIdCol).as("d"), col(textCol).as("t"),
@@ -523,8 +555,11 @@ object SuffixArray {
       .select(col("d"), col("q").cast("long").as("q"),
         array((0 to maxJ).map(j =>
           xxhash64(expr(s"substring(t, q, ${1L << j})"))): _*).as("hv"))
-      .repartition(numPartitions, col("d"), col("q"))
+      .repartition(parts, col("d"), col("q"))
+      .sortWithinPartitions("d", "q")
       .localCheckpoint()
+    if (sys.env.contains("GRAFT_LCP_DEBUG"))
+      System.err.println(f"[lcpwalk] hv build ${(System.nanoTime() - tHv0) / 1e9}%.1f s")
     val lens = docs.select(col(docIdCol),
       length(col(textCol)).cast("long").as("len"))
     val a = sa.select(col("sa_rank").as("r"), col(docIdCol).as("doc_a"),
@@ -540,9 +575,17 @@ object SuffixArray {
       .withColumn("lcp", lit(0L))
       .withColumn("jmax", lit(maxJ))
       .localCheckpoint()
+    if (sys.env.contains("GRAFT_LCP_DEBUG"))
+      System.err.println(f"[lcpwalk] pair init ${(System.nanoTime() - tHv0) / 1e9}%.1f s (cumulative)")
     val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var nActive = active.count()
+    var roundT0 = System.nanoTime()
     while (nActive > 0) {
+      if (sys.env.contains("GRAFT_LCP_DEBUG")) {
+        System.err.println(f"[lcpwalk] round start nActive=$nActive " +
+          f"(${(System.nanoTime() - roundT0) / 1e9}%.1f s since last)")
+        roundT0 = System.nanoTime()
+      }
       // the a-side lookup can never miss (lcp < sl_a is invariant); a
       // b-side miss means suffix b is exhausted (lcp == sl_b, b is a
       // prefix of a) and is decided WITHOUT the join — so both lookups
@@ -553,14 +596,19 @@ object SuffixArray {
       // The hint is CONDITIONAL on the build side actually fitting:
       // in round 1 the active side is ALL pairs (corpus-sized — the
       // "shrinking" only starts once pairs finish), and a per-task
-      // hash build over corpus/numPartitions rows exhausts execution
-      // memory (observed: the r12 bench's 10× tier at 32 concurrent
-      // builds). Oversized rounds fall back to sort-merge — slower,
-      // streaming, memory-safe — and the hint returns as soon as the
-      // active set shrinks below ~200K rows per partition.
+      // hash build over corpus/numPartitions rows can exhaust
+      // execution memory (observed: the r12 bench's 10× tier at 32
+      // concurrent builds in an 8 GB heap). Bound: 1M rows × ~80 B ×
+      // `parts` concurrent builds ≈ 2.5 GB at 32 partitions — well
+      // inside the ≥32 GB bench heaps, and `parts` is byte-scaled so
+      // bigger corpora get more, smaller, builds. Oversized rounds
+      // still fall back to sort-merge (streaming, memory-safe). The
+      // r13 cap of 200K/partition forced the first 3 rounds at 10× —
+      // 75% of the walk's wall — through SMJ sorts of the full pair
+      // set twice per round.
       doneParts += active.filter(col("lcp") >= col("sl_b"))
         .select("lcp", "doc_a", "p_a", "doc_b", "p_b")
-      val buildFits = nActive / numPartitions <= 200000L
+      val buildFits = nActive / parts <= 1000000L
       val live0 = active.filter(col("lcp") < col("sl_b"))
       val live = if (buildFits) live0.hint("shuffle_hash") else live0
       val ha = hv.select(col("d").as("doc_a"), col("q").as("qa"), col("hv").as("ha"))
@@ -576,10 +624,23 @@ object SuffixArray {
         .drop(hb("doc_b")).drop("qb")
       // highest still-untested level matching at the current offset —
       // every higher level already failed (in-row, free); no match at
-      // any level ⟹ level 0 failed ⟹ the next chars differ ⟹ done
+      // any level ⟹ level 0 failed ⟹ the next chars differ ⟹ done.
+      // Explicit descending WHEN chain (outermost test = highest j),
+      // not array_max(filter(sequence, lambda)): higher-order array
+      // functions are interpreted per-row (sequence allocation +
+      // closure calls on 15M rows per round at 10×), while the chain
+      // of element_at comparisons is plain whole-stage codegen.
+      if (sys.env.contains("GRAFT_LCP_DEBUG"))
+        System.err.println(s"[lcpwalk] round plan (nActive=$nActive):\n" +
+          st.queryExecution.executedPlan.toString.linesIterator.take(30)
+            .mkString("\n"))
+      val jmExpr = (0 to maxJ).foldLeft(lit(null).cast("int")) { (acc, j) =>
+        when(col("jmax") >= j &&
+          expr(s"element_at(ha, ${j + 1}) = element_at(hb, ${j + 1})"),
+          lit(j)).otherwise(acc)
+      }
       val stepped = st
-        .withColumn("jm", expr(
-          "array_max(filter(sequence(0, jmax), j -> element_at(ha, j + 1) = element_at(hb, j + 1)))"))
+        .withColumn("jm", jmExpr)
         .withColumn("lcp",
           when(col("jm").isNotNull,
             col("lcp") + least(expr("shiftleft(CAST(1 AS BIGINT), jm)"), col("sl_a") - col("lcp")))
