@@ -1,22 +1,24 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch measurement runner for local iteration (not part of the
-  * driver contract): per-change wall-clock + intermediate cardinality
-  * probes for the operator currently being tuned.
+  * driver contract).
   *
-  * Current probe (r14, VERDICT #7 — q138's hash-walk cost): does a
-  * repartition+sortWithinPartitions+localCheckpoint layout actually
-  * carry its partitioning/ordering into a downstream equi-join's plan
-  * (no Exchange/Sort on the checkpointed side), with and without AQE?
+  * Current probe (r14): the decade-2 rehearsal shows q145/q148/q121/
+  * q126/q127 shuffle-write bytes growing 19–420× in the 10×→100×
+  * decade while q110/q114/q137/q149 stay at ~10×. Run a query at two
+  * tiers and print EVERY exchange's written bytes from the executed
+  * plan's metrics, so the exploding node is named instead of guessed.
   */
 object DevScratch {
   def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "q145_dedup_sweep"
+    val tiers = if (args.length > 1) args.drop(1).toSeq
+      else Seq("scale/sf1", "scale/sf10")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,25 +26,39 @@ object DevScratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val hv = (1L to 100000L).map(i => (i % 977, i, i * 31)).toDF("d", "q", "h")
-      .repartition(8, col("d"), col("q"))
-      .sortWithinPartitions("d", "q")
-      .localCheckpoint()
-    println("== hv.queryExecution.executedPlan.outputPartitioning / ordering ==")
-    println(hv.queryExecution.executedPlan.outputPartitioning)
-    println(hv.queryExecution.executedPlan.outputOrdering)
+    def dumpExchanges(plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            val wb = e.metrics.get("shuffleBytesWritten")
+              .orElse(e.metrics.get("bytesWritten"))
+              .orElse(e.metrics.get("dataSize")).map(_.value).getOrElse(-1L)
+            println(f"[exch] ${wb / 1e6}%12.1f MB  <- ${e.child.simpleStringWithNodeId().take(110)}")
+            e.children.foreach(walk)
+          case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            val ds = e.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+            println(f"[bcast] ${ds / 1e6}%11.1f MB  <- ${e.child.simpleStringWithNodeId().take(110)}")
+            e.children.foreach(walk)
+          case other => other.children.foreach(walk)
+        }
+      }
+      walk(plan)
+    }
 
-    val probe = (1L to 5000L).map(i => (i % 977, i % 997, i)).toDF("doc_a", "p_a", "lcp")
-      .hint("shuffle_hash")
-    val ha = hv.select(col("d").as("doc_a"), col("q").as("qa"), col("h").as("ha"))
-    val j = probe.join(ha, probe("doc_a") === ha("doc_a") &&
-      (probe("p_a") + probe("lcp")) === ha("qa")).drop(ha("doc_a"))
-    j.write.format("noop").mode("overwrite").save()
-    println("== join plan (AQE final) ==")
-    println(j.queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+    for (dir <- tiers) {
+      println(s"==== $name @ $dir ====")
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      println(f"wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      dumpExchanges(df.queryExecution.executedPlan)
+      graft.operators.TransientPersists.releaseAll()
+    }
     spark.stop()
   }
 }
