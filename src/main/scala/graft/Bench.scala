@@ -203,11 +203,20 @@ object Bench {
         // which rides q137's 10× build); the child keeps the same pin.
         System.setProperty("graft.lcp.path", "hash")
         val (q138Pinned, q138PinnedBytes) = {
-          val b0 = shuffle.bytes.get()
-          val t0 = System.nanoTime()
-          val ok = runOne("q138_longest_dup_substring", sfDir)
-          if (ok) ((System.nanoTime() - t0) / 1e9, shuffle.bytes.get() - b0)
-          else (-1.0, -1L)
+          // child-granularity base (see nbBases below for the why)
+          val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "256")
+          try {
+            val b0 = shuffle.bytes.get()
+            val t0 = System.nanoTime()
+            val ok = runOne("q138_longest_dup_substring", sfDir)
+            if (ok) ((System.nanoTime() - t0) / 1e9, shuffle.bytes.get() - b0)
+            else (-1.0, -1L)
+          } finally prev match {
+            case Some(x) => spark.conf.set(key, x)
+            case None => spark.conf.unset(key)
+          }
         }
         System.clearProperty("graft.lcp.path")
         // Like-for-like 1× bases for the data-scaled-broadcast class
@@ -216,14 +225,24 @@ object Bench {
         // tier (and any real 100 TB run) uses — so the child's
         // exponent compares the same algorithm at both tiers. The
         // headline numbers above stay unpinned.
+        // The pinned bases also match the CHILD's shuffle granularity
+        // (initialPartitionNum=256): lz4 shuffle blocks compress worse
+        // at 8× smaller block size, and measured on identical 1× data
+        // the 256-granularity session writes 7–13% more bytes (q107
+        // 12.69→14.29 MB, q123 17.37→18.58 MB) — enough to push a
+        // truly-linear exponent to 1.10–1.12 and trip the gate on
+        // compression framing instead of plans.
+        val InitNumKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
         val nbBases: Map[String, (Double, Long)] =
           ScaleRehearsal.NoBroadcastBase.iterator
             .filter(n => headline.contains(n) && !failed.contains(n))
             .flatMap { n =>
               val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
               val prevABc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+              val prevInit = spark.conf.getOption(InitNumKey)
               spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
               spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+              spark.conf.set(InitNumKey, "256")
               try {
                 val b0 = shuffle.bytes.get()
                 val t0 = System.nanoTime()
@@ -237,6 +256,7 @@ object Bench {
                 }
                 restore("spark.sql.autoBroadcastJoinThreshold", prevBc)
                 restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevABc)
+                restore(InitNumKey, prevInit)
               }
             }.toMap
         // 1× bases for the child: headline min-of-3 secs + min bytes;
