@@ -33,6 +33,19 @@ import org.apache.spark.sql.SparkSession
   *    (the rehearsal artifact still publishes reads as the skew
   *    diagnostic).
   *
+  * WALL-CLOCK GOVERNOR (r14 verdict #1: the round's official bench was
+  * rc=124/parsed:null because the default invocation outgrew the
+  * driver's slot). The whole run works against one total budget
+  * (`SPARK_GRAFT_BENCH_BUDGET`, default 3600 s, measured from main()
+  * entry), degrades gracefully — the optional stages (pinned gate
+  * bases, then the forked scale rehearsal, trimming its decade-2 tier
+  * first via per-stage child budgets) shrink to the remaining time —
+  * and every stage boundary re-writes bench_out.json AND
+  * BENCH_r<N>.json, so a kill at ANY point after the 3 headline passes
+  * leaves a complete headline artifact on disk instead of
+  * `parsed: null`. Whatever is skipped is recorded in the artifact
+  * (`pinned_base_skipped`, `rehearsal_skipped_budget`), never silent.
+  *
   * Each query is fully materialized via a noop write (count() could skip
   * projection work under column pruning).
   */
@@ -109,6 +122,18 @@ object Bench {
   val oracleTier: Set[String] = Set("q30_embed_neardup")
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    // Total wall budget for the WHOLE bench (headline + pinned bases +
+    // forked rehearsal), sized to the observed driver slot: r13's full
+    // run passed, r14's (same + ~10 pinned 1× re-runs + a wall
+    // regression) drew rc=124 — the slot sits just above r13's ~4000 s
+    // profile, so 3600 s keeps a completed run strictly inside it even
+    // with sbt/JVM startup on top.
+    val totalBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3600").toDouble
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
+    def remaining: Double = totalBudget - elapsed
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -178,6 +203,71 @@ object Bench {
     }
     val results = passResults ++ oracleResults
 
+    // ---- incremental artifact writer ----------------------------------
+    // Called at every stage boundary from here on: the full headline map
+    // is durable the moment the 3 passes finish, and each later stage
+    // only ever REPLACES the artifact with a strictly richer one. A
+    // driver kill at any point after this line can no longer produce
+    // `parsed: null`.
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sb = results.map { case (k, _, s) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val total = passResults.filter(_._2 >= 0).map(_._2).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val oracleList = headline.filter(oracleTier)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val round: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+      .orElse {
+        // explicit UTF-8: the forked JVM's default charset follows the
+        // POSIX locale (US-ASCII), and VERDICT.md's first line holds an
+        // em-dash — the silent MalformedInputException here is exactly
+        // how r11's first artifact write was lost
+        try {
+          val head = scala.io.Source.fromFile("VERDICT.md")(scala.io.Codec.UTF8)
+            .getLines().take(1).mkString
+          "round (\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt + 1)
+        } catch { case e: Exception =>
+          System.err.println(s"[bench] round detection failed: $e")
+          None
+        }
+      }
+    def writeArtifacts(stage: String, extra: Seq[(String, String)],
+                       rehearsalJson: String): String = {
+      val extraJson = extra.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("")
+      val sep = if (extra.isEmpty) "" else ","
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage","queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"oracle_tier":$oracleList,${extraJson}${sep}"scale_rehearsal":$rehearsalJson,"sf":"$sfDir"}"""
+      val outPaths = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      outPaths.foreach { path =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Exception =>
+          System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+        }
+      }
+      // Also write the per-round artifact BENCH_r<N>.json in the
+      // driver's schema with `parsed` populated — every driver-captured
+      // artifact through r10 had `parsed: null` because the JSON line
+      // outgrew the stdout tail capture. `producer` marks it as
+      // bench-written and `rc` is null, not 0: this process cannot
+      // claim an exit code for itself (r14 verdict #3 — the driver's
+      // own overwrite carries the real rc). Only at the driver's sf0.1 —
+      // a local sf0.01 iteration must not overwrite the round artifact.
+      if (sfDir.endsWith("sf0.1")) round.foreach { n =>
+        val artifact =
+          s"""{"n": $n, "rc": null, "producer": "bench-self", "stage": "$stage", "cpus": $cpus, "sf": 0.1, "tail": "(written by Bench.scala)", "parsed": $line}"""
+        try java.nio.file.Files.write(java.nio.file.Paths.get(f"BENCH_r$n%02d.json"),
+          (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Exception =>
+          System.err.println(s"[bench] could not write BENCH_r$n: ${e.getMessage}")
+        }
+      }
+      line
+    }
+    writeArtifacts("headline", Nil, "null")
+
+    // ---- pinned 1× gate bases (budget-guarded) ------------------------
     // Scale rehearsal (VERDICT r8 #5, re-architected r13 per VERDICT
     // r12 #1): the heaviest operators run at derived 10× and 100×
     // tiers (disjoint replicas — see ScaleData) in a DEDICATED FORKED
@@ -189,9 +279,20 @@ object Bench {
     // SPARK_GRAFT_SCALE_REHEARSAL=0.
     val rehearse = sys.env.getOrElse("SPARK_GRAFT_SCALE_REHEARSAL", "1") == "1" &&
       sfDir.endsWith("sf0.1")
-    val (rehearsalJson: String, rehearsalExps: String,
-         rehearsalBytesGate: String) =
-      if (!rehearse) ("null", "null", "null") else {
+    // Governor reserves: the fork needs at least this much to produce a
+    // usable 10× tier; below it the rehearsal (and the pinned bases that
+    // only exist to feed it) is skipped outright — explicitly recorded.
+    val MinForkSecs = 500.0
+    val FinalMargin = 90.0 // println + artifact write + spark.stop()
+    val compactFallback =
+      if (!rehearse) ("null", "null", "null", "[]")
+      else if (remaining < MinForkSecs + FinalMargin) {
+        System.err.println(f"[bench] BUDGET: skipping rehearsal entirely " +
+          f"(remaining ${remaining}%.0f s < ${MinForkSecs + FinalMargin}%.0f)")
+        writeArtifacts("rehearsal_skipped_budget",
+          Seq("rehearsal_skipped_budget" -> "true"), "null")
+        ("null", "null", "null", "[]")
+      } else {
       try {
         // Like-for-like q138 exponent (round-11 verdict): the adaptive
         // LCP dispatch picks broadcast-descent at 1× and hash-walk at
@@ -201,23 +302,62 @@ object Bench {
         // THIS session (the headline SA cache is still warm, so this
         // times the walk, not the build — matching the scaled run,
         // which rides q137's 10× build); the child keeps the same pin.
-        System.setProperty("graft.lcp.path", "hash")
-        val (q138Pinned, q138PinnedBytes) = {
-          // child-granularity base (see nbBases below for the why)
-          val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-          val prev = spark.conf.getOption(key)
-          spark.conf.set(key, "256")
+        // Pinned-base protocol (r14 ADVICE #2): gate bases get TWO runs
+        // (min) when the budget allows — the 1.1 gate threshold sits
+        // within single-run bytes variance for small queries — and a
+        // base whose every run fails is recorded in
+        // `nobroadcast_base_failed` and written as -1/-1 so the child
+        // lists the query as gate_not_evaluated instead of silently
+        // gating it against the unpinned (cross-plan) base.
+        val pinnedSkipped = scala.collection.mutable.ArrayBuffer[String]()
+        val nbBaseFailed = scala.collection.mutable.ArrayBuffer[String]()
+        val InitNumKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        // child-granularity + no-broadcast pinned measurement of one query
+        def pinnedRuns(n: String, noBc: Boolean, maxRuns: Int): Option[(Double, Long)] = {
+          val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+          val prevABc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          val prevInit = spark.conf.getOption(InitNumKey)
+          if (noBc) {
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          }
+          // The pinned bases match the CHILD's shuffle granularity
+          // (initialPartitionNum=256): lz4 shuffle blocks compress worse
+          // at 8× smaller block size, and measured on identical 1× data
+          // the 256-granularity session writes 7–13% more bytes (q107
+          // 12.69→14.29 MB, q123 17.37→18.58 MB) — enough to push a
+          // truly-linear exponent to 1.10–1.12 and trip the gate on
+          // compression framing instead of plans.
+          spark.conf.set(InitNumKey, "256")
           try {
-            val b0 = shuffle.bytes.get()
-            val t0 = System.nanoTime()
-            val ok = runOne("q138_longest_dup_substring", sfDir)
-            if (ok) ((System.nanoTime() - t0) / 1e9, shuffle.bytes.get() - b0)
-            else (-1.0, -1L)
-          } finally prev match {
-            case Some(x) => spark.conf.set(key, x)
-            case None => spark.conf.unset(key)
+            val samples = (1 to maxRuns).flatMap { i =>
+              // second run only if the budget still has fork + margin room
+              if (i > 1 && remaining < MinForkSecs + FinalMargin + 60) None
+              else {
+                val b0 = shuffle.bytes.get()
+                val t0 = System.nanoTime()
+                val ok = runOne(n, sfDir)
+                val dt = (System.nanoTime() - t0) / 1e9
+                if (ok) Some((dt, shuffle.bytes.get() - b0)) else None
+              }
+            }
+            if (samples.isEmpty) None
+            else Some((samples.map(_._1).min, samples.map(_._2).min))
+          } finally {
+            def restore(key: String, v: Option[String]): Unit = v match {
+              case Some(x) => spark.conf.set(key, x)
+              case None => spark.conf.unset(key)
+            }
+            restore("spark.sql.autoBroadcastJoinThreshold", prevBc)
+            restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevABc)
+            restore(InitNumKey, prevInit)
           }
         }
+        System.setProperty("graft.lcp.path", "hash")
+        val q138Pinned: Option[(Double, Long)] =
+          if (remaining < MinForkSecs + FinalMargin + 60) {
+            pinnedSkipped += "q138_longest_dup_substring"; None
+          } else pinnedRuns("q138_longest_dup_substring", noBc = false, maxRuns = 1)
         System.clearProperty("graft.lcp.path")
         // Like-for-like 1× bases for the data-scaled-broadcast class
         // (ScaleRehearsal.NoBroadcastBase): re-measure each with
@@ -225,60 +365,70 @@ object Bench {
         // tier (and any real 100 TB run) uses — so the child's
         // exponent compares the same algorithm at both tiers. The
         // headline numbers above stay unpinned.
-        // The pinned bases also match the CHILD's shuffle granularity
-        // (initialPartitionNum=256): lz4 shuffle blocks compress worse
-        // at 8× smaller block size, and measured on identical 1× data
-        // the 256-granularity session writes 7–13% more bytes (q107
-        // 12.69→14.29 MB, q123 17.37→18.58 MB) — enough to push a
-        // truly-linear exponent to 1.10–1.12 and trip the gate on
-        // compression framing instead of plans.
-        val InitNumKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
         val nbBases: Map[String, (Double, Long)] =
           ScaleRehearsal.NoBroadcastBase.iterator
             .filter(n => headline.contains(n) && !failed.contains(n))
             .flatMap { n =>
-              val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-              val prevABc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
-              val prevInit = spark.conf.getOption(InitNumKey)
-              spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-              spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-              spark.conf.set(InitNumKey, "256")
-              try {
-                val b0 = shuffle.bytes.get()
-                val t0 = System.nanoTime()
-                val ok = runOne(n, sfDir)
-                val dt = (System.nanoTime() - t0) / 1e9
-                if (ok) Some(n -> (dt, shuffle.bytes.get() - b0)) else None
-              } finally {
-                def restore(key: String, v: Option[String]): Unit = v match {
-                  case Some(x) => spark.conf.set(key, x)
-                  case None => spark.conf.unset(key)
-                }
-                restore("spark.sql.autoBroadcastJoinThreshold", prevBc)
-                restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevABc)
-                restore(InitNumKey, prevInit)
+              if (remaining < MinForkSecs + FinalMargin + 30) {
+                pinnedSkipped += n; None
+              } else pinnedRuns(n, noBc = true, maxRuns = 2) match {
+                case Some(r) => Some(n -> r)
+                case None =>
+                  System.err.println(s"[bench] WARNING: no-broadcast base " +
+                    s"re-measurement FAILED for $n — query will be " +
+                    "gate_not_evaluated, not gated against the unpinned base")
+                  nbBaseFailed += n
+                  None
               }
             }.toMap
         // 1× bases for the child: headline min-of-3 secs + min bytes;
         // q138 overridden by the lcp-path pin, NoBroadcastBase queries
-        // by the no-broadcast pin.
+        // by the no-broadcast pin. A query whose pinned base failed or
+        // was budget-skipped gets -1/-1 — the child maps that to
+        // gate_not_evaluated rather than a silent cross-plan exponent.
         val baseLines = results.map {
           case ("q138_longest_dup_substring", _, _) =>
-            s"q138_longest_dup_substring\t$q138Pinned\t$q138PinnedBytes"
+            val (s, b) = q138Pinned.getOrElse((-1.0, -1L))
+            s"q138_longest_dup_substring\t$s\t$b"
           case (n, _, _) if nbBases.contains(n) =>
             s"$n\t${nbBases(n)._1}\t${nbBases(n)._2}"
+          case (n, _, _) if ScaleRehearsal.NoBroadcastBase.contains(n) =>
+            s"$n\t-1\t-1" // pinned base missing: never gate cross-plan
           case (n, t, b) => s"$n\t$t\t$b"
         }
+        val pinnedExtra = Seq(
+          "pinned_base_skipped" -> pinnedSkipped.distinct
+            .map("\"" + _ + "\"").mkString("[", ",", "]"),
+          "nobroadcast_base_failed" -> nbBaseFailed
+            .map("\"" + _ + "\"").mkString("[", ",", "]"))
+        writeArtifacts("pinned_bases", pinnedExtra, "null")
+
         val baseFile = "scale_rehearsal_base.tsv"
         val outFile = "scale_rehearsal_out.json"
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
         java.nio.file.Files.write(java.nio.file.Paths.get(baseFile),
           (baseLines.mkString("\n") + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val timeout = 700 +
-          sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BUDGET", "1500").toLong +
-          sys.env.getOrElse("SPARK_GRAFT_DECADE2_BUDGET", "1200").toLong
-        val forked = ScaleRehearsal.fork(sfDir, baseFile, outFile, timeout)
+        // Child budgets from the governor's remaining wall, not fixed
+        // defaults (r14: fixed 700+1500+1200 s on top of the headline
+        // loop overflowed the slot → rc=124). Overhead covers child JVM
+        // start + sf0.001 warmup + ScaleData.ensure on existing data;
+        // tier-10 gets its measured need (~1100 s incl tie-breaks)
+        // capped by what's left; decade-2 gets the rest. Explicit env
+        // overrides still win (round-tooling full-budget runs).
+        val forkBudget = remaining - FinalMargin
+        val childOverhead = 250.0
+        val budget10 = sys.env.get("SPARK_GRAFT_REHEARSAL_BUDGET")
+          .map(_.toDouble)
+          .getOrElse(math.min(1500.0, math.max(300.0, (forkBudget - childOverhead) * 0.45)))
+        val budget100 = sys.env.get("SPARK_GRAFT_DECADE2_BUDGET")
+          .map(_.toDouble)
+          .getOrElse(math.max(0.0, forkBudget - childOverhead - budget10))
+        val forked = ScaleRehearsal.fork(sfDir, baseFile, outFile,
+          timeoutSecs = math.max(60, forkBudget.toLong),
+          childEnv = Map(
+            "SPARK_GRAFT_REHEARSAL_BUDGET" -> budget10.toLong.toString,
+            "SPARK_GRAFT_DECADE2_BUDGET" -> budget100.toLong.toString))
         if (!forked) {
           // fallback: same protocol in-process, but on a FRESH session
           // (stop the headline session first — its block-manager state
@@ -296,7 +446,8 @@ object Bench {
             .getOrCreate()
           spark2.sparkContext.setLogLevel("WARN")
           try ScaleRehearsal.runAll(spark2, sfDir, baseFile, outFile,
-            freshJvm = false)
+            freshJvm = false, budget10Override = Some(budget10),
+            budget100Override = Some(budget100))
           finally spark2.stop()
         }
         val json = new String(java.nio.file.Files.readAllBytes(
@@ -318,24 +469,28 @@ object Bench {
         if (failing.nonEmpty)
           System.err.println("[bench] BYTES-EXPONENT GATE FAILED (exp > " +
             s"${ScaleRehearsal.BytesGateMax}): ${failing.mkString(", ")}")
+        // queries the gate never evaluated (r14 ADVICE #1): the child
+        // publishes the union list; shout it so an ungated query can't
+        // read as a pass
+        val notEval = "\"gate_not_evaluated\":(\\[[^\\]]*\\])".r
+          .findFirstMatchIn(json).map(_.group(1)).getOrElse("[]")
+        val notEvalNames = "\"([^\"]+)\"".r.findAllMatchIn(notEval)
+          .map(_.group(1)).toSeq
+        if (notEvalNames.nonEmpty)
+          System.err.println("[bench] BYTES GATE NOT EVALUATED for: " +
+            notEvalNames.mkString(", "))
         val gate = failing.map("\"" + _ + "\"").mkString("[", ",", "]")
-        (json, exps, gate)
+        (json, exps, gate, notEval)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale rehearsal failed: ${e.getMessage}")
         System.clearProperty("graft.lcp.path")
-        ("null", "null", "null")
+        ("null", "null", "null", "[]")
       }
     }
+    val (rehearsalJson, rehearsalExps, rehearsalBytesGate, rehearsalNotEval) =
+      compactFallback
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sb = results.map { case (k, _, s) => "\"" + k + "\":" + s }
-      .mkString("{", ",", "}")
-    val total = passResults.filter(_._2 >= 0).map(_._2).sum
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val oracleList = headline.filter(oracleTier)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"oracle_tier":$oracleList,"scale_rehearsal":$rehearsalJson,"sf":"$sfDir"}"""
+    val line = writeArtifacts("final", Nil, rehearsalJson)
     // stdout gets a COMPACT line that fits the driver's ~2 KB stdout
     // tail capture (the full line is >10 KB; every round's driver
     // artifact through r11 recorded `parsed: null` because only a
@@ -348,53 +503,9 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val compact =
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${passResults.size},"queries":$topQ,"errors":$errs,"scale_exponent":$rehearsalExps,"bytes_gate_failures":$rehearsalBytesGate,"sf":"$sfDir","full":"bench_out.json"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${passResults.size},"queries":$topQ,"errors":$errs,"scale_exponent":$rehearsalExps,"bytes_gate_failures":$rehearsalBytesGate,"gate_not_evaluated":$rehearsalNotEval,"sf":"$sfDir","full":"bench_out.json"}"""
     println(compact)
-    // Durability: ALWAYS persist to a repo-local file too — round 6's
-    // driver artifact was tail-truncated (the JSON line outgrew the
-    // driver's stdout tail capture, `parsed: null`), so the numbers
-    // must never exist only on stdout.
-    val outPaths = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
-    outPaths.foreach { path =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Exception =>
-        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
-      }
-    }
-    // Also write the per-round artifact BENCH_r<N>.json DIRECTLY in the
-    // driver's schema, with `parsed` populated: every driver-captured
-    // artifact through r10 had `parsed: null` because the JSON line
-    // outgrew the stdout tail capture. N = the round under way =
-    // VERDICT round + 1 (stable across re-runs within a round;
-    // override with SPARK_GRAFT_ROUND). Only at the driver's sf0.1 —
-    // a local sf0.01 iteration must not overwrite the round artifact.
-    if (sfDir.endsWith("sf0.1")) {
-      val round: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
-        .orElse {
-          // explicit UTF-8: the forked JVM's default charset follows the
-          // POSIX locale (US-ASCII), and VERDICT.md's first line holds an
-          // em-dash — the silent MalformedInputException here is exactly
-          // how r11's first artifact write was lost
-          try {
-            val head = scala.io.Source.fromFile("VERDICT.md")(scala.io.Codec.UTF8)
-              .getLines().take(1).mkString
-            "round (\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt + 1)
-          } catch { case e: Exception =>
-            System.err.println(s"[bench] round detection failed: $e")
-            None
-          }
-        }
-      round.foreach { n =>
-        val artifact =
-          s"""{"n": $n, "rc": 0, "cpus": $cpus, "sf": 0.1, "tail": "(written by Bench.scala)", "parsed": $line}"""
-        try java.nio.file.Files.write(java.nio.file.Paths.get(f"BENCH_r$n%02d.json"),
-          (artifact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        catch { case e: Exception =>
-          System.err.println(s"[bench] could not write BENCH_r$n: ${e.getMessage}")
-        }
-      }
-    }
+    val _ = line
     spark.stop()
   }
 }

@@ -431,15 +431,75 @@ object Dedup {
         col("dropFlag").isNull.as("kept"))
   }
 
+  /** Row-count bound on the exact all-pairs regime (r14 verdict #7):
+    * above it the non-separable-threshold path auto-switches from the
+    * brute kernel to [[embedNearDupBlocked]]. 2×10⁵ rows ≈ 2×10¹⁰
+    * candidate pairs — the top of what the fused codegen kernel clears
+    * in a bench-class session; beyond that the quadratic regime is a
+    * scale-killer no matter how good the kernel is.
+    */
+  val BruteMaxRows: Long = 200000L
+
   def embedNearDup(vectors: DataFrame, idCol: String, embCol: String,
-                   threshold: Double, missProb: Double = 1e-5): DataFrame =
+                   threshold: Double, missProb: Double = 1e-5,
+                   bruteMaxRows: Long = BruteMaxRows): DataFrame =
     bandingFor(threshold, missProb) match {
       case Some((bits, bands)) =>
         embedNearDupLsh(vectors, idCol, embCol, threshold, bits, bands,
           verifyInJoin = true)
       case None =>
-        embedNearDupBrute(vectors, idCol, embCol, threshold)
+        // Non-separable threshold (sign-LSH can't prune near-random
+        // cosines): all-pairs IS the optimal exact plan, but only while
+        // the pair space is affordable. Above the row bound, auto-switch
+        // to the blocked generator — loudly, because the switch trades
+        // exactness (cross-block pairs are not enumerated) for a
+        // linear-in-blocks plan a 100 TB run can actually execute.
+        val n = vectors.count()
+        if (n <= bruteMaxRows) {
+          System.err.println(s"[dedup] embedNearDup threshold=$threshold " +
+            s"is in the non-separable regime; running EXACT all-pairs " +
+            s"(n=$n <= $bruteMaxRows)")
+          embedNearDupBrute(vectors, idCol, embCol, threshold)
+        } else {
+          System.err.println(s"[dedup] embedNearDup threshold=$threshold " +
+            s"is in the non-separable regime and n=$n > $bruteMaxRows: " +
+            "switching to the BLOCKED pair generator (k-means blocks, " +
+            "within-block exact cosine). Cross-block pairs are NOT " +
+            "enumerated — recall < 1 by design; pass a larger " +
+            "bruteMaxRows to force the quadratic exact plan")
+          embedNearDupBlocked(vectors, idCol, embCol, threshold, n)
+        }
     }
+
+  /** The non-separable-regime escape hatch: k-means blocks sized so
+    * within-block all-pairs stays tractable (SemDeDup's pruning
+    * structure — Abbas et al. 2303.09540 — applied to pair GENERATION),
+    * then the exact fused cosine kernel within each block. Same output
+    * schema as [[embedNearDupBrute]]; recall is bounded by block purity
+    * (similar vectors land in the same k-means cell far more often than
+    * chance, which is the only pruning signal available when sign-LSH
+    * cannot separate the threshold). Pair work is Σ|c_i|² ≈ n·target —
+    * linear in n at fixed target block size.
+    */
+  def embedNearDupBlocked(vectors: DataFrame, idCol: String, embCol: String,
+                          threshold: Double, rowCount: Long,
+                          targetBlockRows: Int = 8192): DataFrame = {
+    val k = math.max(2L, (rowCount + targetBlockRows - 1) / targetBlockRows).toInt
+    val asg = KMeans.fit(vectors, k, iterations = 5, idCol = idCol,
+        vecCol = embCol).assignments
+      .select(col(idCol), col("cluster_id"))
+    val withC = vectors.select(col(idCol), col(embCol)).join(asg, Seq(idCol))
+    val a = withC.select(col("cluster_id"), col(idCol).as("vec_a"),
+      col(embCol).as("emb_a"))
+    val b = withC.select(col("cluster_id"), col(idCol).as("vec_b"),
+      col(embCol).as("emb_b"))
+    a.join(b, Seq("cluster_id"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.functions.CosineSimilarity(
+        vectors.sparkSession, col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
 
   /** Smallest bits-per-band whose exactness-tuned band count still prunes.
     * Requires expected candidate fraction bands/2^b ≤ 1/4 (≥4× pruning of

@@ -395,6 +395,15 @@ object SuffixArray {
     *
     * Output: (lcp, doc_a, p_a, doc_b, p_b) per adjacent pair, where
     * (doc_a, p_a) is the rank-r suffix and (doc_b, p_b) rank r+1.
+    *
+    * CONCURRENCY CONTRACT (applies to this method and every caller —
+    * [[dedupCut]], [[adjacentLcpCached]], [[longestDupSubstring]]): the
+    * hash-walk path temporarily disables AQE on the SHARED session conf
+    * for the duration of the walk (see [[lcpByHashWalk]] for why the
+    * localCheckpoint layout requires it). Do not run other queries on
+    * the same SparkSession concurrently with an LCP walk — they would
+    * silently plan without AQE. The bench and Verify harnesses run
+    * queries strictly sequentially, which satisfies this.
     */
   def adjacentLcp(sa: DataFrame, docs: DataFrame, docIdCol: String = "doc_id",
                   textCol: String = "text", numPartitions: Int = 32,
@@ -520,10 +529,20 @@ object SuffixArray {
                                        docIdCol: String, textCol: String,
                                        numPartitions: Int): DataFrame = {
     val spark = docs.sparkSession
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    // Session-level toggle, saved/restored EXACTLY (an originally-unset
+    // key is unset again, not re-materialized as "true" — conf
+    // provenance matters to anyone diffing session state). The
+    // concurrency contract lives on the public entry points
+    // ([[adjacentLcp]]/[[dedupCut]]/[[adjacentLcpCached]]): a cloned
+    // session can't help here because the incoming `sa`/`docs` frames
+    // are bound to their creating session.
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try lcpByHashWalkNoAqe(sa, docs, docIdCol, textCol, numPartitions)
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   private def lcpByHashWalkNoAqe(sa: DataFrame, docs: DataFrame,

@@ -1178,8 +1178,13 @@ object CorpusQueries {
       val words = Tables.documents(s, dir)
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
+      // adaptive switch (256 MB driver-collect budget): at bench scale
+      // the word table fits immediately after the 4 fixed rounds, so
+      // the profile is unchanged; at 100 TB the trainer stays
+      // distributed however many rounds the wide early regime needs
       graft.functions.Bpe.trainDistributed(words, "w", "n",
-        numMerges = 8192, distributedRounds = 4)
+        numMerges = 8192, distributedRounds = 4,
+        collectBudgetBytes = 256L << 20)
     })
 
   /** q83 — BPE tokenizer training ([[graft.functions.Bpe]]): the learned

@@ -96,6 +96,41 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive collect budget crosses the switch point with model equality") {
+    import spark.implicits._
+    // Heavy-tail synthetic: 24 words of 16 'a's + a distinct tail char.
+    // Symbolized, each word is 18 elements whose per-element JVM
+    // overhead dominates the estimate; the early (a,a)/(aa,aa)/…
+    // merges collapse elements 16→8→4→2→1, so the estimated collect
+    // footprint shrinks steeply across exactly the rounds the budget
+    // must keep distributed.
+    val corpus = (0 until 24).map { i =>
+      ("a" * 16 + ('b' + i % 8).toChar.toString, (24 - i).toLong) }
+    val df = corpus.toDF("w", "n")
+    val want = Bpe.train(corpus, 12)
+    def runWith(budget: Long): Bpe.Model =
+      Bpe.trainDistributed(df, "w", "n", 12,
+        distributedRounds = 2, collectBudgetBytes = budget)
+    // huge budget: the table fits immediately → exactly the fixed prefix
+    val huge = runWith(1L << 30)
+    assert(Bpe.lastDistributedRounds == 2)
+    // unattainable budget: stays distributed through every merge
+    val tiny = runWith(1L)
+    assert(Bpe.lastDistributedRounds == 12)
+    // mid-band budget: the estimate starts above it and the early
+    // merges shrink the table below it — the switch lands strictly
+    // between the fixed prefix and exhaustion
+    val mid = runWith(8000L)
+    assert(Bpe.lastDistributedRounds > 2 && Bpe.lastDistributedRounds < 12,
+      s"switch at ${Bpe.lastDistributedRounds}")
+    // the switch point must never change the model (round-boundary
+    // equivalence, same invariant as the fixed-round splits)
+    for ((m, tag) <- Seq((huge, "huge"), (tiny, "tiny"), (mid, "mid"))) {
+      assert(m.merges == want.merges, tag)
+      assert(m.vocab == want.vocab, tag)
+    }
+  }
+
   test("non-BMP: code-point symbols, cp-order tiebreaks, train ≡ distributed") {
     import spark.implicits._
     // \uE000 sorts ABOVE 😀 (U+1F600) in UTF-16 unit order but BELOW

@@ -105,6 +105,30 @@ class AddressCorpusSpec extends AnyFunSuite {
     assert(totalDiv <= divRows)
   }
 
+  test("documented-divergence rows are pinned field-exact (no silent drift)") {
+    // r14 verdict #6: the 5 divergent classes' CURRENT outputs are
+    // goldens (goldens/address_divergence_pins.tsv, generated by
+    // graft.tools.PinAddressDivergence) — the divergence ENVELOPE is
+    // documented above, and this test freezes its exact CONTENT, so a
+    // parser change that moves a divergent row to a different wrong
+    // answer fails here instead of silently changing geocode inputs.
+    val src = scala.io.Source.fromFile(
+      "goldens/address_divergence_pins.tsv", "UTF-8")
+    val pins = try src.getLines().drop(1).map { line =>
+      val f = line.split('\t').padTo(8, "")
+      f(1) -> AddressParts(f(2), f(3), f(4), f(5), f(1), f(6), f(7))
+    }.toList finally src.close()
+    assert(pins.size == corpus.count(c => divClasses(c.cls)),
+      "pin file row count != corpus divergence rows — regenerate via " +
+        "graft.tools.PinAddressDivergence")
+    pins.foreach { case (full, want) =>
+      val got = reformat(AddressParts("", "", "", "", full))
+      assert(got == want,
+        s"\npinned divergence drifted on '$full'\n  got    $got\n  pinned $want" +
+          "\n(if intentional, regenerate goldens/address_divergence_pins.tsv)")
+    }
+  }
+
   test("sanitization invariants hold on every corpus row (F9 whitelists)") {
     corpus.foreach { c =>
       val out = reformat(AddressParts("", "", "", "", c.full))
