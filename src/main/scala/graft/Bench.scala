@@ -125,12 +125,15 @@ object Bench {
     val tStart = System.nanoTime()
     // Total wall budget for the WHOLE bench (headline + pinned bases +
     // forked rehearsal), sized to the observed driver slot: r13's full
-    // run passed, r14's (same + ~10 pinned 1× re-runs + a wall
-    // regression) drew rc=124 — the slot sits just above r13's ~4000 s
-    // profile, so 3600 s keeps a completed run strictly inside it even
-    // with sbt/JVM startup on top.
+    // run passed at 3077 s TOTAL sbt wall (BENCH_r13.json's success
+    // line), r14's drew rc=124 — so the slot is bounded below by
+    // ~3100 s and the natural guess is 3600 s. This budget is measured
+    // from main() entry, i.e. AFTER sbt launch + compile, so it must
+    // leave room for that overhead inside the slot: 3300 s + warm
+    // startup (~30 s) stays inside 3600 s, and even a cold compile
+    // (~200 s) keeps the total at ~3530 s.
     val totalBudget =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3600").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3300").toDouble
     def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     def remaining: Double = totalBudget - elapsed
 
@@ -232,12 +235,19 @@ object Bench {
           None
         }
       }
+    // stage → governor-elapsed at the stage's artifact write: the
+    // budget-tuning evidence (how long each stage ACTUALLY costs in a
+    // driver run) rides along in every artifact.
+    val stageElapsed = scala.collection.mutable.LinkedHashMap[String, Double]()
     def writeArtifacts(stage: String, extra: Seq[(String, String)],
                        rehearsalJson: String): String = {
+      stageElapsed(stage) = elapsed
+      val stagesJson = stageElapsed.map { case (k, v) =>
+        "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
       val extraJson = extra.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("")
       val sep = if (extra.isEmpty) "" else ","
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage","queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"oracle_tier":$oracleList,${extraJson}${sep}"scale_rehearsal":$rehearsalJson,"sf":"$sfDir"}"""
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage","budget":$totalBudget,"stage_elapsed":$stagesJson,"queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"oracle_tier":$oracleList,${extraJson}${sep}"scale_rehearsal":$rehearsalJson,"sf":"$sfDir"}"""
       val outPaths = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
       outPaths.foreach { path =>
         try java.nio.file.Files.write(java.nio.file.Paths.get(path),

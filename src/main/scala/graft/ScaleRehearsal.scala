@@ -170,6 +170,11 @@ object ScaleRehearsal {
     "q137_suffix_array" -> ("SA build: per-decade write ratio " +
       "10.2-10.8x once settled (range-partitioned build, no " +
       "broadcasts of texts); settled decade 1.007"),
+    "q138_longest_dup_substring" -> ("LCP hash-walk (pinned " +
+      "graft.lcp.path=hash at every tier incl the 1x base): its " +
+      "1x->10x pinned exponent measured 1.001 bytes / ~0.65 wall in " +
+      "the r14 full run; in decade 2 it runs right after q137 so the " +
+      "walk — not a rebuild — is what the 100x sample measures"),
     "q140_tfidf_neardup" -> ("prefix-family member pinned all-shuffle " +
       "(unpinned flip inside the last decade, same class as q145); " +
       "gates at the settled decade with its family"))
@@ -207,14 +212,46 @@ object ScaleRehearsal {
     // two-decade curve has a 10× midpoint for every member
     "q145_dedup_sweep", "q148_dedup_quality_audit")
 
-  /** 100× tier, priority-ordered: q110 first (the open weak claim),
-    * then cheapest-first so a budget cut drops the fewest queries.
+  /** 100× tier, cheapest-first (by observed 100×/10× cost) so a budget
+    * cut drops the fewest gate evaluations, with the two expensive
+    * blocks LAST: the SA family, then q110 (395 s at 100× — its
+    * settled-decade exponent 1.008 is already on record from the r14
+    * full run, so re-confirmation has the lowest marginal value).
+    *
+    * The SA family runs in STAGE ORDER — q137 (build) → q138 (LCP
+    * walk) → q126 (coverage agg) → q127 (cut agg) — for the same
+    * attribution reason the 10× list orders q137 first: buildCached /
+    * adjacentLcpCached mean the first consumer at a tier pays the
+    * whole index stage. The 10× tier runs TWO passes, so each member's
+    * min-bytes is its own stage's bytes (pass 2 rides every cache);
+    * decade-2 runs ONCE, so only this ordering reproduces that
+    * attribution — r14's order ran q126 before q137, which (had the
+    * budget reached it) would have billed build+walk+coverage to q126
+    * and a REBUILD to q137 (~350 s of duplicate work), and gated
+    * q126's coverage-only 10× base against a build-inclusive 100×
+    * numerator. [[decade2SaDeps]] enforces the dependency under
+    * budget skips.
     */
-  val decade2Names: Seq[String] = Seq("q110_triangle_count",
-    "q114_fuzzy_lookup", "q149_gopher_repetition",
-    "q148_dedup_quality_audit", "q145_dedup_sweep",
-    "q121_containment_dedup", "q126_dup_substring_coverage",
-    "q127_dup_substring_cut", "q137_suffix_array", "q140_tfidf_neardup")
+  val decade2Names: Seq[String] = Seq(
+    "q148_dedup_quality_audit", "q149_gopher_repetition",
+    "q114_fuzzy_lookup", "q121_containment_dedup", "q145_dedup_sweep",
+    "q140_tfidf_neardup",
+    "q137_suffix_array", "q138_longest_dup_substring",
+    "q126_dup_substring_coverage", "q127_dup_substring_cut",
+    "q110_triangle_count")
+
+  /** Decade-2 SA-family attribution dependencies: if a prerequisite
+    * stage was budget-skipped (or failed), its dependents must skip
+    * too — running q126 with no cached build/walk would silently bill
+    * the missing stages to q126 and fail the bytes gate on
+    * attribution, not on plans.
+    */
+  val decade2SaDeps: Map[String, Seq[String]] = Map(
+    "q138_longest_dup_substring" -> Seq("q137_suffix_array"),
+    "q126_dup_substring_coverage" ->
+      Seq("q137_suffix_array", "q138_longest_dup_substring"),
+    "q127_dup_substring_cut" ->
+      Seq("q137_suffix_array", "q138_longest_dup_substring"))
 
   private def jmap(m: Seq[(String, String)]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -525,6 +562,7 @@ object ScaleRehearsal {
         writeOut(tierJson(ran.toSeq, 2,
           (skipped ++ pending).distinct.toSeq, d2Gate, d2Extra), evaluated)
       }
+      val unusable = scala.collection.mutable.Set[String]() // skipped or failed
       decade2Names.zipWithIndex.foreach { case (n, i) =>
         // pre-skip by cost estimate, not just starts (r14: starts-only
         // gating let q137 begin near the deadline and overrun the fork
@@ -535,13 +573,24 @@ object ScaleRehearsal {
         val est = t10secs.get(n).filter(_ > 0).map(s => math.max(60.0, 15.0 * s))
           .getOrElse(60.0)
         val remainingSecs = (deadline100 - System.nanoTime()) / 1e9
-        if (remainingSecs > est) {
+        val brokenDeps = decade2SaDeps.getOrElse(n, Nil).filter(unusable)
+        if (brokenDeps.nonEmpty) {
+          // attribution dependency (see decade2SaDeps): with the
+          // prerequisite stage uncached, this run would bill the
+          // missing build/walk to this query and fail the gate on
+          // attribution, not plans
+          System.err.println(s"[rehearsal] decade-2: skipping $n — its " +
+            s"SA-stage prerequisites were skipped/failed: " +
+            brokenDeps.mkString(", "))
+          skipped += n; unusable += n
+        } else if (remainingSecs > est) {
           val r = timeOne(n, ScaledDir100)
           ran += ((n, r._1, r._2, r._3, Seq(r)))
+          if (r._1 <= 0) unusable += n
         } else {
           System.err.println(f"[rehearsal] decade-2 budget: skipping $n " +
             f"(est ${est}%.0f s > remaining ${remainingSecs}%.0f s)")
-          skipped += n
+          skipped += n; unusable += n
         }
         d2Flush(decade2Names.drop(i + 1))
       }

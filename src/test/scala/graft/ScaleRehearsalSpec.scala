@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the rehearsal protocol invariants that are pure data — the
+  * measurement-attribution rules that, if silently reordered, produce
+  * artifacts that gate on cache-attribution instead of plans (the
+  * r14 decade-2 near-miss: q126 ordered before q137 would have billed
+  * the SA build+walk to the coverage query).
+  */
+class ScaleRehearsalSpec extends AnyFunSuite {
+
+  test("decade-2 runs the SA family in stage order: build, walk, then consumers") {
+    val idx = ScaleRehearsal.decade2Names.zipWithIndex.toMap
+    val build = idx("q137_suffix_array")
+    val walk = idx("q138_longest_dup_substring")
+    assert(build < walk)
+    assert(walk < idx("q126_dup_substring_coverage"))
+    assert(walk < idx("q127_dup_substring_cut"))
+  }
+
+  test("decade-2 SA dependencies precede their dependents and are themselves members") {
+    val idx = ScaleRehearsal.decade2Names.zipWithIndex.toMap
+    ScaleRehearsal.decade2SaDeps.foreach { case (dep, prereqs) =>
+      assert(idx.contains(dep), s"$dep not in decade2Names")
+      prereqs.foreach { p =>
+        assert(idx.contains(p), s"prerequisite $p not in decade2Names")
+        assert(idx(p) < idx(dep), s"$p must run before $dep")
+      }
+    }
+  }
+
+  test("every decade-2 member is in the 10x tier (its last-decade base) and every deferred member has published deferral evidence") {
+    ScaleRehearsal.decade2Names.foreach { n =>
+      assert(ScaleRehearsal.names.contains(n),
+        s"$n gates on its last decade, so it needs a 10x measurement")
+      if (!ScaleRehearsal.BytesGateExempt.contains(n))
+        assert(ScaleRehearsal.GateDeferralEvidence.contains(n),
+          s"$n defers its 1x->10x gate to decade 2 without published evidence")
+    }
+  }
+
+  test("the 10x tier orders q137 before q138 (build attribution)") {
+    val idx = ScaleRehearsal.names.zipWithIndex.toMap
+    assert(idx("q137_suffix_array") < idx("q138_longest_dup_substring"))
+  }
+}
