@@ -239,13 +239,21 @@ object Bench {
     // budget-tuning evidence (how long each stage ACTUALLY costs in a
     // driver run) rides along in every artifact.
     val stageElapsed = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def writeArtifacts(stage: String, extra: Seq[(String, String)],
+    // extras accumulate across stages: each artifact write REPLACES the
+    // file, so a later stage must re-carry earlier stages' keys or the
+    // final artifact silently loses them (pinned_base_skipped /
+    // nobroadcast_base_failed were written at the pinned stage and
+    // dropped by the final rewrite)
+    val stickyExtra = scala.collection.mutable.LinkedHashMap[String, String]()
+    def writeArtifacts(stage: String, newExtra: Seq[(String, String)],
                        rehearsalJson: String): String = {
+      newExtra.foreach { case (k, v) => stickyExtra(k) = v }
+      val extra = stickyExtra.toSeq
       stageElapsed(stage) = elapsed
       val stagesJson = stageElapsed.map { case (k, v) =>
         "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
       val extraJson = extra.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("")
+        .mkString(",")
       val sep = if (extra.isEmpty) "" else ","
       val line = s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stage","budget":$totalBudget,"stage_elapsed":$stagesJson,"queries":$qs,"shuffle_bytes":$sb,"errors":$errs,"oracle_tier":$oracleList,${extraJson}${sep}"scale_rehearsal":$rehearsalJson,"sf":"$sfDir"}"""
       val outPaths = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")

@@ -214,9 +214,14 @@ object ScaleRehearsal {
 
   /** 100× tier, cheapest-first (by observed 100×/10× cost) so a budget
     * cut drops the fewest gate evaluations, with the two expensive
-    * blocks LAST: the SA family, then q110 (395 s at 100× — its
-    * settled-decade exponent 1.008 is already on record from the r14
-    * full run, so re-confirmation has the lowest marginal value).
+    * blocks LAST: q110 (395 s at 100×), then the SA family. q110 runs
+    * BEFORE the family because a family member hitting a hard executor
+    * failure can kill the shared SparkContext and take every
+    * later-ordered query with it — exactly how r15's first full run
+    * lost q110 to q138's OOM ("Cannot call methods on a stopped
+    * SparkContext"). The family is the highest-variance block, so it
+    * goes last; [[Decade2Feasibility]] pre-skips its known
+    * resource-infeasible members before they can detonate.
     *
     * The SA family runs in STAGE ORDER — q137 (build) → q138 (LCP
     * walk) → q126 (coverage agg) → q127 (cut agg) — for the same
@@ -235,10 +240,9 @@ object ScaleRehearsal {
   val decade2Names: Seq[String] = Seq(
     "q148_dedup_quality_audit", "q149_gopher_repetition",
     "q114_fuzzy_lookup", "q121_containment_dedup", "q145_dedup_sweep",
-    "q140_tfidf_neardup",
+    "q140_tfidf_neardup", "q110_triangle_count",
     "q137_suffix_array", "q138_longest_dup_substring",
-    "q126_dup_substring_coverage", "q127_dup_substring_cut",
-    "q110_triangle_count")
+    "q126_dup_substring_coverage", "q127_dup_substring_cut")
 
   /** Decade-2 SA-family attribution dependencies: if a prerequisite
     * stage was budget-skipped (or failed), its dependents must skip
@@ -252,6 +256,56 @@ object ScaleRehearsal {
       Seq("q137_suffix_array", "q138_longest_dup_substring"),
     "q127_dup_substring_cut" ->
       Seq("q137_suffix_array", "q138_longest_dup_substring"))
+
+  /** Resource feasibility pre-checks for decade-2 members whose kernel
+    * must MATERIALIZE a corpus-multiple working set: returns
+    * Some(reason) when the rehearsal box cannot hold the run, so the
+    * query is skipped with the reason PUBLISHED
+    * (`skipped_resource` in the artifact) instead of OOM-killing the
+    * shared SparkContext mid-tier — r15's first full 100× run: q138's
+    * LCP hash-walk needs hv (one row per corpus char × (16 B keys +
+    * 8 B per doubling level)) plus the adjacent-pair set (~72 B/char),
+    * ≈ 280 GB at the 1.5 G-char 100× corpus against 74 GB of free
+    * disk; the task OOM stopped the context and took q110 with it.
+    *
+    * This is an operating-envelope statement, not a plan defect: the
+    * walk's pinned 1×→10× WRITE-bytes exponent is 1.001 (linear), and
+    * exact corpus-wide SA/LCP dedup is a per-shard technique — Lee et
+    * al. 2022 run it on single large-memory machines per ~100 GB-class
+    * shard; at 100 TB you shard the corpus and run the exact kernel
+    * per shard (or use the winnowing/MOSS path, q82, which IS
+    * corpus-global and linear). The check estimates the working set
+    * from the scaled documents table and compares against half the
+    * usable disk (checkpoints and shuffle spills share the volume).
+    */
+  val Decade2Feasibility
+      : Map[String, (SparkSession, String) => Option[String]] = {
+    val walkCheck: (SparkSession, String) => Option[String] =
+      (spark, dir) => {
+        import org.apache.spark.sql.functions.{col, length, max, sum}
+        val row = Tables.documents(spark, dir)
+          .agg(sum(length(col("text"))), max(length(col("text")))).head
+        val sumLen = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val maxLen = if (row.isNullAt(1)) 0 else row.getInt(1)
+        val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, maxLen.toLong))
+        val hvBytes = sumLen * (16L + 8L * (maxJ + 1))
+        val pairBytes = sumLen * 72L
+        val need = hvBytes + pairBytes
+        val budget = new java.io.File(".").getUsableSpace / 2
+        if (need > budget)
+          Some(f"lcp-walk working set ~${need / (1L << 30)} GiB " +
+            f"(hv ${hvBytes / (1L << 30)} + pairs ${pairBytes / (1L << 30)}) " +
+            f"exceeds half of usable disk (${budget / (1L << 30)} GiB); " +
+            "exact SA/LCP dedup is a per-shard kernel at this corpus " +
+            "multiple (pinned 1x->10x bytes exponent 1.001 is the scale " +
+            "evidence; see Decade2Feasibility scaladoc)")
+        else None
+      }
+    Map("q138_longest_dup_substring" -> walkCheck,
+      "q126_dup_substring_coverage" -> walkCheck,
+      "q127_dup_substring_cut" -> walkCheck)
+  }
 
   private def jmap(m: Seq[(String, String)]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -302,7 +356,11 @@ object ScaleRehearsal {
     // a fix can be re-rehearsed in minutes instead of re-running all
     // 28. Order is preserved from the canonical lists (the SA-family
     // ordering invariant documented on `names` still holds as long as
-    // the filter keeps q137 when it keeps q138).
+    // the filter keeps q137 when it keeps q138). Same caveat for
+    // decade-2: a filter that keeps an SA consumer but drops its
+    // decade2SaDeps prerequisites makes the consumer's single 100× run
+    // pay (and get billed for) the missing build/walk — keep the whole
+    // family together when targeting any member.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -542,6 +600,8 @@ object ScaleRehearsal {
       // fork-timeout kill mid-decade-2 left 5 members as -1 in the only
       // complete-looking artifact) — whatever ran is durable, whatever
       // didn't is listed, and a kill can only lose the in-flight query.
+      val resourceSkipped =
+        scala.collection.mutable.ArrayBuffer[(String, String)]()
       def d2Flush(pending: Seq[String]): Unit = {
         val lastExp: Seq[(String, Double)] = ran.toSeq.map {
           case (n, _, wb100, _, _) =>
@@ -554,6 +614,8 @@ object ScaleRehearsal {
         val d2Extra = Seq(
           "bytes_exponent_last" -> jmap(lastExp.map {
             case (n, e) => n -> (if (e == -999.0) "-1" else f"$e%.3f") }),
+          "skipped_resource" -> jmap(resourceSkipped.toSeq.map {
+            case (n, why) => n -> ("\"" + why + "\"") }),
           "not_yet_run" -> pending.map("\"" + _ + "\"")
             .mkString("[", ",", "]"))
         val d2Gate = lastExp.filterNot(x => BytesGateExempt.contains(x._1))
@@ -574,7 +636,19 @@ object ScaleRehearsal {
           .getOrElse(60.0)
         val remainingSecs = (deadline100 - System.nanoTime()) / 1e9
         val brokenDeps = decade2SaDeps.getOrElse(n, Nil).filter(unusable)
-        if (brokenDeps.nonEmpty) {
+        val infeasible: Option[String] =
+          Decade2Feasibility.get(n).flatMap { check =>
+            try check(spark, ScaledDir100)
+            catch { case e: Exception =>
+              Some(s"feasibility check itself failed: ${e.getMessage}")
+            }
+          }
+        if (infeasible.isDefined) {
+          System.err.println(s"[rehearsal] decade-2: skipping $n — " +
+            infeasible.get)
+          resourceSkipped += (n -> infeasible.get)
+          skipped += n; unusable += n
+        } else if (brokenDeps.nonEmpty) {
           // attribution dependency (see decade2SaDeps): with the
           // prerequisite stage uncached, this run would bill the
           // missing build/walk to this query and fail the gate on

@@ -590,7 +590,10 @@ object SuffixArray {
       .join(lens.withColumnRenamed(docIdCol, "doc_b").withColumnRenamed("len", "len_b"), Seq("doc_b"))
       .withColumn("sl_a", col("len_a") - col("p_a") + 1L)
       .withColumn("sl_b", col("len_b") - col("p_b") + 1L)
-      .drop("len_a", "len_b")
+      // r pairs a with b and is dead after the join: (doc, p) keys every
+      // later lookup, so carrying r would spend 8 B/row in EVERY round's
+      // checkpoint of the active set for nothing
+      .drop("len_a", "len_b", "r")
       .withColumn("lcp", lit(0L))
       .withColumn("jmax", lit(maxJ))
       .localCheckpoint()
@@ -668,7 +671,7 @@ object SuffixArray {
           when(col("jm").isNotNull && col("lcp") < col("sl_a") && col("lcp") < col("sl_b"),
             col("jm") - 1)
             .otherwise(lit(-1)))
-        .select("r", "doc_a", "p_a", "doc_b", "p_b", "sl_a", "sl_b", "lcp", "jmax")
+        .select("doc_a", "p_a", "doc_b", "p_b", "sl_a", "sl_b", "lcp", "jmax")
         .localCheckpoint()
       doneParts += stepped.filter(col("jmax") < 0)
         .select("lcp", "doc_a", "p_a", "doc_b", "p_b")

@@ -44,4 +44,11 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     val idx = ScaleRehearsal.names.zipWithIndex.toMap
     assert(idx("q137_suffix_array") < idx("q138_longest_dup_substring"))
   }
+
+  test("feasibility-checked members are decade-2 members, and q110 precedes the SA family (context-kill isolation)") {
+    val idx = ScaleRehearsal.decade2Names.zipWithIndex.toMap
+    ScaleRehearsal.Decade2Feasibility.keys.foreach(n =>
+      assert(idx.contains(n), s"$n has a feasibility check but is not in decade2Names"))
+    assert(idx("q110_triangle_count") < idx("q137_suffix_array"))
+  }
 }
