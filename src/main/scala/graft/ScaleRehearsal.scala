@@ -291,12 +291,19 @@ object ScaleRehearsal {
           math.max(1L, maxLen.toLong))
         val hvBytes = sumLen * (16L + 8L * (maxJ + 1))
         val pairBytes = sumLen * 72L
-        val need = hvBytes + pairBytes
-        val budget = new java.io.File(".").getUsableSpace / 2
+        // peak disk under the sidecar walk (r15): hv checkpoint + two
+        // live round checkpoints (current + its not-yet-released
+        // predecessor) + sort-spill/sidecar margin ≈ hv + 2.5 × pairs.
+        // The pre-sidecar walk pinned EVERY round's checkpoint (peak =
+        // sum of rounds) and hit disk-full at the 100× corpus.
+        val need = hvBytes + (pairBytes * 5) / 2
+        // 60 % of usable: checkpoints and shuffle spills share the
+        // volume with the SA build cache the walk rides
+        val budget = new java.io.File(".").getUsableSpace * 3 / 5
         if (need > budget)
-          Some(f"lcp-walk working set ~${need / (1L << 30)} GiB " +
-            f"(hv ${hvBytes / (1L << 30)} + pairs ${pairBytes / (1L << 30)}) " +
-            f"exceeds half of usable disk (${budget / (1L << 30)} GiB); " +
+          Some(f"lcp-walk peak disk ~${need / (1L << 30)} GiB " +
+            f"(hv ${hvBytes / (1L << 30)} + 2.5x pairs ${pairBytes / (1L << 30)}) " +
+            f"exceeds 60%% of usable disk (${budget / (1L << 30)} GiB); " +
             "exact SA/LCP dedup is a per-shard kernel at this corpus " +
             "multiple (pinned 1x->10x bytes exponent 1.001 is the scale " +
             "evidence; see Decade2Feasibility scaladoc)")

@@ -369,6 +369,30 @@ object SuffixArray {
         }
       }
     }
+    // hash-walk done-sidecar dirs: any frame lazily reading one is a
+    // pre-boundary frame and already invalid per this method's contract
+    var d = doneSidecars.poll()
+    while (d != null) { deleteRecursively(d); d = doneSidecars.poll() }
+  }
+
+  /** Parquet sidecar dirs holding hash-walk results (see
+    * lcpByHashWalkNoAqe): freed at the same workload boundary as the
+    * SA/LCP checkpoint caches ([[clearCaches]]) and, as a backstop,
+    * at JVM exit — a walk result that was adjacentLcpCached is eagerly
+    * re-checkpointed by checkpointReleasing, so the sidecar's lifetime
+    * only matters to direct adjacentLcp callers within a phase.
+    */
+  private val doneSidecars =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = doneSidecars.poll()
+      while (d != null) { deleteRecursively(d); d = doneSidecars.poll() }
+    }))
   }
 
   /** Exact LCP of each SA-adjacent suffix pair — the LCP array:
@@ -555,9 +579,14 @@ object SuffixArray {
     val sumLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val maxJ = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLen.toLong))).toInt
     // spill-aware partition count (no AQE to widen shuffles here): one
-    // hv row per corpus char at 16B keys + 8B per level hash
+    // hv row per corpus char at 16B keys + 8B per level hash. 64 MB
+    // SERIALIZED per partition, not 256 MB: a 256 MB-serialized hv
+    // partition deserializes to ~650 MB of row objects, and 32
+    // concurrent tasks sorting/caching that was the r15 100×-tier heap
+    // OOM (48 GB heap) — at 64 MB the same concurrency peaks near
+    // 5 GB. Cap 4096 (task-launch overhead stays <1 % of a round).
     val parts = math.max(numPartitions,
-      math.min(1024L, sumLen * (16L + 8L * (maxJ + 1)) / (256L << 20) + 1L).toInt)
+      math.min(4096L, sumLen * (16L + 8L * (maxJ + 1)) / (64L << 20) + 1L).toInt)
     // per-position vector of ALL level hashes (index j ↔ 2^j-char
     // block) — explicit columns, not a transform lambda, so the
     // substring/hash chain stays in whole-stage codegen. Partitioned
@@ -585,6 +614,8 @@ object SuffixArray {
       col("p").cast("long").as("p_a"))
     val b = sa.select((col("sa_rank") - 1L).as("r"), col(docIdCol).as("doc_b"),
       col("p").cast("long").as("p_b"))
+    val sc = spark.sparkContext
+    val before0 = sc.getPersistentRDDs.keySet.toSet
     var active = a.join(b, Seq("r"))
       .join(lens.withColumnRenamed(docIdCol, "doc_a").withColumnRenamed("len", "len_a"), Seq("doc_a"))
       .join(lens.withColumnRenamed(docIdCol, "doc_b").withColumnRenamed("len", "len_b"), Seq("doc_b"))
@@ -597,9 +628,25 @@ object SuffixArray {
       .withColumn("lcp", lit(0L))
       .withColumn("jmax", lit(maxJ))
       .localCheckpoint()
+    // ids created by the round whose checkpoint `active` currently
+    // filters — released once the NEXT round's checkpoint has drained it
+    var prevRoundIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet -- before0
     if (sys.env.contains("GRAFT_LCP_DEBUG"))
       System.err.println(f"[lcpwalk] pair init ${(System.nanoTime() - tHv0) / 1e9}%.1f s (cumulative)")
-    val doneParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // Finished pairs SPILL to an append-only parquet sidecar each round
+    // instead of accumulating as views over every round's checkpoint
+    // (r15 100× postmortem: the union-of-all-rounds form pinned EVERY
+    // stepped checkpoint for the walk's whole life, so peak disk was
+    // the SUM of round sizes — "No space left on device" at the 100×
+    // corpus — where the walk's true working set is hv + one round).
+    // With the sidecar, a superseded round's blocks are released as
+    // soon as the next round's checkpoint drains it; compressed
+    // parquet of 5 small columns is far cheaper than checkpoint blocks.
+    val doneDir = java.nio.file.Files
+      .createTempDirectory("graft_lcp_done").toFile
+    doneSidecars.add(doneDir)
+    def spillDone(df: DataFrame): Unit =
+      df.write.mode("append").parquet(doneDir.getAbsolutePath)
     var nActive = active.count()
     var roundT0 = System.nanoTime()
     while (nActive > 0) {
@@ -628,8 +675,8 @@ object SuffixArray {
       // r13 cap of 200K/partition forced the first 3 rounds at 10× —
       // 75% of the walk's wall — through SMJ sorts of the full pair
       // set twice per round.
-      doneParts += active.filter(col("lcp") >= col("sl_b"))
-        .select("lcp", "doc_a", "p_a", "doc_b", "p_b")
+      spillDone(active.filter(col("lcp") >= col("sl_b"))
+        .select("lcp", "doc_a", "p_a", "doc_b", "p_b"))
       val buildFits = nActive / parts <= 1000000L
       val live0 = active.filter(col("lcp") < col("sl_b"))
       val live = if (buildFits) live0.hint("shuffle_hash") else live0
@@ -672,16 +719,30 @@ object SuffixArray {
             col("jm") - 1)
             .otherwise(lit(-1)))
         .select("doc_a", "p_a", "doc_b", "p_b", "sl_a", "sl_b", "lcp", "jmax")
-        .localCheckpoint()
-      doneParts += stepped.filter(col("jmax") < 0)
-        .select("lcp", "doc_a", "p_a", "doc_b", "p_b")
-      active = stepped.filter(col("jmax") >= 0)
+      val beforeN = sc.getPersistentRDDs.keySet.toSet
+      val steppedCp = stepped.localCheckpoint()
+      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeN
+      spillDone(steppedCp.filter(col("jmax") < 0)
+        .select("lcp", "doc_a", "p_a", "doc_b", "p_b"))
+      active = steppedCp.filter(col("jmax") >= 0)
       nActive = active.count()
+      // the previous round's checkpoint is fully drained (its done rows
+      // are in the sidecar, its live rows in steppedCp) — release it
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRoundIds = newIds
     }
-    doneParts.reduceOption(_.unionByName(_))
-      .getOrElse(spark.emptyDataFrame
+    // the final round's checkpoint is drained too: the walk's result is
+    // read back from the sidecar alone
+    prevRoundIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    if (doneDir.isDirectory &&
+        doneDir.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.parquet(doneDir.getAbsolutePath)
+    else
+      spark.emptyDataFrame
         .withColumn("lcp", lit(0L)).withColumn("doc_a", lit(0L))
         .withColumn("p_a", lit(0L)).withColumn("doc_b", lit(0L))
-        .withColumn("p_b", lit(0L)))
+        .withColumn("p_b", lit(0L))
   }
 }
