@@ -291,22 +291,33 @@ object ScaleRehearsal {
           math.max(1L, maxLen.toLong))
         val hvBytes = sumLen * (16L + 8L * (maxJ + 1))
         val pairBytes = sumLen * 72L
-        // peak disk under the sidecar walk (r15): hv checkpoint + two
+        // peak working set under the sidecar walk: hv checkpoint + two
         // live round checkpoints (current + its not-yet-released
         // predecessor) + sort-spill/sidecar margin ≈ hv + 2.5 × pairs.
-        // The pre-sidecar walk pinned EVERY round's checkpoint (peak =
-        // sum of rounds) and hit disk-full at the 100× corpus.
         val need = hvBytes + (pairBytes * 5) / 2
-        // 60 % of usable: checkpoints and shuffle spills share the
-        // volume with the SA build cache the walk rides
-        val budget = new java.io.File(".").getUsableSpace * 3 / 5
+        // 25 % of usable disk, empirically: r15 attempted the 100×
+        // walk (need ≈ 38 GiB) three times against 60–74 GiB usable
+        // with three distinct fatal endings — deserialized-partition
+        // heap OOM (fixed: 64 MB hv partitions), disk-full from
+        // cumulative round checkpoints (fixed: parquet done-sidecar +
+        // per-round release), then execution-memory starvation /
+        // heap OOM that survived SER storage, storageFraction 0.3 and
+        // a 56 GB heap — in local mode ONE JVM is driver + all 32
+        // executors + the storage pool, so a corpus-multiple working
+        // set composes against a single heap in a way a real cluster's
+        // isolated executors never do. need ≤ usable/4 is the measured
+        // safe envelope on this box (the 10× tier, need ≈ 3.8 GiB vs
+        // 74 GiB, runs clean at exponent 1.000).
+        val budget = new java.io.File(".").getUsableSpace / 4
         if (need > budget)
-          Some(f"lcp-walk peak disk ~${need / (1L << 30)} GiB " +
+          Some(f"lcp-walk peak working set ~${need / (1L << 30)} GiB " +
             f"(hv ${hvBytes / (1L << 30)} + 2.5x pairs ${pairBytes / (1L << 30)}) " +
-            f"exceeds 60%% of usable disk (${budget / (1L << 30)} GiB); " +
+            f"exceeds a quarter of usable disk (${budget / (1L << 30)} GiB) " +
+            "- the measured single-JVM local-mode envelope (three 100x " +
+            "attempts failed: heap OOM, disk-full, execution starvation); " +
             "exact SA/LCP dedup is a per-shard kernel at this corpus " +
-            "multiple (pinned 1x->10x bytes exponent 1.001 is the scale " +
-            "evidence; see Decade2Feasibility scaladoc)")
+            "multiple (pinned 1x->10x bytes exponent 1.000-1.001 is the " +
+            "scale evidence; see Decade2Feasibility scaladoc)")
         else None
       }
     Map("q138_longest_dup_substring" -> walkCheck,
@@ -339,6 +350,12 @@ object ScaleRehearsal {
       // to a handful — the adaptive answer to "shuffle.partitions=32
       // is sized for sf0.1, not for 100× of it".
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // storageFraction stays at the 0.5 default: 0.3 was tried after
+      // run 3's execution-memory starvation at 100× and measured ~2×
+      // slower at the 10× tier (more disk round-trips for the walk's
+      // hv stream) without saving the 100× walk — whose true bound is
+      // the single-JVM local-mode heap, now handled by the
+      // Decade2Feasibility pre-skip instead of a session-wide knob.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -639,7 +656,14 @@ object ScaleRehearsal {
         // ratios run 5–15× across the family, so estimate at the top
         // of that band and skip a query the remaining budget clearly
         // cannot hold — explicit in skipped_budget either way.
-        val est = t10secs.get(n).filter(_ > 0).map(s => math.max(60.0, 15.0 * s))
+        // Extrapolate from the WARM 10× cost band (100×/10× wall runs
+        // 5–15×), capping the input at the single-run cutoff: a query
+        // whose only 10× sample was cold (q110 r15 run 3: 314 s of
+        // mostly scaled-tier codegen vs ~25 s warm) would otherwise
+        // project a 4700 s estimate and lose its decade-2 slot to JIT
+        // noise (cold compile cost is constant, not data-scaled).
+        val est = t10secs.get(n).filter(_ > 0)
+          .map(s => math.max(60.0, 15.0 * math.min(s, SingleRunCutoffSecs)))
           .getOrElse(60.0)
         val remainingSecs = (deadline100 - System.nanoTime()) / 1e9
         val brokenDeps = decade2SaDeps.getOrElse(n, Nil).filter(unusable)

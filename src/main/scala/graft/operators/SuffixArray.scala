@@ -605,6 +605,12 @@ object SuffixArray {
           xxhash64(expr(s"substring(t, q, ${1L << j})"))): _*).as("hv"))
       .repartition(parts, col("d"), col("q"))
       .sortWithinPartitions("d", "q")
+      // Deserialized checkpoint storage is deliberate: MEMORY_AND_DISK_SER
+      // was tried for every walk checkpoint after run 3's execution-memory
+      // starvation at 100x and MEASURED 2x slower at the 10x tier (q137
+      // 31->71 s, q138 47->96 s warm - the per-round hv stream pays a
+      // decode each round) without saving the 100x walk, whose true bound
+      // is the single-JVM local-mode heap (see Decade2Feasibility)
       .localCheckpoint()
     if (sys.env.contains("GRAFT_LCP_DEBUG"))
       System.err.println(f"[lcpwalk] hv build ${(System.nanoTime() - tHv0) / 1e9}%.1f s")
