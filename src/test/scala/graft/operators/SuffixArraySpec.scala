@@ -141,6 +141,19 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(buildSa(Seq(0L -> "", 1L -> ""), 2).count() == 0L)
   }
 
+  test("hash walk with no adjacent pairs returns an empty LCP frame (sidecar never written)") {
+    // one 1-char doc → exactly one suffix → zero adjacent pairs → the
+    // walk loop never runs and no parquet part ever lands in the done
+    // sidecar; the fallback empty frame must still carry the LCP schema
+    import spark.implicits._
+    val ddf = Seq(0L -> "x").toDF("doc_id", "text")
+    val sa = SuffixArray.build(ddf, numPartitions = 2).localCheckpoint()
+    val lcp = SuffixArray.lcpByHashWalk(sa, ddf, "doc_id", "text", 2)
+    assert(lcp.columns.toSet ==
+      Set("lcp", "doc_a", "p_a", "doc_b", "p_b"))
+    assert(lcp.count() == 0L)
+  }
+
   test("save/load round-trips the suffix array and prunes rank ranges at file level") {
     val docs = Seq(
       0L -> "the quick brown fox jumps over the lazy dog",
