@@ -123,6 +123,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
+    // machine-load sample at run start (r15 verdict #4): rides in the
+    // artifact so a wall regression can be weighed against box
+    // contention without a quiet-box rerun (r14's "suffix-family
+    // regression" and r15's driver-vs-builder 195 vs 172 s were both
+    // uniform contention, diagnosable only by re-running)
+    val loadAvgStart: String =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(' ').take(3).mkString(",")
+      catch { case _: Exception => "" }
     // Total wall budget for the WHOLE bench (headline + pinned bases +
     // forked rehearsal), sized to the observed driver slot: r13's full
     // run passed at 3077 s TOTAL sbt wall (BENCH_r13.json's success
@@ -283,7 +292,17 @@ object Bench {
       }
       line
     }
-    writeArtifacts("headline", Nil, "null")
+    // per-query raw samples across the 3 passes (r15 verdict #4): min
+    // is the reported number, but the SPREAD is what distinguishes a
+    // real 10 % regression from a noisy box — contention inflates all
+    // three samples uniformly; a plan regression moves the min.
+    val rawJson = passes.transpose.map { samples =>
+      "\"" + samples.head._1 + "\":" +
+        samples.map(s => f"${s._2}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    writeArtifacts("headline", Seq(
+      "loadavg_start" -> ("\"" + loadAvgStart + "\""),
+      "queries_raw" -> rawJson), "null")
 
     // ---- pinned 1× gate bases (budget-guarded) ------------------------
     // Scale rehearsal (VERDICT r8 #5, re-architected r13 per VERDICT
@@ -520,8 +539,11 @@ object Bench {
     val topQ = passResults.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    // n_queries counts the full queries map (r15 verdict #3: the
+    // compact line said 172 while bench_out.json and CORRECTNESS held
+    // 173 — passResults excludes the oracle tier, `results` doesn't)
     val compact =
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${passResults.size},"queries":$topQ,"errors":$errs,"scale_exponent":$rehearsalExps,"bytes_gate_failures":$rehearsalBytesGate,"gate_not_evaluated":$rehearsalNotEval,"sf":"$sfDir","full":"bench_out.json"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.size},"queries":$topQ,"errors":$errs,"scale_exponent":$rehearsalExps,"bytes_gate_failures":$rehearsalBytesGate,"gate_not_evaluated":$rehearsalNotEval,"sf":"$sfDir","full":"bench_out.json"}"""
     println(compact)
     val _ = line
     spark.stop()

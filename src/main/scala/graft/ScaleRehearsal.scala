@@ -179,6 +179,58 @@ object ScaleRehearsal {
       "(unpinned flip inside the last decade, same class as q145); " +
       "gates at the settled decade with its family"))
 
+  /** Most recent COMMITTED full-budget evidence per decade-2 member
+    * (settled value + provenance), merged into the artifact whenever
+    * the in-slot run cannot evaluate that member — budget skip,
+    * resource skip, or failure (r15 verdict #2: the round-end artifact
+    * should answer "what is the latest settled exponent for this
+    * family?" on its own, next to the skip reason, instead of pointing
+    * at separately committed run files). Values are copied from the
+    * named committed artifacts; `evidence_from` rides along so a
+    * reader can audit the provenance.
+    */
+  val PriorEvidence: Map[String, (String, String)] = Map(
+    "q110_triangle_count" ->
+      ("settled 10x->100x write-bytes exponent 1.008; 100x wall 290 s",
+        "scale_rehearsal_full_r15_run2.json (2026-08-16)"),
+    "q114_fuzzy_lookup" ->
+      ("settled 10x->100x write-bytes exponent 1.032; 100x wall 108-133 s",
+        "scale_rehearsal_full_r15_run2.json + run3 (2026-08-16)"),
+    "q121_containment_dedup" ->
+      ("settled 10x->100x write-bytes exponent 1.042; 100x wall 29-31 s",
+        "scale_rehearsal_full_r15_run2.json + run3 (2026-08-16)"),
+    "q140_tfidf_neardup" ->
+      ("settled 10x->100x write-bytes exponent 1.009; 100x wall 87-186 s",
+        "scale_rehearsal_full_r15_run2.json + run3 (2026-08-16)"),
+    "q145_dedup_sweep" ->
+      ("settled 10x->100x write-bytes exponent 1.001; 100x wall 159-168 s",
+        "scale_rehearsal_full_r15_run2.json + run3 (2026-08-16)"),
+    "q148_dedup_quality_audit" ->
+      ("settled 10x->100x write-bytes exponent 1.000; 100x wall 39-63 s",
+        "scale_rehearsal_full_r15_run2.json + run3 (2026-08-16)"),
+    "q149_gopher_repetition" ->
+      ("settled 10x->100x write-bytes exponent 1.032; 100x wall 48-82 s",
+        "scale_rehearsal_full_r15_run2.json + run3 (2026-08-16)"),
+    "q137_suffix_array" ->
+      ("settled 10x->100x write-bytes exponent 1.007; 100x wall 674-697 s",
+        "scale_rehearsal_full_r15_run2.json + run3 (2026-08-16)"),
+    "q138_longest_dup_substring" ->
+      ("pinned 1x->10x write-bytes exponent 1.000-1.001 (sidecar walk); " +
+        "single-kernel 100x is measured-infeasible in one local-mode JVM " +
+        "(three failure modes, see the skip reason); the runnable 100x " +
+        "form is the sharded kernel, gated as q174_sharded_dedup_cut",
+        "scale_rehearsal_full_r15_run3.json + scale_rehearsal_q138_r15.json (2026-08-16)"),
+    "q126_dup_substring_coverage" ->
+      ("pinned all-shuffle settled 10x->100x write-bytes exponent 0.999; " +
+        "100x single-kernel resource-skipped since r15 (shares the walk " +
+        "family's working-set envelope)",
+        "r14 full rehearsal (commits ac9059a / 435017f)"),
+    "q127_dup_substring_cut" ->
+      ("pinned all-shuffle settled 10x->100x write-bytes exponent 0.998; " +
+        "100x single-kernel resource-skipped since r15 (shares the walk " +
+        "family's working-set envelope)",
+        "r14 full rehearsal (commits ac9059a / 435017f)"))
+
   /** First-run seconds above which a 10× query gets one run (cost rule:
     * q138's pinned hash-walk is ~270 s at 10× — a second sample of it
     * buys little and costs a third of the tier budget).
@@ -257,6 +309,23 @@ object ScaleRehearsal {
     "q127_dup_substring_cut" ->
       Seq("q137_suffix_array", "q138_longest_dup_substring"))
 
+  /** Corpus (sumLen, maxLen) memo per scaled dir: the walk feasibility
+    * check runs for several family members, and r15's form re-scanned
+    * the full 100× documents table for each (r15 ADVICE #5), with the
+    * cost uncounted against the decade-2 deadline. The dirs are
+    * immutable within a run, so one aggregate serves every member.
+    */
+  private val corpusStatsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+  private[graft] def corpusStats(spark: SparkSession, dir: String): (Long, Int) =
+    corpusStatsMemo.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.functions.{col, length, max, sum}
+      val row = Tables.documents(spark, dir)
+        .agg(sum(length(col("text"))), max(length(col("text")))).head
+      (if (row.isNullAt(0)) 0L else row.getLong(0),
+        if (row.isNullAt(1)) 0 else row.getInt(1))
+    })
+
   /** Resource feasibility pre-checks for decade-2 members whose kernel
     * must MATERIALIZE a corpus-multiple working set: returns
     * Some(reason) when the rehearsal box cannot hold the run, so the
@@ -274,19 +343,20 @@ object ScaleRehearsal {
     * al. 2022 run it on single large-memory machines per ~100 GB-class
     * shard; at 100 TB you shard the corpus and run the exact kernel
     * per shard (or use the winnowing/MOSS path, q82, which IS
-    * corpus-global and linear). The check estimates the working set
-    * from the scaled documents table and compares against half the
-    * usable disk (checkpoints and shuffle spills share the volume).
+    * corpus-global and linear) — [[graft.operators.SuffixArray]]'s
+    * `shardedDedupCut` is that runnable per-shard form, and its gated
+    * query (q174) has its own per-shard check below. The check
+    * estimates the working set from the scaled documents table and
+    * compares against a QUARTER of the usable disk on the volume the
+    * walk actually spills to (java.io.tmpdir — Spark local dirs and
+    * the walk's parquet sidecar both land there; checkpoints and
+    * shuffle spills share it).
     */
   val Decade2Feasibility
       : Map[String, (SparkSession, String) => Option[String]] = {
     val walkCheck: (SparkSession, String) => Option[String] =
       (spark, dir) => {
-        import org.apache.spark.sql.functions.{col, length, max, sum}
-        val row = Tables.documents(spark, dir)
-          .agg(sum(length(col("text"))), max(length(col("text")))).head
-        val sumLen = if (row.isNullAt(0)) 0L else row.getLong(0)
-        val maxLen = if (row.isNullAt(1)) 0 else row.getInt(1)
+        val (sumLen, maxLen) = corpusStats(spark, dir)
         val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(
           math.max(1L, maxLen.toLong))
         val hvBytes = sumLen * (16L + 8L * (maxJ + 1))
@@ -307,8 +377,13 @@ object ScaleRehearsal {
         // set composes against a single heap in a way a real cluster's
         // isolated executors never do. need ≤ usable/4 is the measured
         // safe envelope on this box (the 10× tier, need ≈ 3.8 GiB vs
-        // 74 GiB, runs clean at exponent 1.000).
-        val budget = new java.io.File(".").getUsableSpace / 4
+        // 74 GiB, runs clean at exponent 1.000). Usable space is
+        // sampled on the volume the walk actually writes to —
+        // java.io.tmpdir holds both Spark's local dirs and the walk's
+        // parquet sidecar (the fork points it at a dedicated dir; cwd
+        // may be a different volume — r15 ADVICE #4).
+        val budget = new java.io.File(
+          System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 4
         if (need > budget)
           Some(f"lcp-walk peak working set ~${need / (1L << 30)} GiB " +
             f"(hv ${hvBytes / (1L << 30)} + 2.5x pairs ${pairBytes / (1L << 30)}) " +
@@ -328,6 +403,28 @@ object ScaleRehearsal {
   private def jmap(m: Seq[(String, String)]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
   private def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+
+  /** JSON-escape a free-text value before it is quoted into the
+    * artifact (r15 ADVICE #1: skip reasons interpolate e.getMessage,
+    * and Spark exception messages routinely carry newlines/quotes —
+    * one unescaped reason invalidated the whole tier's JSON). Every
+    * human-written or exception-derived string in the artifact goes
+    * through here; `jstr` is the quote-and-escape shorthand.
+    */
+  private[graft] def jesc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+  private def jstr(s: String): String = "\"" + jesc(s) + "\""
 
   /** args: sfDir baseFile outFile.
     * baseFile: one `name<TAB>secs<TAB>bytes` line per headline query
@@ -593,10 +690,10 @@ object ScaleRehearsal {
         "nobroadcast_pinned" -> NoBroadcastBase.toSeq.sorted
           .map("\"" + _ + "\"").mkString("[", ",", "]"),
         "bytes_gate_exempt" -> jmap(BytesGateExempt.toSeq.sortBy(_._1)
-          .map { case (k, v) => k -> ("\"" + v + "\"") }),
+          .map { case (k, v) => k -> jstr(v) }),
         "gate_deferral_evidence" -> jmap(GateDeferralEvidence.toSeq
           .sortBy(_._1).filter(e => deferred.contains(e._1))
-          .map { case (k, v) => k -> ("\"" + v + "\"") }),
+          .map { case (k, v) => k -> jstr(v) }),
         "gate_not_evaluated" -> notEvaluated(d2Evaluated)
           .map("\"" + _ + "\"").mkString("[", ",", "]")) ++
         Seq("tier10" -> tierJson(tier10, 1, skipped10, tier10Gate,
@@ -635,11 +732,21 @@ object ScaleRehearsal {
               case _ => -999.0
             })
         }
+        // self-contained artifact (r15 verdict #2): any decade-2 member
+        // whose exponent this run did NOT settle (skipped, failed, or
+        // still pending) carries its most recent committed full-budget
+        // evidence inline, with provenance
+        val settled = lastExp.collect { case (n, e) if e != -999.0 => n }.toSet
+        val priorEv = decade2Names
+          .filterNot(settled)
+          .flatMap(n => PriorEvidence.get(n).map(n -> _))
         val d2Extra = Seq(
           "bytes_exponent_last" -> jmap(lastExp.map {
             case (n, e) => n -> (if (e == -999.0) "-1" else f"$e%.3f") }),
           "skipped_resource" -> jmap(resourceSkipped.toSeq.map {
-            case (n, why) => n -> ("\"" + why + "\"") }),
+            case (n, why) => n -> jstr(why) }),
+          "evidence_prior" -> jmap(priorEv.map { case (n, (v, from)) =>
+            n -> jmap(Seq("settled" -> jstr(v), "evidence_from" -> jstr(from))) }),
           "not_yet_run" -> pending.map("\"" + _ + "\"")
             .mkString("[", ",", "]"))
         val d2Gate = lastExp.filterNot(x => BytesGateExempt.contains(x._1))
@@ -648,6 +755,7 @@ object ScaleRehearsal {
         writeOut(tierJson(ran.toSeq, 2,
           (skipped ++ pending).distinct.toSeq, d2Gate, d2Extra), evaluated)
       }
+      val t10nruns = tier10.map(r => r._1 -> r._5.count(_._1 > 0)).toMap
       val unusable = scala.collection.mutable.Set[String]() // skipped or failed
       decade2Names.zipWithIndex.foreach { case (n, i) =>
         // pre-skip by cost estimate, not just starts (r14: starts-only
@@ -656,28 +764,34 @@ object ScaleRehearsal {
         // ratios run 5–15× across the family, so estimate at the top
         // of that band and skip a query the remaining budget clearly
         // cannot hold — explicit in skipped_budget either way.
-        // Extrapolate from the WARM 10× cost band (100×/10× wall runs
-        // 5–15×), capping the input at the single-run cutoff: a query
-        // whose only 10× sample was cold (q110 r15 run 3: 314 s of
-        // mostly scaled-tier codegen vs ~25 s warm) would otherwise
-        // project a 4700 s estimate and lose its decade-2 slot to JIT
-        // noise (cold compile cost is constant, not data-scaled).
+        // Cold-vs-true-cost split (r15 ADVICE #2 — the old form capped
+        // the input at the single-run cutoff, which also capped
+        // GENUINELY expensive queries and recreated the r14 overrun
+        // mode): a multi-sample 10× min is warm — use it uncapped; a
+        // single sample exists precisely because run 1 exceeded the
+        // cutoff, and that one run is cold-inclusive (q110 r15 run 3:
+        // 314 s of mostly scaled-tier codegen vs ~25 s warm), so
+        // subtract a constant cold-compile estimate instead of
+        // clamping — cold cost is constant, not data-scaled.
+        val ColdCompileSecs = 120.0
         val est = t10secs.get(n).filter(_ > 0)
-          .map(s => math.max(60.0, 15.0 * math.min(s, SingleRunCutoffSecs)))
+          .map { s =>
+            val warmish =
+              if (t10nruns.getOrElse(n, 0) >= 2) s
+              else math.max(60.0, s - ColdCompileSecs)
+            math.max(60.0, 15.0 * warmish)
+          }
           .getOrElse(60.0)
         val remainingSecs = (deadline100 - System.nanoTime()) / 1e9
         val brokenDeps = decade2SaDeps.getOrElse(n, Nil).filter(unusable)
-        val infeasible: Option[String] =
-          Decade2Feasibility.get(n).flatMap { check =>
-            try check(spark, ScaledDir100)
-            catch { case e: Exception =>
-              Some(s"feasibility check itself failed: ${e.getMessage}")
-            }
-          }
-        if (infeasible.isDefined) {
-          System.err.println(s"[rehearsal] decade-2: skipping $n — " +
-            infeasible.get)
-          resourceSkipped += (n -> infeasible.get)
+        // check order: budget → deps → feasibility. The feasibility
+        // check scans the scaled corpus (memoized, but the first call
+        // pays it), so it only runs for queries the budget and deps
+        // would actually let through (r15 ADVICE #5); its wall cost
+        // then counts inside the slot that benefits from it.
+        if (remainingSecs <= est) {
+          System.err.println(f"[rehearsal] decade-2 budget: skipping $n " +
+            f"(est ${est}%.0f s > remaining ${remainingSecs}%.0f s)")
           skipped += n; unusable += n
         } else if (brokenDeps.nonEmpty) {
           // attribution dependency (see decade2SaDeps): with the
@@ -688,14 +802,24 @@ object ScaleRehearsal {
             s"SA-stage prerequisites were skipped/failed: " +
             brokenDeps.mkString(", "))
           skipped += n; unusable += n
-        } else if (remainingSecs > est) {
-          val r = timeOne(n, ScaledDir100)
-          ran += ((n, r._1, r._2, r._3, Seq(r)))
-          if (r._1 <= 0) unusable += n
         } else {
-          System.err.println(f"[rehearsal] decade-2 budget: skipping $n " +
-            f"(est ${est}%.0f s > remaining ${remainingSecs}%.0f s)")
-          skipped += n; unusable += n
+          val infeasible: Option[String] =
+            Decade2Feasibility.get(n).flatMap { check =>
+              try check(spark, ScaledDir100)
+              catch { case e: Exception =>
+                Some(s"feasibility check itself failed: ${e.getMessage}")
+              }
+            }
+          if (infeasible.isDefined) {
+            System.err.println(s"[rehearsal] decade-2: skipping $n — " +
+              infeasible.get)
+            resourceSkipped += (n -> infeasible.get)
+            skipped += n; unusable += n
+          } else {
+            val r = timeOne(n, ScaledDir100)
+            ran += ((n, r._1, r._2, r._3, Seq(r)))
+            if (r._1 <= 0) unusable += n
+          }
         }
         d2Flush(decade2Names.drop(i + 1))
       }

@@ -681,11 +681,21 @@ object SuffixArray {
       // r13 cap of 200K/partition forced the first 3 rounds at 10× —
       // 75% of the walk's wall — through SMJ sorts of the full pair
       // set twice per round.
-      spillDone(active.filter(col("lcp") >= col("sl_b"))
-        .select("lcp", "doc_a", "p_a", "doc_b", "p_b"))
+      // Loop invariant: every `active` row has lcp < sl_b — jmax >= 0
+      // is only ever assigned under lcp < sl_a && lcp < sl_b (the jmax
+      // update below), and the initial set has lcp = 0 < sl_b (docs are
+      // length-filtered, so sl_b >= 1). A loop-top "b exhausted" spill
+      // is therefore provably empty; the one that lived here cost a
+      // full scan + an empty parquet write job EVERY round (r15
+      // ADVICE). The jmax < 0 spill below covers all completion paths,
+      // including lcp reaching sl_b after a step. Asserted under debug
+      // only.
+      if (sys.env.contains("GRAFT_LCP_DEBUG")) {
+        val bad = active.filter(col("lcp") >= col("sl_b")).count()
+        assert(bad == 0L, s"lcp < sl_b loop invariant violated: $bad rows")
+      }
       val buildFits = nActive / parts <= 1000000L
-      val live0 = active.filter(col("lcp") < col("sl_b"))
-      val live = if (buildFits) live0.hint("shuffle_hash") else live0
+      val live = if (buildFits) active.hint("shuffle_hash") else active
       val ha = hv.select(col("d").as("doc_a"), col("q").as("qa"), col("hv").as("ha"))
       val hb = hv.select(col("d").as("doc_b"), col("q").as("qb"), col("hv").as("hb"))
       var st = live
