@@ -114,7 +114,7 @@ object ScaleRehearsal {
     "q123_doc_novelty", "q140_tfidf_neardup",
     "q145_dedup_sweep", "q148_dedup_quality_audit",
     "q121_containment_dedup", "q126_dup_substring_coverage",
-    "q127_dup_substring_cut")
+    "q127_dup_substring_cut", "q174_sharded_dedup_cut")
 
   /** Gate exemptions, each with the reason published in the artifact.
     * An exemption is for operators whose scale contract is EXPLICITLY
@@ -177,7 +177,12 @@ object ScaleRehearsal {
       "walk — not a rebuild — is what the 100x sample measures"),
     "q140_tfidf_neardup" -> ("prefix-family member pinned all-shuffle " +
       "(unpinned flip inside the last decade, same class as q145); " +
-      "gates at the settled decade with its family"))
+      "gates at the settled decade with its family"),
+    "q174_sharded_dedup_cut" -> ("sharded SA kernel (4 content-keyed " +
+      "shards, pinned graft.lcp.path=hash at every tier incl the 1x " +
+      "base, pinned all-shuffle: the per-shard doc-length join flips " +
+      "broadcast->shuffle with data); gates at the settled decade with " +
+      "the walk family"))
 
   /** Most recent COMMITTED full-budget evidence per decade-2 member
     * (settled value + provenance), merged into the artifact whenever
@@ -262,7 +267,11 @@ object ScaleRehearsal {
     "q162_lsh_probe", "q166_boilerplate_strip",
     // r13: complete the top-10-heaviest set (verdict #3) so the
     // two-decade curve has a 10× midpoint for every member
-    "q145_dedup_sweep", "q148_dedup_quality_audit")
+    "q145_dedup_sweep", "q148_dedup_quality_audit",
+    // r16: the sharded exact kernel — independent of the q137/q138
+    // caches (it builds its own per-shard SAs), so list position is
+    // free; last because it is among the heaviest
+    "q174_sharded_dedup_cut")
 
   /** 100× tier, cheapest-first (by observed 100×/10× cost) so a budget
     * cut drops the fewest gate evaluations, with the two expensive
@@ -294,7 +303,12 @@ object ScaleRehearsal {
     "q114_fuzzy_lookup", "q121_containment_dedup", "q145_dedup_sweep",
     "q140_tfidf_neardup", "q110_triangle_count",
     "q137_suffix_array", "q138_longest_dup_substring",
-    "q126_dup_substring_coverage", "q127_dup_substring_cut")
+    "q126_dup_substring_coverage", "q127_dup_substring_cut",
+    // r16: the sharded kernel is the walk family's RUNNABLE 100× form —
+    // it replaces the family's skipped_resource slot with a measured
+    // run (per-shard working set = need/4, inside the envelope). Last:
+    // the most expensive member, and independent of the others' caches.
+    "q174_sharded_dedup_cut")
 
   /** Decade-2 SA-family attribution dependencies: if a prerequisite
     * stage was budget-skipped (or failed), its dependents must skip
@@ -357,14 +371,12 @@ object ScaleRehearsal {
     val walkCheck: (SparkSession, String) => Option[String] =
       (spark, dir) => {
         val (sumLen, maxLen) = corpusStats(spark, dir)
-        val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(
-          math.max(1L, maxLen.toLong))
-        val hvBytes = sumLen * (16L + 8L * (maxJ + 1))
-        val pairBytes = sumLen * 72L
-        // peak working set under the sidecar walk: hv checkpoint + two
-        // live round checkpoints (current + its not-yet-released
-        // predecessor) + sort-spill/sidecar margin ≈ hv + 2.5 × pairs.
-        val need = hvBytes + (pairBytes * 5) / 2
+        // peak working set under the sidecar walk (hv checkpoint + two
+        // live round checkpoints + sort-spill/sidecar margin) — ONE
+        // formula, shared with the sharded operator's autoShards so
+        // the skip envelope and the runnable per-shard sizing agree
+        val need =
+          graft.operators.SuffixArray.walkWorkingSetBytes(sumLen, maxLen)
         // 25 % of usable disk, empirically: r15 attempted the 100×
         // walk (need ≈ 38 GiB) three times against 60–74 GiB usable
         // with three distinct fatal endings — deserialized-partition
@@ -386,19 +398,44 @@ object ScaleRehearsal {
           System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 4
         if (need > budget)
           Some(f"lcp-walk peak working set ~${need / (1L << 30)} GiB " +
-            f"(hv ${hvBytes / (1L << 30)} + 2.5x pairs ${pairBytes / (1L << 30)}) " +
             f"exceeds a quarter of usable disk (${budget / (1L << 30)} GiB) " +
             "- the measured single-JVM local-mode envelope (three 100x " +
             "attempts failed: heap OOM, disk-full, execution starvation); " +
             "exact SA/LCP dedup is a per-shard kernel at this corpus " +
             "multiple (pinned 1x->10x bytes exponent 1.000-1.001 is the " +
-            "scale evidence; see Decade2Feasibility scaladoc)")
+            "scale evidence; the runnable per-shard form is " +
+            "q174_sharded_dedup_cut)")
+        else None
+      }
+    // q174 runs the SAME kernel but per content-keyed shard, so its
+    // envelope divides by the shard count: it is feasible whenever ONE
+    // shard's working set fits — which is the operator's whole point.
+    val shardedCheck: (SparkSession, String) => Option[String] =
+      (spark, dir) => {
+        val (sumLen, maxLen) = corpusStats(spark, dir)
+        val perShard = graft.operators.SuffixArray.walkWorkingSetBytes(
+          sumLen / Q174Shards, maxLen)
+        val budget = new java.io.File(
+          System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 4
+        if (perShard > budget)
+          Some(f"per-shard walk working set ~${perShard / (1L << 30)} GiB " +
+            f"($Q174Shards shards) exceeds a quarter of usable disk " +
+            f"(${budget / (1L << 30)} GiB) - at this corpus multiple the " +
+            "fixed 4-shard gated query no longer fits one shard in the " +
+            "single-JVM envelope; SuffixArray.autoShards sizes the real " +
+            "deployment's shard count instead")
         else None
       }
     Map("q138_longest_dup_substring" -> walkCheck,
       "q126_dup_substring_coverage" -> walkCheck,
-      "q127_dup_substring_cut" -> walkCheck)
+      "q127_dup_substring_cut" -> walkCheck,
+      "q174_sharded_dedup_cut" -> shardedCheck)
   }
+
+  /** Shard count of the gated sharded-kernel query — single source of
+    * truth lives next to the query/oracle pair it must match.
+    */
+  private def Q174Shards: Int = graft.queries.IndexQueries.Q174Shards
 
   private def jmap(m: Seq[(String, String)]): String =
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

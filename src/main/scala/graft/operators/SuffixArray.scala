@@ -494,6 +494,122 @@ object SuffixArray {
       .select(col(docIdCol), col("cut_start"), col("cut_end"))
   }
 
+  /** Peak disk/heap working set of the exact LCP hash-walk over a
+    * corpus of `sumLen` chars with max doc length `maxLen`: the hv
+    * checkpoint (one row per char × (16 B keys + 8 B per doubling
+    * level)) plus 2.5× the adjacent-pair set (~72 B/char — two live
+    * round checkpoints + sort-spill/sidecar margin). The single
+    * formula behind ScaleRehearsal's feasibility pre-check AND
+    * [[autoShards]] — the two must agree or the rehearsal would skip
+    * a corpus the sharded operator could run.
+    */
+  def walkWorkingSetBytes(sumLen: Long, maxLen: Int): Long = {
+    val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, maxLen.toLong))
+    val hvBytes = sumLen * (16L + 8L * (maxJ + 1))
+    val pairBytes = sumLen * 72L
+    hvBytes + (pairBytes * 5) / 2
+  }
+
+  /** Shard count so each shard's exact-kernel working set fits
+    * `budgetBytes`: shards scale the per-shard char count down
+    * linearly (content-keyed assignment is uniform), and
+    * [[walkWorkingSetBytes]] is linear in chars, so ceil(need/budget)
+    * shards suffice. maxLen is per-doc and survives sharding intact
+    * (a shard holds whole docs), so it stays in the per-shard formula.
+    */
+  def autoShards(sumLen: Long, maxLen: Int, budgetBytes: Long): Int = {
+    require(budgetBytes > 0, "autoShards needs a positive budget")
+    val need = walkWorkingSetBytes(sumLen, maxLen)
+    math.max(1L, (need + budgetBytes - 1) / budgetBytes).toInt
+  }
+
+  /** Deterministic content-keyed shard byte in [0, 256) (callers take
+    * `% nShards`): the first md5 hex byte of the SALTED text,
+    * reproducible bit-for-bit in DuckDB (both engines agree on md5's
+    * lowercase hex and on ascii(); the hex digit decodes as
+    * ascii − 48 − 39·[c ≥ 'a']), partition-count and engine
+    * independent — the same reproducibility contract as
+    * CorpusQueries' hashBucket. CONTENT-keyed (hash of text, not
+    * doc_id) on purpose: byte-identical documents always land in the
+    * same shard, so sharding NEVER misses whole-document exact
+    * duplicates — the dominant duplicate class in web corpora (Lee et
+    * al. 2022) — only partial overlaps between non-identical texts can
+    * cross a shard boundary (q82's winnowing path is the corpus-global
+    * complement for those).
+    */
+  private def hexVal(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ascii(c) - 48 - when(ascii(c) >= 97, 39).otherwise(0)
+  private[operators] def shardOfText(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(concat(text, lit(":shard")))
+    (hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))).cast("long")
+  }
+
+  /** Sharded exact substring dedup-cut — the RUNNABLE form of the
+    * 100 TB answer the r15 feasibility skip documented ("shard the
+    * corpus, run the exact kernel per shard", Lee et al. 2022 §4: the
+    * suffix-array pass runs per ~100 GB-class shard on one
+    * large-memory machine). Documents are assigned to `nShards`
+    * content-keyed shards ([[shardOfText]]); each shard runs the UNCHANGED
+    * exact kernel — [[build]] → [[adjacentLcp]] → [[dedupCutFromLcp]] —
+    * strictly sequentially, so peak working set is ONE shard's
+    * (bounded by [[walkWorkingSetBytes]](sumLen/nShards, maxLen), the
+    * envelope [[autoShards]] sizes against); per-shard cut spans
+    * append to a parquet sidecar and every checkpoint/walk-sidecar the
+    * shard created is released before the next shard starts. The union
+    * of per-shard cut lists is the result.
+    *
+    * Semantics vs the global kernel: within-shard duplicates
+    * (including ALL whole-document exact duplicates — content keying
+    * guarantees byte-equal texts share a shard) are found exactly;
+    * a substring duplicated ONLY across two different-text documents
+    * in different shards is missed — the documented boundary-miss
+    * envelope, measured by SuffixArraySpec's planted-cross-shard
+    * corpus, with winnowing (q82) as the corpus-global complement.
+    * nShards = 1 is bit-for-bit the global kernel (spec-pinned).
+    */
+  def shardedDedupCut(docs: DataFrame, minLen: Int, nShards: Int,
+                      docIdCol: String = "doc_id", textCol: String = "text",
+                      numPartitions: Int = 32): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    import scala.jdk.CollectionConverters._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_sharded_cut").toFile
+    doneSidecars.add(outDir) // freed at the same phase boundary as caches
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    (0 until nShards).foreach { s =>
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
+      val beforeDirs = doneSidecars.asScala.toSet
+      try {
+        val dshard =
+          if (nShards == 1) docs
+          else docs.filter(shardOfText(col(textCol)) % nShards === s)
+        val sa = build(dshard, docIdCol, textCol, numPartitions)
+        val cut = dedupCut(sa, dshard, minLen, docIdCol, textCol)
+        outSchema = cut.schema
+        cut.write.mode("append").parquet(outDir.getAbsolutePath)
+      } finally {
+        // this shard's cut rows are durably in outDir: release every
+        // checkpoint the shard created (build intermediates, the
+        // walk's hv + final round) and delete its walk sidecars —
+        // peak storage stays one-shard-sized across the whole loop
+        releaseRddIds(sc, sc.getPersistentRDDs.keySet.toSet -- beforeIds)
+        doneSidecars.asScala.toList
+          .filterNot(beforeDirs).filterNot(_ == outDir)
+          .foreach { d => doneSidecars.remove(d); deleteRecursively(d) }
+      }
+    }
+    if (outDir.isDirectory &&
+        outDir.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.parquet(outDir.getAbsolutePath)
+    else // a clean corpus can yield zero spans in every shard, and an
+         // all-empty write may leave no part files to infer schema from
+      spark.createDataFrame(sc.emptyRDD[Row], outSchema)
+  }
+
   /** Small-corpus LCP path: broadcast the doc texts (a 3 MB table at
     * bench scale — the broadcast-join principle the adaptive
     * connected-components split uses), attach both suffixes' texts

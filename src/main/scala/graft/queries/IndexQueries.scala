@@ -270,6 +270,98 @@ object IndexQueries {
       |FROM isl3 GROUP BY doc_id, gid
       |ORDER BY doc_id, cut_start""".stripMargin
 
+  /** Shard count of the gated sharded-kernel query (q174): FIXED — not
+    * auto-sized from disk — so the DuckDB oracle can replay the
+    * identical content-keyed shard assignment (`% 4` is hardcoded in
+    * [[q174Sql]]; change both together). A real deployment sizes the
+    * count with `SuffixArray.autoShards` against its per-machine
+    * envelope instead.
+    */
+  val Q174Shards = 4
+
+  /** q174 — SHARDED exact substring dedup-cut: q143's kernel (SA build
+    * → LCP walk → span union, Lee et al. 2022) run independently per
+    * content-keyed shard — the RUNNABLE form of the 100 TB answer the
+    * scale rehearsal's feasibility skip documents for the global walk
+    * (r15 verdict #1). Content keying (md5 of the text) means
+    * byte-identical documents ALWAYS share a shard, so whole-document
+    * exact duplicates — the dominant class — are never missed; only
+    * partial overlaps between non-identical texts can cross a
+    * boundary (SuffixArraySpec measures that miss rate on a planted
+    * corpus; winnowing q82 is the corpus-global complement). Shards
+    * run strictly sequentially, so peak working set is one shard's —
+    * sized by SuffixArray.walkWorkingSetBytes / autoShards, the same
+    * formula the rehearsal's feasibility check uses. The oracle
+    * replays the identical shard assignment and runs q143's per-shard
+    * suffix sort + coarse/fine LCP replay partitioned by shard.
+    */
+  def q174(s: SparkSession, dir: String): DataFrame =
+    SuffixArray.shardedDedupCut(Tables.documents(s, dir), minLen = 40,
+        nShards = Q174Shards)
+      .orderBy("doc_id", "cut_start")
+
+  val q174Sql: String =
+    """WITH sh AS (
+      | SELECT doc_id, text,
+      |  ((ascii(substr(md5(text || ':shard'), 1, 1)) - 48
+      |    - CASE WHEN ascii(substr(md5(text || ':shard'), 1, 1)) >= 97
+      |           THEN 39 ELSE 0 END) * 16
+      |   + ascii(substr(md5(text || ':shard'), 2, 1)) - 48
+      |   - CASE WHEN ascii(substr(md5(text || ':shard'), 2, 1)) >= 97
+      |          THEN 39 ELSE 0 END) % 4 AS shard
+      | FROM documents),
+      |pos AS (
+      | SELECT shard, doc_id, i AS p, substr(text, i) AS suf
+      | FROM sh, unnest(range(1, length(text) + 1)) AS t(i)),
+      |sa AS (
+      | SELECT shard, doc_id, p, suf,
+      |  row_number() OVER (PARTITION BY shard ORDER BY suf, doc_id, p) AS r
+      | FROM pos),
+      |pr AS (
+      | SELECT a.shard AS shard, a.r AS r, a.doc_id AS doc_a, a.p AS p_a,
+      |        a.suf AS suf_a, b.doc_id AS doc_b, b.p AS p_b, b.suf AS suf_b
+      | FROM sa a JOIN sa b ON b.shard = a.shard AND b.r = a.r + 1),
+      |coarse AS (
+      | SELECT shard, r, max(m) AS c
+      | FROM pr, unnest(range(1, CAST((SELECT max(length(text)) FROM documents) / 32 AS BIGINT) + 2)) AS t(m)
+      | WHERE m * 32 <= least(length(suf_a), length(suf_b))
+      |   AND substr(suf_a, 1, CAST(m * 32 AS INT)) = substr(suf_b, 1, CAST(m * 32 AS INT))
+      | GROUP BY shard, r),
+      |fine AS (
+      | SELECT p.shard, p.r, coalesce(c.c, 0) AS c, min(j) AS mism
+      | FROM pr p LEFT JOIN coarse c USING (shard, r), unnest(range(1, 34)) AS t(j)
+      | WHERE coalesce(c.c, 0) * 32 + j > least(length(p.suf_a), length(p.suf_b))
+      |    OR substr(p.suf_a, CAST(coalesce(c.c, 0) * 32 + j AS INT), 1)
+      |       <> substr(p.suf_b, CAST(coalesce(c.c, 0) * 32 + j AS INT), 1)
+      | GROUP BY p.shard, p.r, c.c),
+      |lcp AS (SELECT shard, r, CAST(c * 32 + mism - 1 AS BIGINT) AS lcp FROM fine),
+      |pairs AS (SELECT l.lcp, p.doc_a, p.p_a, p.doc_b, p.p_b
+      |          FROM lcp l JOIN pr p USING (shard, r)),
+      |occ AS (
+      | SELECT doc_b AS doc_id, p_b AS p, lcp FROM pairs
+      | UNION ALL
+      | SELECT doc_a AS doc_id, p_a AS p, lcp FROM pairs),
+      |spans AS (
+      | SELECT doc_id, CAST(p AS BIGINT) AS s, CAST(p + max(lcp) AS BIGINT) AS e
+      | FROM occ GROUP BY doc_id, p HAVING max(lcp) >= 40),
+      |isl AS (
+      | SELECT doc_id, s, e,
+      |  max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      | FROM spans),
+      |isl2 AS (
+      | SELECT doc_id, s, e,
+      |  CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ng
+      | FROM isl),
+      |isl3 AS (
+      | SELECT doc_id, s, e,
+      |  sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+      |                ROWS UNBOUNDED PRECEDING) AS gid
+      | FROM isl2)
+      |SELECT doc_id, min(s) AS cut_start, max(e) AS cut_end
+      |FROM isl3 GROUP BY doc_id, gid
+      |ORDER BY doc_id, cut_start""".stripMargin
+
   /** q142 — incremental index maintenance (the daily-crawl case): a
     * delta batch (every doc_id ≡ 0 mod 7 re-crawled with changed text —
     * deterministically modeled as reverse(text)) is absorbed into the
@@ -317,7 +409,8 @@ object IndexQueries {
     "q139_phrase_search" -> (q139 _),
     "q140_tfidf_neardup" -> (q140 _),
     "q142_index_merge" -> (q142 _),
-    "q143_dedup_cut" -> ((s: SparkSession, dir: String) => q143(s, dir)))
+    "q143_dedup_cut" -> ((s: SparkSession, dir: String) => q143(s, dir)),
+    "q174_sharded_dedup_cut" -> (q174 _))
 
   val oracles: Map[String, String] = Map(
     "q137_suffix_array" -> q137Sql,
@@ -325,5 +418,6 @@ object IndexQueries {
     "q139_phrase_search" -> q139Sql,
     "q140_tfidf_neardup" -> q140Sql,
     "q142_index_merge" -> q142Sql,
-    "q143_dedup_cut" -> q143Sql)
+    "q143_dedup_cut" -> q143Sql,
+    "q174_sharded_dedup_cut" -> q174Sql)
 }

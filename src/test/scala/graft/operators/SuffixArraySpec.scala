@@ -268,6 +268,103 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got.toSeq == bruteSa(docs))
   }
 
+  test("sharded cut with one shard IS the global kernel, bit for bit") {
+    val pass = "0123456789abcdefghij" // the dedupCut spec's corpus
+    val docs = Seq(
+      0L -> s"xx$pass yy",
+      1L -> s"zzz $pass www",
+      2L -> (pass.take(10) + pass + " tail"),
+      3L -> "completely unique content here")
+    import spark.implicits._
+    val ddf = docs.toDF("doc_id", "text")
+    val sa = SuffixArray.build(ddf, numPartitions = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val global = canon(SuffixArray.dedupCut(sa, ddf, minLen = 20))
+    val sharded = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 1))
+    assert(sharded == global)
+    assert(sharded.nonEmpty)
+  }
+
+  test("sharded cut misses EXACTLY the cross-shard pairs; identical docs always co-shard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val nShards = 4
+    // 48 planted pairs: pair i shares a 28-char passage unique to the
+    // pair, with the id interleaved every 8 chars so any 20-char
+    // window contains it (cross-pair common substrings stay under
+    // minLen) and with NO internal repeat >= 20 (an in-doc self-repeat
+    // would cut the doc regardless of sharding); fillers are unique
+    // per doc with shared prefixes < 20 chars
+    val nPairs = 48
+    def passage(i: Int) = f"$i%04dabcdefgh$i%04dijklmnop$i%04d"
+    val pairDocs = (0 until nPairs).flatMap { i =>
+      Seq((2L * i, f"lpad $i%04dA ${passage(i)}rpad $i%04dA"),
+        (2L * i + 1, f"lpad $i%04dB ${passage(i)}rpad $i%04dB"))
+    }
+    // plus 3 byte-identical whole-doc duplicates: content keying MUST
+    // co-shard them — sharding never misses exact whole-doc dups
+    val cloneTxt = "whole document duplicated verbatim three times over"
+    val clones = Seq(900L, 901L, 902L).map(_ -> cloneTxt)
+    val docs = pairDocs ++ clones
+    val ddf = docs.toDF("doc_id", "text")
+    val shardOf = ddf
+      .select(col("doc_id"), (SuffixArray.shardOfText(col("text")) % nShards).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(shardOf(900L), shardOf(901L), shardOf(902L)).size == 1)
+    val cuts = SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = nShards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val covered: Set[Long] = cuts.map(_._1).toSet
+    val (sameShard, crossShard) = (0 until nPairs).partition(i =>
+      shardOf(2L * i) == shardOf(2L * i + 1))
+    // found set == same-shard set: every within-shard planted pair is
+    // cut in BOTH docs, every cross-shard pair is missed in both —
+    // the boundary-miss envelope is exactly the shard boundary
+    sameShard.foreach { i =>
+      assert(covered.contains(2L * i) && covered.contains(2L * i + 1),
+        s"within-shard pair $i not cut")
+    }
+    crossShard.foreach { i =>
+      assert(!covered.contains(2L * i) && !covered.contains(2L * i + 1),
+        s"cross-shard pair $i should be a documented boundary miss")
+    }
+    // clones are whole-doc covered (span = the full text)
+    Seq(900L, 901L, 902L).foreach { d =>
+      val span = cuts.filter(_._1 == d)
+      assert(span.length == 1 && span.head._2 == 1L &&
+        span.head._3 == cloneTxt.length + 1L, s"clone $d spans: ${span.toList}")
+    }
+    // measured boundary-miss rate: binomial(nPairs, 3/4) — with 48
+    // pairs the ±3σ band is ~[0.56, 0.94]; a rate outside it means the
+    // content-keyed assignment isn't uniform
+    val missRate = crossShard.size.toDouble / nPairs
+    info(f"boundary-miss rate at $nShards shards: $missRate%.3f " +
+      f"(${crossShard.size}/$nPairs cross-shard)")
+    assert(missRate >= 0.5 && missRate <= 0.95, f"miss rate $missRate%.3f")
+  }
+
+  test("autoShards sizes shards to the walk working-set envelope") {
+    val sumLen = 1500000000L // the 100x-tier corpus scale
+    val maxLen = 553
+    val need = SuffixArray.walkWorkingSetBytes(sumLen, maxLen)
+    // formula shape: hv (16B keys + 8B/level) + 2.5x pair bytes
+    val maxJ = 63 - java.lang.Long.numberOfLeadingZeros(maxLen.toLong)
+    assert(need == sumLen * (16L + 8L * (maxJ + 1)) + sumLen * 72L * 5 / 2)
+    // ceil division against the budget; 1 when the corpus already fits
+    val budget = 10L << 30
+    assert(SuffixArray.autoShards(sumLen, maxLen, budget) ==
+      ((need + budget - 1) / budget).toInt)
+    assert(SuffixArray.autoShards(sumLen, maxLen, need) == 1)
+    assert(SuffixArray.autoShards(sumLen, maxLen, need / 2 + 1) == 2)
+    // halving the budget never less than doubles-minus-one the count
+    val s1 = SuffixArray.autoShards(sumLen, maxLen, budget)
+    val s2 = SuffixArray.autoShards(sumLen, maxLen, budget / 2)
+    assert(s2 >= 2 * s1 - 1)
+    // linear in chars: double the corpus, same budget => ~double shards
+    val d = SuffixArray.autoShards(2 * sumLen, maxLen, budget)
+    assert(d >= 2 * s1 - 1 && d <= 2 * s1 + 1)
+  }
+
   test("longest duplicated substring surfaces a planted cross-doc passage") {
     val planted = "this exact passage was planted twice in the corpus"
     val docs = Seq(
