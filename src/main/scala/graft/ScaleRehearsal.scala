@@ -718,9 +718,13 @@ object ScaleRehearsal {
       ((tier10Gate.collect { case (n, e) if e == -999.0 => n }) ++
         skipped10.filterNot(BytesGateExempt.contains) ++
         deferred.filterNot(d2Evaluated)).distinct
+    // BPE adaptive-regime probe telemetry (r15 verdict #7), filled in
+    // after the 10× tier; "null" when the probe was skipped
+    var bpeProbeJson: String = "null"
     def writeOut(decade2Json: String, d2Evaluated: Set[String]): Unit = {
       val json = jmap(Seq(
         "factor" -> "10",
+        "bpe_adaptive" -> bpeProbeJson,
         "fresh_jvm" -> freshJvm.toString,
         "agree_tol" -> AgreeTol.toString,
         "single_run_cutoff_secs" -> SingleRunCutoffSecs.toString,
@@ -740,6 +744,52 @@ object ScaleRehearsal {
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     writeOut("null", Set.empty) // 10× tier is durable even if 100× dies
+
+    // ---- BPE adaptive-regime probe on the 10× corpus (r15 verdict #7) ----
+    // q83's production budget (256 MB) never binds on this synthetic
+    // vocabulary at ANY tier — the corpus is Heaps-law-tiny — so the
+    // gated query alone can't show the distributed→collect switch
+    // engaging on scaled data. This probe trains on the 10× corpus
+    // under a budget derived from the LIVE table (half its initial
+    // collect footprint, so the budget binds by construction) with a
+    // 32-merge cap, and publishes the switch telemetry. It also pins
+    // mechanism-invariance ON SCALED DATA: the budgeted model's merges
+    // must equal the fixed-prefix path's (BpeSpec pins the same law at
+    // unit scale). Untimed and ungated — the per-round work after the
+    // word-count shuffle is distinct-vocabulary-sized, not corpus-sized.
+    if (inBudget10) {
+      bpeProbeJson = try {
+        import org.apache.spark.sql.functions._
+        val words = Tables.documents(spark, ScaledDir10)
+          .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val est0 = graft.functions.Bpe.initialCollectEstimate(words, "w")
+        val budgetB = math.max(1L, est0 / 2)
+        val fixedRounds = 4
+        val probeCap = 32
+        val adaptive = graft.functions.Bpe.trainDistributed(words, "w", "n",
+          numMerges = probeCap, distributedRounds = fixedRounds,
+          collectBudgetBytes = budgetB)
+        val last = graft.functions.Bpe.lastDistributedRounds
+        val fixed = graft.functions.Bpe.trainDistributed(words, "w", "n",
+          numMerges = probeCap, distributedRounds = fixedRounds,
+          collectBudgetBytes = 0L)
+        jmap(Seq(
+          "engaged" -> (last > fixedRounds).toString,
+          "fixed_rounds" -> fixedRounds.toString,
+          "last_distributed_rounds" -> last.toString,
+          "initial_estimate_bytes" -> est0.toString,
+          "collect_budget_bytes" -> budgetB.toString,
+          "probe_merge_cap" -> probeCap.toString,
+          "output_invariant_vs_fixed_path" ->
+            (adaptive.merges == fixed.merges).toString))
+      } catch { case e: Exception =>
+        jmap(Seq("engaged" -> "false", "error" -> jstr(
+          Option(e.getMessage).getOrElse(e.getClass.getName))))
+      }
+      writeOut("null", Set.empty)
+    }
 
     // ---- 100× tier: one run each, priority-ordered, budget-capped ----
     val budget100 = budget100Override.getOrElse(
