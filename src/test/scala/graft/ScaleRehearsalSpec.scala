@@ -45,6 +45,32 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(idx("q137_suffix_array") < idx("q138_longest_dup_substring"))
   }
 
+  test("every decade-2 member carries committed prior evidence for skip-time merge") {
+    // r15 verdict #2: the self-contained artifact can only merge what
+    // PriorEvidence holds — a member without an entry would regress to
+    // the point-at-run-files state the key exists to fix
+    ScaleRehearsal.decade2Names.foreach { n =>
+      assert(ScaleRehearsal.PriorEvidence.contains(n),
+        s"$n has no PriorEvidence entry for the skip-time artifact merge")
+      val (v, from) = ScaleRehearsal.PriorEvidence(n)
+      assert(v.nonEmpty && from.nonEmpty)
+    }
+  }
+
+  test("jesc produces valid JSON string content for hostile reasons") {
+    val hostile = "line1\nline2\t\"quoted\\path\"\r\u0001ctrl"
+    val escaped = ScaleRehearsal.jesc(hostile)
+    // must parse as a JSON string and round-trip the original
+    val json = "{\"r\":\"" + escaped + "\"}"
+    // minimal structural checks without a JSON lib: no raw control
+    // chars, no unescaped quotes/backslashes remain
+    assert(!escaped.exists(_ < ' '))
+    assert(!escaped.replace("\\\\", "").replace("\\\"", "").contains("\""))
+    assert(escaped.contains("\\n") && escaped.contains("\\t") &&
+      escaped.contains("\\r") && escaped.contains("\\u0001"))
+    assert(json.length > hostile.length)
+  }
+
   test("feasibility-checked members are decade-2 members, and q110 precedes the SA family (context-kill isolation)") {
     val idx = ScaleRehearsal.decade2Names.zipWithIndex.toMap
     ScaleRehearsal.Decade2Feasibility.keys.foreach(n =>
