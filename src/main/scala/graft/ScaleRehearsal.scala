@@ -236,10 +236,11 @@ object ScaleRehearsal {
         "family's working-set envelope)",
         "r14 full rehearsal (commits ac9059a / 435017f)"),
     "q174_sharded_dedup_cut" ->
-      ("settled 10x->100x write-bytes exponent 1.008; 10x 137.9 s / " +
-        "9.66 GB write, 100x 953.7 s / 98.3 GB write (4 content-keyed " +
-        "shards, pinned hash walk, all-shuffle)",
-        "scale_rehearsal_q174_r16.json (2026-08-16)"))
+      ("settled 10x->100x write-bytes exponent 1.008 in two independent " +
+        "runs; 10x 137.9-223.9 s / 9.66 GB write, 100x 610.3-953.7 s / " +
+        "98.3 GB write (4 content-keyed shards, pinned hash walk, " +
+        "all-shuffle)",
+        "scale_rehearsal_q174_r16.json + scale_rehearsal_full_r16_run1.json (2026-08-16)"))
 
   /** First-run seconds above which a 10× query gets one run (cost rule:
     * q138's pinned hash-walk is ~270 s at 10× — a second sample of it
