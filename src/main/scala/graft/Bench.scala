@@ -478,9 +478,14 @@ object Bench {
         // overrides still win (round-tooling full-budget runs).
         val forkBudget = remaining - FinalMargin
         val childOverhead = 250.0
+        // 0.50 split since r16 (was 0.45): tier-10 gained q174 (~220 s
+        // cold single), and a tier-10 budget-out costs MORE than a
+        // decade-2 one — the tier-10 sample is also the member's
+        // decade-2 base, while skipped decade-2 members carry
+        // committed evidence inline (evidence_prior)
         val budget10 = sys.env.get("SPARK_GRAFT_REHEARSAL_BUDGET")
           .map(_.toDouble)
-          .getOrElse(math.min(1500.0, math.max(300.0, (forkBudget - childOverhead) * 0.45)))
+          .getOrElse(math.min(1600.0, math.max(300.0, (forkBudget - childOverhead) * 0.50)))
         val budget100 = sys.env.get("SPARK_GRAFT_DECADE2_BUDGET")
           .map(_.toDouble)
           .getOrElse(math.max(0.0, forkBudget - childOverhead - budget10))

@@ -742,7 +742,18 @@ object ScaleRehearsal {
           .sortBy(_._1).filter(e => deferred.contains(e._1))
           .map { case (k, v) => k -> jstr(v) }),
         "gate_not_evaluated" -> notEvaluated(d2Evaluated)
-          .map("\"" + _ + "\"").mkString("[", ",", "]")) ++
+          .map("\"" + _ + "\"").mkString("[", ",", "]"),
+        // top-level evidence merge (r15 verdict #2, extended to BOTH
+        // tiers in r16): every gate-unevaluated query with committed
+        // full-budget evidence carries it here, so an in-slot
+        // budget-trimmed artifact still answers "what is this
+        // query's settled exponent?" on its own — tier-10 budget
+        // skips included (a tier-10 miss also starves the member's
+        // decade-2 base, so the decade-2 map alone can't cover it)
+        "evidence_prior" -> jmap(notEvaluated(d2Evaluated)
+          .flatMap(n => PriorEvidence.get(n).map(n -> _))
+          .map { case (n, (v, from)) => n -> jmap(Seq(
+            "settled" -> jstr(v), "evidence_from" -> jstr(from))) })) ++
         Seq("tier10" -> tierJson(tier10, 1, skipped10, tier10Gate,
             tier10Extra),
           "decade2" -> decade2Json))
