@@ -112,7 +112,8 @@ object Bench {
     "q164_chi2_drift", "q165_vocab_growth", "q166_boilerplate_strip",
     "q167_mix_quota", "q168_cc_incremental", "q169_hash_sample",
     "q170_sole_late_supplier", "q171_top_p_select", "q172_rfm_segments",
-    "q173_langid_nb", "q174_sharded_dedup_cut")
+    "q173_langid_nb", "q174_sharded_dedup_cut",
+    "q175_sharded_dup_coverage")
 
   /** Single-measurement tier: excluded from the 3-pass loop and the
     * headline total, measured once, reported in the queries map. Two
@@ -131,7 +132,7 @@ object Bench {
     *    1×/10×/100× exponents are the evidence that matters.
     */
   val oracleTier: Set[String] = Set("q30_embed_neardup",
-    "q174_sharded_dedup_cut")
+    "q174_sharded_dedup_cut", "q175_sharded_dup_coverage")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()

@@ -362,6 +362,108 @@ object IndexQueries {
       |FROM isl3 GROUP BY doc_id, gid
       |ORDER BY doc_id, cut_start""".stripMargin
 
+  /** q175 — sharded duplicated-substring COVERAGE report: q126's
+    * per-document report (how much of each doc sits inside ≥40-char
+    * substrings duplicated elsewhere) derived from the SHARDED exact
+    * kernel's cut spans — the report/action pair q126/q127 form for
+    * the gram pipeline, here both riding one per-shard SA/LCP pass
+    * (q174 is the action). Span lengths sum per doc (spans are
+    * disjoint by the gaps-and-islands union, so the sum IS the
+    * covered-char measure); docs with no within-shard duplication
+    * surface with zero coverage via the left join. Same boundary
+    * envelope as q174: cross-shard partial overlaps are not counted
+    * (whole-doc exact duplicates always are — content keying).
+    */
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cov = SuffixArray
+      .shardedDedupCut(docs, minLen = 40, nShards = Q174Shards)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("cut_end") - col("cut_start")).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("len").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q175Sql: String =
+    """WITH sh AS (
+      | SELECT doc_id, text,
+      |  ((ascii(substr(md5(text || ':shard'), 1, 1)) - 48
+      |    - CASE WHEN ascii(substr(md5(text || ':shard'), 1, 1)) >= 97
+      |           THEN 39 ELSE 0 END) * 16
+      |   + ascii(substr(md5(text || ':shard'), 2, 1)) - 48
+      |   - CASE WHEN ascii(substr(md5(text || ':shard'), 2, 1)) >= 97
+      |          THEN 39 ELSE 0 END) % 4 AS shard
+      | FROM documents),
+      |pos AS (
+      | SELECT shard, doc_id, i AS p, substr(text, i) AS suf
+      | FROM sh, unnest(range(1, length(text) + 1)) AS t(i)),
+      |sa AS (
+      | SELECT shard, doc_id, p, suf,
+      |  row_number() OVER (PARTITION BY shard ORDER BY suf, doc_id, p) AS r
+      | FROM pos),
+      |pr AS (
+      | SELECT a.shard AS shard, a.r AS r, a.doc_id AS doc_a, a.p AS p_a,
+      |        a.suf AS suf_a, b.doc_id AS doc_b, b.p AS p_b, b.suf AS suf_b
+      | FROM sa a JOIN sa b ON b.shard = a.shard AND b.r = a.r + 1),
+      |coarse AS (
+      | SELECT shard, r, max(m) AS c
+      | FROM pr, unnest(range(1, CAST((SELECT max(length(text)) FROM documents) / 32 AS BIGINT) + 2)) AS t(m)
+      | WHERE m * 32 <= least(length(suf_a), length(suf_b))
+      |   AND substr(suf_a, 1, CAST(m * 32 AS INT)) = substr(suf_b, 1, CAST(m * 32 AS INT))
+      | GROUP BY shard, r),
+      |fine AS (
+      | SELECT p.shard, p.r, coalesce(c.c, 0) AS c, min(j) AS mism
+      | FROM pr p LEFT JOIN coarse c USING (shard, r), unnest(range(1, 34)) AS t(j)
+      | WHERE coalesce(c.c, 0) * 32 + j > least(length(p.suf_a), length(p.suf_b))
+      |    OR substr(p.suf_a, CAST(coalesce(c.c, 0) * 32 + j AS INT), 1)
+      |       <> substr(p.suf_b, CAST(coalesce(c.c, 0) * 32 + j AS INT), 1)
+      | GROUP BY p.shard, p.r, c.c),
+      |lcp AS (SELECT shard, r, CAST(c * 32 + mism - 1 AS BIGINT) AS lcp FROM fine),
+      |pairs AS (SELECT l.lcp, p.doc_a, p.p_a, p.doc_b, p.p_b
+      |          FROM lcp l JOIN pr p USING (shard, r)),
+      |occ AS (
+      | SELECT doc_b AS doc_id, p_b AS p, lcp FROM pairs
+      | UNION ALL
+      | SELECT doc_a AS doc_id, p_a AS p, lcp FROM pairs),
+      |spans AS (
+      | SELECT doc_id, CAST(p AS BIGINT) AS s, CAST(p + max(lcp) AS BIGINT) AS e
+      | FROM occ GROUP BY doc_id, p HAVING max(lcp) >= 40),
+      |isl AS (
+      | SELECT doc_id, s, e,
+      |  max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      | FROM spans),
+      |isl2 AS (
+      | SELECT doc_id, s, e,
+      |  CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ng
+      | FROM isl),
+      |isl3 AS (
+      | SELECT doc_id, s, e,
+      |  sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+      |                ROWS UNBOUNDED PRECEDING) AS gid
+      | FROM isl2),
+      |cuts AS (
+      | SELECT doc_id, min(s) AS cut_start, max(e) AS cut_end
+      | FROM isl3 GROUP BY doc_id, gid),
+      |cov AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(cut_end - cut_start) AS BIGINT) AS dup_chars
+      | FROM cuts GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+      | CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+      | round(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+      |   / CAST(length(d.text) AS DOUBLE), 4) AS dup_frac
+      |FROM documents d LEFT JOIN cov USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q142 — incremental index maintenance (the daily-crawl case): a
     * delta batch (every doc_id ≡ 0 mod 7 re-crawled with changed text —
     * deterministically modeled as reverse(text)) is absorbed into the
@@ -410,7 +512,8 @@ object IndexQueries {
     "q140_tfidf_neardup" -> (q140 _),
     "q142_index_merge" -> (q142 _),
     "q143_dedup_cut" -> ((s: SparkSession, dir: String) => q143(s, dir)),
-    "q174_sharded_dedup_cut" -> (q174 _))
+    "q174_sharded_dedup_cut" -> (q174 _),
+    "q175_sharded_dup_coverage" -> (q175 _))
 
   val oracles: Map[String, String] = Map(
     "q137_suffix_array" -> q137Sql,
@@ -419,5 +522,6 @@ object IndexQueries {
     "q140_tfidf_neardup" -> q140Sql,
     "q142_index_merge" -> q142Sql,
     "q143_dedup_cut" -> q143Sql,
-    "q174_sharded_dedup_cut" -> q174Sql)
+    "q174_sharded_dedup_cut" -> q174Sql,
+    "q175_sharded_dup_coverage" -> q175Sql)
 }
