@@ -727,10 +727,17 @@ object ScaleRehearsal {
     // BPE adaptive-regime probe telemetry (r15 verdict #7), filled in
     // after the 10× tier; "null" when the probe was skipped
     var bpeProbeJson: String = "null"
+    // autoShards-sized sharded-kernel probe telemetry (r16 verdict #3)
+    var autoShardsProbeJson: String = "null"
+    // probe wall billed against the decade-2 budget (r16 ADVICE: the
+    // probes run between the tiers and previously charged neither)
+    var probeSecs: Double = 0.0
     def writeOut(decade2Json: String, d2Evaluated: Set[String]): Unit = {
       val json = jmap(Seq(
         "factor" -> "10",
         "bpe_adaptive" -> bpeProbeJson,
+        "autoshards_probe" -> autoShardsProbeJson,
+        "probe_secs" -> f"$probeSecs%.1f",
         "fresh_jvm" -> freshJvm.toString,
         "agree_tol" -> AgreeTol.toString,
         "single_run_cutoff_secs" -> SingleRunCutoffSecs.toString,
@@ -774,6 +781,7 @@ object ScaleRehearsal {
     // must equal the fixed-prefix path's (BpeSpec pins the same law at
     // unit scale). Untimed and ungated — the per-round work after the
     // word-count shuffle is distinct-vocabulary-sized, not corpus-sized.
+    val probeT0 = System.nanoTime()
     if (inBudget10) {
       bpeProbeJson = try {
         import org.apache.spark.sql.functions._
@@ -808,9 +816,92 @@ object ScaleRehearsal {
       writeOut("null", Set.empty)
     }
 
-    // ---- 100× tier: one run each, priority-ordered, budget-capped ----
-    val budget100 = budget100Override.getOrElse(
+    // ---- autoShards-sized sharded kernel, end-to-end (r16 verdict #3) ----
+    // q174 pins nShards=4 so the DuckDB oracle can replay the shard
+    // assignment; the REAL deployment path — nShards =
+    // SuffixArray.autoShards(corpus, budget) — was never exercised
+    // end-to-end. This probe runs shardedDedupCut on the 10× corpus
+    // with a budget derived from the LIVE corpus (one third of the
+    // walk working set, so autoShards > 1 and the budget BINDS by
+    // construction), samples peak storage while it runs (persisted
+    // RDD bytes + tmpdir disk delta, 4 Hz), and publishes
+    // within_budget — the measured statement that the auto-sized shard
+    // count actually holds the one-shard envelope. Expensive (~one
+    // q174 run at 10×), so it runs only when the decade-2 budget is
+    // full-run-sized (> 2000 s; the in-slot artifact records the skip
+    // + reason) or when SPARK_GRAFT_AUTOSHARDS_PROBE=1 forces it;
+    // either way its wall bills to the decade-2 budget below.
+    val budget100Raw = budget100Override.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_DECADE2_BUDGET", "1200").toDouble)
+    val probeForce = sys.env.get("SPARK_GRAFT_AUTOSHARDS_PROBE")
+    val probeWanted = probeForce match {
+      case Some("0") => false
+      case Some("1") => true
+      case _ => budget100Raw > 2000 &&
+        only.forall(_.contains("q174_sharded_dedup_cut"))
+    }
+    if (!inBudget10)
+      autoShardsProbeJson = jmap(Seq("skipped" -> jstr("tier-10 budget exhausted")))
+    else if (!probeWanted)
+      autoShardsProbeJson = jmap(Seq("skipped" -> jstr(
+        f"decade-2 budget ${budget100Raw}%.0f s below the 2000 s full-run " +
+          "threshold (probe costs ~one 10x kernel run); " +
+          "SPARK_GRAFT_AUTOSHARDS_PROBE=1 forces it")))
+    else {
+      autoShardsProbeJson = try {
+        val (sumLen, maxLen) = corpusStats(spark, ScaledDir10)
+        val need = graft.operators.SuffixArray.walkWorkingSetBytes(sumLen, maxLen)
+        val budgetBytes = need / 3 + 1
+        val nShards = graft.operators.SuffixArray.autoShards(sumLen, maxLen, budgetBytes)
+        val tmpFile = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+        val disk0 = tmpFile.getTotalSpace - tmpFile.getUsableSpace
+        val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+        @volatile var sampling = true
+        val sampler = new Thread(() => {
+          while (sampling) {
+            val disk = math.max(0L,
+              tmpFile.getTotalSpace - tmpFile.getUsableSpace - disk0)
+            val stor = spark.sparkContext.getRDDStorageInfo
+              .map(i => i.memSize + i.diskSize).sum
+            peak.accumulateAndGet(disk + stor, math.max(_, _))
+            Thread.sleep(250)
+          }
+        }, "graft-autoshards-probe-sampler")
+        sampler.setDaemon(true)
+        val t0 = System.nanoTime()
+        sampler.start()
+        val rows =
+          try graft.operators.SuffixArray.shardedDedupCut(
+            Tables.documents(spark, ScaledDir10), minLen = 40,
+            nShards = nShards).count()
+          finally { sampling = false; sampler.join(2000) }
+        val wall = (System.nanoTime() - t0) / 1e9
+        graft.operators.SuffixArray.clearCaches(spark) // release the probe's sidecars
+        jmap(Seq(
+          "sum_len" -> sumLen.toString,
+          "max_len" -> maxLen.toString,
+          "need_bytes" -> need.toString,
+          "budget_bytes" -> budgetBytes.toString,
+          "auto_shards" -> nShards.toString,
+          "per_shard_envelope_bytes" -> graft.operators.SuffixArray
+            .walkWorkingSetBytes(sumLen / nShards, maxLen).toString,
+          "rows" -> rows.toString,
+          "wall_secs" -> f"$wall%.1f",
+          "peak_storage_bytes" -> peak.get().toString,
+          "within_budget" -> (peak.get() <= budgetBytes).toString))
+      } catch { case e: Exception =>
+        jmap(Seq("error" -> jstr(
+          Option(e.getMessage).getOrElse(e.getClass.getName))))
+      }
+    }
+    probeSecs = (System.nanoTime() - probeT0) / 1e9
+    writeOut("null", Set.empty)
+
+    // ---- 100× tier: one run each, priority-ordered, budget-capped ----
+    // probe wall bills here (r16 ADVICE: the fork timeout is fixed, so
+    // un-billed probe time would eat the decade-2 tail and could get
+    // the child killed mid-tier)
+    val budget100 = math.max(0.0, budget100Raw - probeSecs)
     if (budget100 > 0) {
       graft.operators.SuffixArray.clearCaches(spark)
       ScaleData.ensure(spark, sfDir, ScaledDir100, 100,

@@ -102,6 +102,73 @@ object Hashing {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** Position-carrying winnowing variant for the cross-shard dedup-cut
+    * tier: same MOSS window-min selection as [[winnowedFingerprints]],
+    * but over the RAW single-space tokenization (`split(' ')`, no
+    * trim/lowercase — the selected sites must map back to exact char
+    * offsets in the original text, which normalization would break)
+    * and returning one `(fingerprint, charStart, charEndExclusive)`
+    * per distinct selected gram SITE (1-based substring positions, the
+    * suffix-array convention) instead of a distinct hash set. Window
+    * ties select the LEFTMOST minimal hash (DuckDB `list_position`'s
+    * first-index rule — the oracle replays this selection exactly:
+    * string_split on ' ', per-window list_min + list_position, char
+    * offsets by prefix-join length).
+    */
+  def winnowedFingerprintSpans(text: String, k: Int,
+                               w: Int): Array[(String, Long, Long)] = {
+    val toks = text.split(" ", -1) // keep trailing empties: string_split parity
+    if (toks.length < k) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = toks.length - k + 1
+    val hs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      val hex = new java.lang.StringBuilder(32)
+      dig.foreach { b =>
+        hex.append(Character.forDigit((b >> 4) & 0xf, 16))
+        hex.append(Character.forDigit(b & 0xf, 16))
+      }
+      hs(i) = hex.toString
+      i += 1
+    }
+    // leftmost-min window selection over gram INDEXES (strict < keeps
+    // the first occurrence of the minimal hash — list_position parity)
+    val sel = new java.util.TreeSet[Integer]()
+    var p = 0
+    val last = math.max(n - w, 0)
+    while (p <= last) {
+      var minIdx = p
+      var q = p + 1
+      val end = math.min(p + w, n)
+      while (q < end) { if (hs(q).compareTo(hs(minIdx)) < 0) minIdx = q; q += 1 }
+      sel.add(minIdx)
+      p += 1
+    }
+    // char offsets: token t (0-based) starts at 1 + Σ_{u<t}(len(u) + 1)
+    val starts = new Array[Long](toks.length)
+    var t = 0
+    var acc = 1L
+    while (t < toks.length) { starts(t) = acc; acc += toks(t).length + 1L; t += 1 }
+    val out = new Array[(String, Long, Long)](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) {
+      val g = it.next().intValue()
+      var gramLen = (k - 1).toLong // separators
+      var j = 0
+      while (j < k) { gramLen += toks(g + j).length; j += 1 }
+      out(o) = (hs(g), starts(g), starts(g) + gramLen)
+      o += 1
+    }
+    out
+  }
+
   def shingleSet(text: String, k: Int): Array[String] = {
     val toks = text.trim.toLowerCase.split("\\s+")
     if (toks.length >= k) {

@@ -79,6 +79,36 @@ object Dedup {
       .select(col(idCol), explode(fpUdf(col(textCol))).as("fingerprint"))
   }
 
+  /** Corpus-duplicated winnow SPANS — the char-offset tier behind the
+    * cross-shard dedup-cut ([[graft.operators.SuffixArray.crossShardDedupCut]]):
+    * select fingerprints per doc WITH their gram char spans
+    * ([[graft.functions.Hashing.winnowedFingerprintSpans]] — raw
+    * single-space tokenization so offsets are exact), then keep every
+    * selection site whose fingerprint was selected at ≥ 2 distinct
+    * (doc, position) sites corpus-wide — i.e. the k-token gram at that
+    * span provably recurs somewhere (in another doc OR elsewhere in
+    * the same doc), regardless of any shard boundary. Output:
+    * (idCol, s, e) char spans, 1-based, end-exclusive.
+    *
+    * Scale shape: one map-side UDF pass (the selected ~1/w fraction of
+    * grams is all that leaves the mapper), one fingerprint-keyed
+    * count, one semi join back — linear, keyed shuffles only.
+    */
+  def winnowedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val spanUdf = udf { text: String =>
+      graft.functions.Hashing.winnowedFingerprintSpans(text, k, w)
+    }
+    val sel = docs
+      .select(col(idCol), explode(spanUdf(col(textCol))).as("g"))
+      .select(col(idCol), col("g._1").as("fp"),
+        col("g._2").as("s"), col("g._3").as("e"))
+    val dup = sel.groupBy("fp").agg(count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") >= 2).select("fp")
+    sel.join(dup, Seq("fp"), "left_semi").select(col(idCol), col("s"), col("e"))
+  }
+
   /** Exact Jaccard over two distinct-element string arrays, with the
     * intersection size computed by the codegen'd
     * [[graft.functions.SetOverlap]] (one hash-probe loop, no

@@ -365,6 +365,172 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(d >= 2 * s1 - 1 && d <= 2 * s1 + 1)
   }
 
+  test("shard counts past the content-key width fail loudly, not silently") {
+    // the key decodes four md5 hex digits -> 65536 realizable shards;
+    // a larger count would leave shards >= 65536 silently empty and
+    // break the one-shard envelope (r16 ADVICE) — both entry points
+    // must refuse
+    val sumLen = 1500000000L
+    val maxLen = 553
+    val need = SuffixArray.walkWorkingSetBytes(sumLen, maxLen)
+    assert(SuffixArray.MaxShards == 65536)
+    // a budget small enough to demand > 65536 shards throws
+    val tiny = need / (SuffixArray.MaxShards.toLong + 1)
+    val e1 = intercept[IllegalArgumentException] {
+      SuffixArray.autoShards(sumLen, maxLen, tiny)
+    }
+    assert(e1.getMessage.contains("MaxShards") ||
+      e1.getMessage.contains("65536"))
+    // at the ceiling itself it still sizes
+    assert(SuffixArray.autoShards(sumLen, maxLen,
+      (need + SuffixArray.MaxShards - 1) / SuffixArray.MaxShards)
+      <= SuffixArray.MaxShards)
+    import spark.implicits._
+    val ddf = Seq(1L -> "text").toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      SuffixArray.shardedDedupCut(ddf, minLen = 20,
+        nShards = SuffixArray.MaxShards + 1)
+    }
+    assert(e2.getMessage.contains("65536"))
+  }
+
+  test("shardOfText decodes four hex digits — keys above 255 are realized") {
+    // the r16 ADVICE defect: a two-digit key silently capped the shard
+    // space at 256. Pin the widened key's range on a deterministic
+    // corpus: with 4000 texts, P(all 4-digit keys < 256) = (1/256)^4000
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ddf = (0 until 4000).map(i => (i.toLong, s"width probe text $i"))
+      .toDF("doc_id", "text")
+    val keys = ddf.select(SuffixArray.shardOfText(col("text")).as("k"))
+      .collect().map(_.getLong(0))
+    assert(keys.forall(k => k >= 0 && k < SuffixArray.MaxShards))
+    assert(keys.max >= 256, s"max key ${keys.max} never left the old 2-digit range")
+    assert(keys.distinct.length > 1000) // spread, not a handful of buckets
+  }
+
+  test("maxConcurrentShards = 2 matches the sequential form bit for bit") {
+    // same corpus as the boundary-miss spec's shape, smaller: planted
+    // within/cross-shard pairs + clones; concurrency is an execution
+    // knob, never a semantics knob
+    val nPairs = 12
+    def passage(i: Int) = f"$i%04dabcdefgh$i%04dijklmnop$i%04d"
+    val docs = (0 until nPairs).flatMap { i =>
+      Seq((2L * i, f"lpad $i%04dA ${passage(i)}rpad $i%04dA"),
+        (2L * i + 1, f"lpad $i%04dB ${passage(i)}rpad $i%04dB"))
+    } ++ Seq(900L, 901L).map(_ -> "same whole doc duplicated verbatim")
+    import spark.implicits._
+    val ddf = docs.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val seq1 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4))
+    val par2 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4,
+      maxConcurrentShards = 2))
+    assert(par2 == seq1)
+    assert(seq1.nonEmpty)
+  }
+
+  test("cached sharded cut: consumers ride one kernel; invalidate refreshes") {
+    val docs = Seq(
+      0L -> "xx0123456789abcdefghij yy",
+      1L -> "zzz 0123456789abcdefghij www",
+      2L -> "totally unique content")
+    import spark.implicits._
+    val ddf = docs.toDF("doc_id", "text")
+    SuffixArray.invalidateShardedCutCached(spark, "spec-corpus", 20, 4)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val first = SuffixArray.shardedDedupCutCached(ddf, "spec-corpus", 20, 4)
+    val second = SuffixArray.shardedDedupCutCached(ddf, "spec-corpus", 20, 4)
+    // cache hit: the SAME materialized frame instance, not a re-run
+    assert(first eq second)
+    val firstRows = canon(first) // snapshot BEFORE invalidate frees its blocks
+    assert(firstRows ==
+      canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4)))
+    SuffixArray.invalidateShardedCutCached(spark, "spec-corpus", 20, 4)
+    val third = SuffixArray.shardedDedupCutCached(ddf, "spec-corpus", 20, 4)
+    assert(!(third eq first) && canon(third) == firstRows)
+    SuffixArray.invalidateShardedCutCached(spark, "spec-corpus", 20, 4)
+  }
+
+  test("cross-shard cut covers EVERY planted pair; sharded tier alone misses " +
+      "the boundary pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val nShards = 4
+    // pairs share an 8-TOKEN passage (>= w + k - 1 = 7: the winnowing
+    // guarantee applies) that is also 55 chars (>= minLen 20: the SA
+    // tier cuts it within-shard); every token carries the pair id so
+    // cross-pair shared substrings stay short
+    val nPairs = 24
+    def passage(i: Int) =
+      f"aa$i%04d bb$i%04d cc$i%04d dd$i%04d ee$i%04d ff$i%04d gg$i%04d hh$i%04d"
+    val docs = (0 until nPairs).flatMap { i =>
+      Seq((2L * i, f"w$i%04dA x$i%04dA ${passage(i)} y$i%04dA z$i%04dA"),
+        (2L * i + 1, f"w$i%04dB x$i%04dB ${passage(i)} y$i%04dB z$i%04dB"))
+    }
+    val ddf = docs.toDF("doc_id", "text")
+    val shardOf = ddf
+      .select(col("doc_id"), (SuffixArray.shardOfText(col("text")) % nShards).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (sameShard, crossShard) = (0 until nPairs).partition(i =>
+      shardOf(2L * i) == shardOf(2L * i + 1))
+    assume(crossShard.nonEmpty) // 24 pairs at 4 shards: P(none cross) ~ 1e-14
+    val shardedOnly = SuffixArray.shardedDedupCut(ddf, minLen = 20,
+      nShards = nShards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = SuffixArray.crossShardDedupCut(ddf, minLen = 20,
+      nShards = nShards, k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val coveredSharded = shardedOnly.map(_._1).toSet
+    val coveredFull = full.map(_._1).toSet
+    // the sharded tier finds exactly the within-shard pairs…
+    sameShard.foreach(i => assert(coveredSharded(2L * i) && coveredSharded(2L * i + 1)))
+    crossShard.foreach(i => assert(!coveredSharded(2L * i) && !coveredSharded(2L * i + 1)))
+    // …the winnow union covers EVERY pair — recall 1.0 on planted
+    // pairs, strictly above the sharded tier's within-shard bound
+    (0 until nPairs).foreach { i =>
+      assert(coveredFull(2L * i) && coveredFull(2L * i + 1),
+        s"pair $i not covered by the cross-shard union")
+    }
+    assert(coveredFull.size > coveredSharded.size)
+    // the cross-shard spans actually land ON the passage: prefix
+    // "wNNNNA xNNNNA " is 14 chars, so the passage occupies [15, 70)
+    crossShard.foreach { i =>
+      Seq(2L * i, 2L * i + 1).foreach { d =>
+        assert(full.exists(c => c._1 == d && c._2 < 70 && c._3 > 15),
+          s"no span overlapping the planted passage in doc $d")
+      }
+    }
+    // sharded spans are a subset of the union's coverage (islands may
+    // merge/extend, never lose covered chars)
+    shardedOnly.foreach { case (d, s, e) =>
+      assert(full.exists(c => c._1 == d && c._2 <= s && c._3 >= e),
+        s"sharded span ($d,$s,$e) not contained in the union")
+    }
+  }
+
+  test("winnowed fingerprint spans are self-consistent with the text") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "alpha beta gamma delta epsilon zeta eta theta extra tail"
+    val spans = graft.functions.Hashing.winnowedFingerprintSpans(text, 4, 4)
+    assert(spans.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    spans.foreach { case (fp, s, e) =>
+      val gram = text.substring(s.toInt - 1, e.toInt - 1)
+      // the span IS the k-token gram the fingerprint hashes
+      assert(gram.split(" ", -1).length == 4, s"span [$s,$e) -> '$gram'")
+      val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      val hex = dig.map(b => f"$b%02x").mkString
+      assert(hex == fp, s"fingerprint mismatch at [$s,$e): '$gram'")
+    }
+    // the duplicated 8-token run guarantees a common selection: at
+    // least one fingerprint recurs at two distinct spans
+    val byFp = spans.groupBy(_._1)
+    assert(byFp.exists(_._2.length >= 2))
+  }
+
   test("longest duplicated substring surfaces a planted cross-doc passage") {
     val planted = "this exact passage was planted twice in the corpus"
     val docs = Seq(
