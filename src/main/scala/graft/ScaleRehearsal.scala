@@ -27,11 +27,20 @@ import org.apache.spark.sql.SparkSession
 private[graft] final class ShuffleBytesListener extends SparkListener {
   val bytes = new AtomicLong(0L)
   val readBytes = new AtomicLong(0L)
+  /** Source-scan bytes (parquet/file reads). Published since r17 as the
+    * re-scan diagnostic: an operator that reads its input k× instead of
+    * once shows up here and nowhere in the shuffle counters — exactly
+    * the defect class of shardedDedupCut's former per-shard corpus
+    * re-scan (r16 verdict #1), whose fix is evidenced by input bytes
+    * staying FLAT as nShards grows (SuffixArraySpec pins the ratio).
+    */
+  val inputBytes = new AtomicLong(0L)
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
     if (m != null) {
       bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       readBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      inputBytes.addAndGet(m.inputMetrics.bytesRead)
     }
   }
 }
@@ -583,15 +592,18 @@ object ScaleRehearsal {
             }
           }
       }
-    /** (secs, shuffleWriteBytes, shuffleReadBytes); (-1,-1,-1) on failure. */
-    def timeOne(name: String, dir: String): (Double, Long, Long) = {
+    /** (secs, shuffleWriteBytes, shuffleReadBytes, inputScanBytes);
+      * (-1,-1,-1,-1) on failure. */
+    def timeOne(name: String, dir: String): (Double, Long, Long, Long) = {
       val b0 = shuffle.bytes.get()
       val r0 = shuffle.readBytes.get()
+      val i0 = shuffle.inputBytes.get()
       val t0 = System.nanoTime()
       val ok = runOne(name, dir)
       val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) (dt, shuffle.bytes.get() - b0, shuffle.readBytes.get() - r0)
-      else (-1.0, -1L, -1L)
+      if (ok) (dt, shuffle.bytes.get() - b0, shuffle.readBytes.get() - r0,
+        shuffle.inputBytes.get() - i0)
+      else (-1.0, -1L, -1L, -1L)
     }
     def expOf(name: String, secs: Double, decades: Int): Double =
       base.get(name) match {
@@ -620,7 +632,7 @@ object ScaleRehearsal {
     val deadline10 = System.nanoTime() + (budget10 * 1e9).toLong
     def inBudget10: Boolean = System.nanoTime() < deadline10
     val samples = scala.collection.mutable.LinkedHashMap[String,
-      scala.collection.mutable.ArrayBuffer[(Double, Long, Long)]]()
+      scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]]()
     names.foreach(n => samples(n) = scala.collection.mutable.ArrayBuffer.empty)
     // pass 1
     names.foreach { n =>
@@ -651,7 +663,8 @@ object ScaleRehearsal {
       val secs = finalSecs(s.map(_._1))
       val bytes = { val ok = s.map(_._2).filter(_ >= 0); if (ok.isEmpty) -1L else ok.min }
       val rBytes = { val ok = s.map(_._3).filter(_ >= 0); if (ok.isEmpty) -1L else ok.min }
-      (n, secs, bytes, rBytes, s)
+      val iBytes = { val ok = s.map(_._4).filter(_ >= 0); if (ok.isEmpty) -1L else ok.min }
+      (n, secs, bytes, rBytes, iBytes, s)
     }
     def bytesExp(name: String, bytes: Long, decades: Int): Double =
       base.get(name) match {
@@ -670,7 +683,7 @@ object ScaleRehearsal {
       *    pinned all-shuffle so the compared plans match;
       *  - BytesGateExempt rows are excluded, reasons published.
       */
-    def tierJson(rows: Seq[(String, Double, Long, Long, Seq[(Double, Long, Long)])],
+    def tierJson(rows: Seq[(String, Double, Long, Long, Long, Seq[(Double, Long, Long, Long)])],
                  decades: Int, skipped: Seq[String],
                  gateExps: Seq[(String, Double)],
                  extra: Seq[(String, String)] = Nil): String = {
@@ -682,11 +695,14 @@ object ScaleRehearsal {
           r._1 -> { val e = expOf(r._1, r._2, decades)
             if (e == -999.0) "-1" else f"$e%.3f" })),
         "raw_secs" -> jmap(rows.map(r =>
-          r._1 -> r._5.map(x => fmt(x._1)).mkString("[", ",", "]"))),
-        "runs" -> jmap(rows.map(r => r._1 -> r._5.count(_._1 > 0).toString)),
+          r._1 -> r._6.map(x => fmt(x._1)).mkString("[", ",", "]"))),
+        "runs" -> jmap(rows.map(r => r._1 -> r._6.count(_._1 > 0).toString)),
         "shuffle_bytes" -> jmap(rows.map(r => r._1 -> r._3.toString)),
         // read/write ≫ 1 at one tier = AQE skew-split re-reads there
         "shuffle_read_bytes" -> jmap(rows.map(r => r._1 -> r._4.toString)),
+        // source-scan volume (r16 verdict #1's diagnostic: a per-shard
+        // corpus re-scan shows up HERE, in no shuffle counter)
+        "input_bytes" -> jmap(rows.map(r => r._1 -> r._5.toString)),
         "bytes_exponent" -> jmap(rows.map(r =>
           r._1 -> { val e = bytesExp(r._1, r._3, decades)
             if (e == -999.0) "-1" else f"$e%.3f" })),
@@ -702,7 +718,7 @@ object ScaleRehearsal {
     val skipped10 = names.filter(n => samples(n).isEmpty)
     // tier-10 gate membership: not deferred to decade 2, not exempt
     val tier10Gate = tier10.collect {
-      case (n, _, wb, _, _)
+      case (n, _, wb, _, _, _)
         if !decade2Names.contains(n) && !BytesGateExempt.contains(n) =>
         n -> bytesExp(n, wb, 1)
     }
@@ -908,7 +924,7 @@ object ScaleRehearsal {
         tables = Set("documents", "lineitem", "customer"))
       val deadline100 = System.nanoTime() + (budget100 * 1e9).toLong
       val ran = scala.collection.mutable.ArrayBuffer[(String, Double, Long,
-        Long, Seq[(Double, Long, Long)])]()
+        Long, Long, Seq[(Double, Long, Long, Long)])]()
       val skipped = scala.collection.mutable.ArrayBuffer[String]()
       val t10secs = tier10.map(r => r._1 -> r._2).toMap
       val wb10 = tier10.map(r => r._1 -> r._3).toMap
@@ -920,7 +936,7 @@ object ScaleRehearsal {
         scala.collection.mutable.ArrayBuffer[(String, String)]()
       def d2Flush(pending: Seq[String]): Unit = {
         val lastExp: Seq[(String, Double)] = ran.toSeq.map {
-          case (n, _, wb100, _, _) =>
+          case (n, _, wb100, _, _, _) =>
             n -> (wb10.get(n) match {
               case Some(b) if b > 0 && wb100 > 0 =>
                 math.log10(wb100.toDouble / b)
@@ -950,7 +966,7 @@ object ScaleRehearsal {
         writeOut(tierJson(ran.toSeq, 2,
           (skipped ++ pending).distinct.toSeq, d2Gate, d2Extra), evaluated)
       }
-      val t10nruns = tier10.map(r => r._1 -> r._5.count(_._1 > 0)).toMap
+      val t10nruns = tier10.map(r => r._1 -> r._6.count(_._1 > 0)).toMap
       val unusable = scala.collection.mutable.Set[String]() // skipped or failed
       decade2Names.zipWithIndex.foreach { case (n, i) =>
         // pre-skip by cost estimate, not just starts (r14: starts-only
@@ -1012,7 +1028,7 @@ object ScaleRehearsal {
             skipped += n; unusable += n
           } else {
             val r = timeOne(n, ScaledDir100)
-            ran += ((n, r._1, r._2, r._3, Seq(r)))
+            ran += ((n, r._1, r._2, r._3, r._4, Seq(r)))
             if (r._1 <= 0) unusable += n
           }
         }

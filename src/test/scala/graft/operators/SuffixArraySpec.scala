@@ -510,6 +510,58 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("input-scan bytes stay FLAT as nShards grows (one-pass materialization)") {
+    // the r16 verdict's one scale-killer: the shard loop re-scanned the
+    // full corpus once per shard — input bytes LINEAR in nShards, an
+    // O(nShards × corpus) read term. With the one-pass shard-partitioned
+    // materialization, each shard reads only its own partition, so total
+    // source-scan bytes are ~(1 materialization + k per-shard passes) ×
+    // corpus regardless of nShards. Pin it: 8 shards must not read more
+    // than ~1.8× what 2 shards read (the old code read 4×).
+    import spark.implicits._
+    val docs = (0 until 600).map(i =>
+      (i.toLong, s"document body number $i " + ("shared filler words " * 8) + i))
+    val dir = java.nio.file.Files.createTempDirectory("graft_flat_input").toFile
+    val listener = new graft.ShuffleBytesListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(dir.getAbsolutePath)
+      val src = spark.read.parquet(dir.getAbsolutePath)
+      // listener events are async: read the counter only once it has
+      // been stable for ~0.5 s
+      def stable(): Long = {
+        var prev = listener.inputBytes.get(); var same = 0
+        while (same < 5) {
+          Thread.sleep(100)
+          val cur = listener.inputBytes.get()
+          if (cur == prev) same += 1 else { same = 0; prev = cur }
+        }
+        prev
+      }
+      def measure(n: Int): Long = {
+        val start = stable()
+        SuffixArray.shardedDedupCut(src, minLen = 20, nShards = n).count()
+        stable() - start
+      }
+      val at2 = measure(2)
+      val at8 = measure(8)
+      assert(at2 > 0)
+      val ratio = at8.toDouble / at2
+      info(f"input bytes: 2 shards $at2, 8 shards $at8, ratio $ratio%.2f")
+      assert(ratio < 1.8,
+        f"input scans grew with nShards (ratio $ratio%.2f) - the per-shard " +
+          "corpus re-scan is back")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("winnowed fingerprint spans are self-consistent with the text") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "alpha beta gamma delta epsilon zeta eta theta extra tail"
