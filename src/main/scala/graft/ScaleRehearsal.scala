@@ -869,16 +869,24 @@ object ScaleRehearsal {
         val need = graft.operators.SuffixArray.walkWorkingSetBytes(sumLen, maxLen)
         val budgetBytes = need / 3 + 1
         val nShards = graft.operators.SuffixArray.autoShards(sumLen, maxLen, budgetBytes)
+        // the probe measures ITS OWN working set: evict the tier-10
+        // runs' resident SA/LCP caches first (decade-2 does the same),
+        // and subtract the remaining storage baseline — the first
+        // probe run counted ~7 GB of tier-10 residents as probe peak
+        // and reported within_budget=false on attribution, not sizing
+        graft.operators.SuffixArray.clearCaches(spark)
         val tmpFile = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
         val disk0 = tmpFile.getTotalSpace - tmpFile.getUsableSpace
+        def storageNow: Long = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum
+        val stor0 = storageNow
         val peak = new java.util.concurrent.atomic.AtomicLong(0L)
         @volatile var sampling = true
         val sampler = new Thread(() => {
           while (sampling) {
             val disk = math.max(0L,
               tmpFile.getTotalSpace - tmpFile.getUsableSpace - disk0)
-            val stor = spark.sparkContext.getRDDStorageInfo
-              .map(i => i.memSize + i.diskSize).sum
+            val stor = math.max(0L, storageNow - stor0)
             peak.accumulateAndGet(disk + stor, math.max(_, _))
             Thread.sleep(250)
           }
@@ -903,6 +911,7 @@ object ScaleRehearsal {
             .walkWorkingSetBytes(sumLen / nShards, maxLen).toString,
           "rows" -> rows.toString,
           "wall_secs" -> f"$wall%.1f",
+          "storage_baseline_bytes" -> stor0.toString,
           "peak_storage_bytes" -> peak.get().toString,
           "within_budget" -> (peak.get() <= budgetBytes).toString))
       } catch { case e: Exception =>
