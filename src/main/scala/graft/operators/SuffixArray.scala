@@ -707,6 +707,17 @@ object SuffixArray {
           doneSidecars.asScala.toList
             .filterNot(beforeDirs).filterNot(_ == outDir)
             .foreach { d => doneSidecars.remove(d); deleteRecursively(d) }
+          // shuffle-FILE hygiene: ContextCleaner frees a shard's
+          // shuffle files only when driver GC collects the shuffle
+          // dependencies, so without this nudge the files of EVERY
+          // completed shard accumulate on local disk until an
+          // incidental GC — at nShards shards that is the whole
+          // corpus-scale shuffle volume on disk at once (measured by
+          // the r17 autoshards probe: ~all-shards bytes resident),
+          // exactly the one-shard-at-a-time envelope this loop exists
+          // to keep. A per-batch GC makes the cleanup deterministic;
+          // its pause is noise next to a shard's kernel cost.
+          System.gc()
         }
       }
     } finally shardInputDir.foreach(deleteRecursively)
