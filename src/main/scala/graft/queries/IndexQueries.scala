@@ -281,12 +281,16 @@ object IndexQueries {
     */
   val Q174Shards = 4
 
-  /** Winnow gram/window sizes of the cross-shard tier (q176) — the
-    * same k=4/w=4 winnowing defaults q82 gates, interpolated into the
+  /** Winnow WINDOW of the cross-shard tier (q176/q178): one
+    * minLen-char gram is selected per sliding window of Q176W
+    * consecutive gram positions, so the tier ships ~2/(Q176W+1) of
+    * gram positions and its guarantee covers duplicated runs of
+    * ≥ minLen + Q176W − 1 chars (the gram LENGTH is the family's
+    * minLen = 40 — the r17 grain fix: cut spans are exactly the
+    * contract's unit, never a shorter phrase). Interpolated into the
     * oracle alongside the shard modulus.
     */
-  val Q176K = 4
-  val Q176W = 4
+  val Q176W = 8
 
   /** One hex digit `n` of md5(text || ':shard'), decoded as
     * ascii − 48 − 39·[c ≥ 'a'] — the DuckDB replay of one digit of
@@ -460,32 +464,37 @@ object IndexQueries {
     * ([[graft.operators.SuffixArray.crossShardDedupCut]]) — the
     * runnable form of the boundary-miss mitigation the sharded kernel
     * documents. Within a shard the SA/LCP kernel is offset/length
-    * exact; across shards, any duplicated run of ≥ w + k − 1 tokens
-    * still selects a common winnow fingerprint (Schleimer et al.'s
-    * guarantee), so its k-gram span is cut in BOTH copies no matter
-    * which shards they landed in. Rides q174's cached cut table — the
-    * whole q174/q175/q176 family costs one per-shard kernel. The
+    * exact; across shards, any duplicated run of ≥ 40 + Q176W − 1
+    * chars still selects a common winnow fingerprint (Schleimer et
+    * al.'s guarantee over stride-1 40-CHAR grams — the r17 grain fix:
+    * the gram length IS the family's minLen, so every winnow cut is a
+    * provably recurring 40-char substring and a recurring phrase
+    * below 40 chars is never cut), no matter which shards the copies
+    * landed in. Rides q174's cached cut table — the whole
+    * q174/q175/q176/q178 family costs one per-shard kernel. The
     * oracle replays the shared kernel CTE plus the winnow tier
-    * (raw-split tokens, per-window list_min with list_position's
-    * leftmost-tie rule, char offsets by prefix length) and the same
-    * islands union.
+    * (per-position substr+md5, per-window list_min with
+    * list_position's leftmost-tie rule) and the same islands union.
     */
   def q176(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val cuts = SuffixArray.shardedDedupCutCached(docs, dir, minLen = 40,
       nShards = Q174Shards)
     SuffixArray.crossShardDedupCut(docs, minLen = 40, nShards = Q174Shards,
-        k = Q176K, w = Q176W, cuts = Some(cuts))
+        winnowW = Q176W, cuts = Some(cuts))
       .orderBy("doc_id", "cut_start")
   }
 
-  val q176Sql: String =
-    s"""WITH $shardedCutCteSql,
-      |wtok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |wh AS (
-      | SELECT doc_id, list_transform(range(0, len(w) - $Q176K + 1),
-      |        i -> md5(array_to_string(list_slice(w, i + 1, i + $Q176K), ' '))) AS h
-      | FROM wtok WHERE len(w) >= $Q176K),
+  /** Winnow-tier CTE fragment shared by q176/q178: per-position
+    * 40-char-gram md5 lists, the leftmost-min window selection, the
+    * corpus-wide recurrence filter, and the selected spans — the
+    * DuckDB replay of [[graft.operators.Dedup.winnowedCharSpans]].
+    */
+  private val winnowSpanCteSql: String =
+    s"""wh AS (
+      | SELECT doc_id, list_transform(range(0, length(text) - 39),
+      |        i -> md5(substr(text, CAST(i + 1 AS INT), 40))) AS h
+      | FROM documents WHERE length(text) >= 40),
       |wsel AS (
       | SELECT DISTINCT doc_id,
       |  j + list_position(list_slice(h, j + 1, j + $Q176W),
@@ -494,17 +503,15 @@ object IndexQueries {
       | FROM wh, unnest(range(0, greatest(len(h) - $Q176W, 0) + 1)) AS t(j)),
       |wdup AS (SELECT fp FROM wsel GROUP BY fp HAVING count(*) >= 2),
       |wspan AS (
-      | SELECT sel.doc_id,
-      |  CAST(CASE WHEN sel.i > 1
-      |        THEN length(array_to_string(list_slice(d.w, 1, CAST(sel.i - 1 AS INT)), ' ')) + 2
-      |        ELSE 1 END AS BIGINT) AS s,
-      |  CAST(CASE WHEN sel.i > 1
-      |        THEN length(array_to_string(list_slice(d.w, 1, CAST(sel.i - 1 AS INT)), ' ')) + 2
-      |        ELSE 1 END
-      |       + length(array_to_string(list_slice(d.w, CAST(sel.i AS INT), CAST(sel.i + $Q176K - 1 AS INT)), ' '))
-      |       AS BIGINT) AS e
-      | FROM wsel sel JOIN wdup USING (fp) JOIN wtok d USING (doc_id)),
-      |uspan AS (
+      | SELECT doc_id, CAST(i AS BIGINT) AS s, CAST(i + 40 AS BIGINT) AS e
+      | FROM wsel JOIN wdup USING (fp))""".stripMargin
+
+  /** Union-islands CTE fragment shared by q176/q178: sharded cuts ∪
+    * winnow spans, merged per doc by the gaps-and-islands pass into
+    * `ucuts(doc_id, cut_start, cut_end)`.
+    */
+  private val unionCutCteSql: String =
+    """uspan AS (
       | SELECT doc_id, cut_start AS s, cut_end AS e FROM cuts
       | UNION ALL
       | SELECT doc_id, s, e FROM wspan),
@@ -521,10 +528,69 @@ object IndexQueries {
       | SELECT doc_id, s, e,
       |  sum(ng) OVER (PARTITION BY doc_id ORDER BY s
       |                ROWS UNBOUNDED PRECEDING) AS gid
-      | FROM uisl2)
-      |SELECT doc_id, min(s) AS cut_start, max(e) AS cut_end
-      |FROM uisl3 GROUP BY doc_id, gid
+      | FROM uisl2),
+      |ucuts AS (
+      | SELECT doc_id, min(s) AS cut_start, max(e) AS cut_end
+      | FROM uisl3 GROUP BY doc_id, gid)""".stripMargin
+
+  val q176Sql: String =
+    s"""WITH $shardedCutCteSql,
+      |$winnowSpanCteSql,
+      |$unionCutCteSql
+      |SELECT doc_id, cut_start, cut_end
+      |FROM ucuts
       |ORDER BY doc_id, cut_start""".stripMargin
+
+  /** q178 — cross-shard duplicated-substring COVERAGE report: q175's
+    * per-document coverage shape over the q176 UNION spans (sharded
+    * exact tier ∪ winnow tier) — how much of each doc sits inside the
+    * cross-shard-complete cut list, where q175 reports the
+    * within-shard tier alone (r17 verdict #5). Rides the family's
+    * cached cut table plus one winnow pass, so the whole
+    * q174/q175/q176/q178 family still costs ONE per-shard kernel;
+    * union spans are disjoint after the islands merge, so the span
+    * sum IS the covered-char measure, and docs with no duplication
+    * surface with zero coverage via the left join (q175's zero-length
+    * guard applies unchanged).
+    */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cuts = SuffixArray.shardedDedupCutCached(docs, dir, minLen = 40,
+      nShards = Q174Shards)
+    val union = SuffixArray.crossShardDedupCut(docs, minLen = 40,
+      nShards = Q174Shards, winnowW = Q176W, cuts = Some(cuts))
+    val cov = union.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("cut_end") - col("cut_start")).as("dup_chars"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("len") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+            col("len").cast("double"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q178Sql: String =
+    s"""WITH $shardedCutCteSql,
+      |$winnowSpanCteSql,
+      |$unionCutCteSql,
+      |ucov AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(cut_end - cut_start) AS BIGINT) AS dup_chars
+      | FROM ucuts GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+      | CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+      | CASE WHEN length(d.text) > 0
+      |      THEN round(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+      |             / CAST(length(d.text) AS DOUBLE), 4)
+      |      ELSE 0.0 END AS dup_frac
+      |FROM documents d LEFT JOIN ucov USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** q142 — incremental index maintenance (the daily-crawl case): a
     * delta batch (every doc_id ≡ 0 mod 7 re-crawled with changed text —
@@ -576,7 +642,8 @@ object IndexQueries {
     "q143_dedup_cut" -> ((s: SparkSession, dir: String) => q143(s, dir)),
     "q174_sharded_dedup_cut" -> (q174 _),
     "q175_sharded_dup_coverage" -> (q175 _),
-    "q176_cross_shard_dedup_cut" -> (q176 _))
+    "q176_cross_shard_dedup_cut" -> (q176 _),
+    "q178_cross_shard_dup_coverage" -> (q178 _))
 
   val oracles: Map[String, String] = Map(
     "q137_suffix_array" -> q137Sql,
@@ -587,5 +654,6 @@ object IndexQueries {
     "q143_dedup_cut" -> q143Sql,
     "q174_sharded_dedup_cut" -> q174Sql,
     "q175_sharded_dup_coverage" -> q175Sql,
-    "q176_cross_shard_dedup_cut" -> q176Sql)
+    "q176_cross_shard_dedup_cut" -> q176Sql,
+    "q178_cross_shard_dup_coverage" -> q178Sql)
 }

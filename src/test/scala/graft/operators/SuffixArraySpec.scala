@@ -430,6 +430,42 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(seq1.nonEmpty)
   }
 
+  test("maxConcurrentShards = 2 under the FORCED hash-walk path matches " +
+      "the sequential form (r17 ADVICE: no cross-walk checkpoint release)") {
+    // The race regime the r17 ADVICE named: shards > 256 MB always
+    // dispatch the hash walk, and two concurrent walks on one
+    // SparkContext each release per-round checkpoints — the old
+    // context-global id-delta release could capture and unpersist the
+    // SIBLING walk's live localCheckpoints ('checkpoint block not
+    // found', unrecoverable: checkpoint lineage is truncated). Forcing
+    // graft.lcp.path=hash dispatches the walk regardless of corpus
+    // size, so this pins the concurrent regime the tiny-corpus k=2
+    // spec above never reached; the fix scopes each walk's release to
+    // direct references to its OWN checkpoint RDDs.
+    val prev = System.getProperty("graft.lcp.path")
+    System.setProperty("graft.lcp.path", "hash")
+    try {
+      val nPairs = 12
+      def passage(i: Int) = f"$i%04dabcdefgh$i%04dijklmnop$i%04d"
+      val docs = (0 until nPairs).flatMap { i =>
+        Seq((2L * i, f"hlpad $i%04dA ${passage(i)}hrpad $i%04dA"),
+          (2L * i + 1, f"hlpad $i%04dB ${passage(i)}hrpad $i%04dB"))
+      } ++ Seq(910L, 911L).map(_ -> "hash path whole doc duplicated verbatim")
+      import spark.implicits._
+      val ddf = docs.toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val seq1 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4))
+      val par2 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4,
+        maxConcurrentShards = 2))
+      assert(par2 == seq1)
+      assert(seq1.nonEmpty)
+    } finally {
+      if (prev == null) System.clearProperty("graft.lcp.path")
+      else System.setProperty("graft.lcp.path", prev)
+    }
+  }
+
   test("cached sharded cut: consumers ride one kernel; invalidate refreshes") {
     val docs = Seq(
       0L -> "xx0123456789abcdefghij yy",
@@ -458,10 +494,10 @@ class SuffixArraySpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val nShards = 4
-    // pairs share an 8-TOKEN passage (>= w + k - 1 = 7: the winnowing
-    // guarantee applies) that is also 55 chars (>= minLen 20: the SA
-    // tier cuts it within-shard); every token carries the pair id so
-    // cross-pair shared substrings stay short
+    // pairs share a 55-CHAR passage (>= minLen 20 + winnowW 8 - 1 = 27:
+    // the winnowing guarantee applies, and the SA tier cuts it
+    // within-shard); every token carries the pair id so cross-pair
+    // shared substrings stay short
     val nPairs = 24
     def passage(i: Int) =
       f"aa$i%04d bb$i%04d cc$i%04d dd$i%04d ee$i%04d ff$i%04d gg$i%04d hh$i%04d"
@@ -480,7 +516,7 @@ class SuffixArraySpec extends AnyFunSuite {
       nShards = nShards)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val full = SuffixArray.crossShardDedupCut(ddf, minLen = 20,
-      nShards = nShards, k = 4, w = 4)
+      nShards = nShards, winnowW = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val coveredSharded = shardedOnly.map(_._1).toSet
     val coveredFull = full.map(_._1).toSet
@@ -562,25 +598,78 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
-  test("winnowed fingerprint spans are self-consistent with the text") {
+  test("winnowed char-gram spans are self-consistent with the text") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "alpha beta gamma delta epsilon zeta eta theta extra tail"
-    val spans = graft.functions.Hashing.winnowedFingerprintSpans(text, 4, 4)
+    val L = 20
+    val spans = graft.functions.Hashing.winnowedCharGramSpans(text, L, 8)
     assert(spans.nonEmpty)
     val md = java.security.MessageDigest.getInstance("MD5")
     spans.foreach { case (fp, s, e) =>
+      // every span is exactly one gram: the cut grain IS gramLen
+      assert(e - s == L, s"span [$s,$e) is not $L chars")
       val gram = text.substring(s.toInt - 1, e.toInt - 1)
-      // the span IS the k-token gram the fingerprint hashes
-      assert(gram.split(" ", -1).length == 4, s"span [$s,$e) -> '$gram'")
       val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.reset()
       val hex = dig.map(b => f"$b%02x").mkString
       assert(hex == fp, s"fingerprint mismatch at [$s,$e): '$gram'")
     }
-    // the duplicated 8-token run guarantees a common selection: at
-    // least one fingerprint recurs at two distinct spans
+    // the duplicated 46-char run ("alpha … theta " twice) exceeds
+    // L + w − 1 = 27, so the winnowing guarantee forces a common
+    // selection: at least one fingerprint recurs at two distinct spans
     val byFp = spans.groupBy(_._1)
     assert(byFp.exists(_._2.length >= 2))
+  }
+
+  test("winnow tier precision: a recurring phrase below minLen is NEVER cut " +
+      "(planted clean corpus, false-cut rate 0) while a long run still is") {
+    // r17 verdict #1: the old k-token grain cut ~20-char grams against
+    // a 40-char contract — a common short phrase was sliced out of
+    // every doc containing it. With the gram length = minLen, a cut
+    // span IS a provably recurring minLen-char substring, so the
+    // planted CLEAN corpus (a shared 19-char phrase, everything else
+    // unique — max shared run 21 chars with the flanking spaces) must
+    // produce ZERO cuts, and the control pair's 44-char shared passage
+    // (≥ minLen + w − 1 = 37) must still be cut in both copies.
+    import spark.implicits._
+    val minLen = 30
+    val phrase = "the quick brown fox" // 19 chars < minLen
+    val clean = (0 until 12).map { i =>
+      i.toLong -> f"u$i%04d v$i%04d $phrase w$i%04d x$i%04d y$i%04d z$i%04d"
+    }
+    val passage = "exactly forty five characters shared run xyz" // 44 chars
+    val ctl = Seq(
+      100L -> s"aaa0100 bbb0100 $passage ccc0100",
+      101L -> s"ddd0101 eee0101 $passage fff0101")
+    val texts = (clean ++ ctl).toMap
+    val ddf = (clean ++ ctl).toDF("doc_id", "text")
+    val w = graft.operators.Dedup
+      .winnowedCharSpans(ddf, "doc_id", "text", minLen, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val falseCuts = w.filter(_._1 < 100L)
+    assert(falseCuts.isEmpty,
+      s"false cuts on the clean corpus: ${falseCuts.mkString(", ")}")
+    assert(w.exists(_._1 == 100L) && w.exists(_._1 == 101L),
+      "the >= minLen+w-1 control passage was not cut in both copies")
+    // precision 1.0 by construction: every emitted span is an exactly-
+    // minLen-char substring that occurs >= 2 times in the corpus
+    w.foreach { case (d, s, e) =>
+      assert(e - s == minLen)
+      val sub = texts(d).substring(s.toInt - 1, e.toInt - 1)
+      val occ = texts.valuesIterator.map { t =>
+        var c = 0; var idx = t.indexOf(sub)
+        while (idx >= 0) { c += 1; idx = t.indexOf(sub, idx + 1) }
+        c
+      }.sum
+      assert(occ >= 2, s"cut span [$s,$e) of doc $d does not recur: '$sub'")
+    }
+    // the full cross-shard union inherits the precision: no clean doc
+    // is touched, both control docs are covered
+    val full = SuffixArray
+      .crossShardDedupCut(ddf, minLen = minLen, nShards = 4, winnowW = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(!full.exists(_ < 100L), s"union cut clean docs: $full")
+    assert(full == Set(100L, 101L))
   }
 
   test("longest duplicated substring surfaces a planted cross-doc passage") {
