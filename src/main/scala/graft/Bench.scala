@@ -113,7 +113,8 @@ object Bench {
     "q167_mix_quota", "q168_cc_incremental", "q169_hash_sample",
     "q170_sole_late_supplier", "q171_top_p_select", "q172_rfm_segments",
     "q173_langid_nb", "q174_sharded_dedup_cut",
-    "q175_sharded_dup_coverage", "q176_cross_shard_dedup_cut")
+    "q175_sharded_dup_coverage", "q176_cross_shard_dedup_cut",
+    "q177_curation_pipeline", "q178_cross_shard_dup_coverage")
 
   /** Single-measurement tier: excluded from the 3-pass loop and the
     * headline total, measured once, reported in the queries map. Two
@@ -130,17 +131,28 @@ object Bench {
     *    cost ~2 min of the driver slot and buy no information the
     *    scale rehearsal's tiered runs don't already measure; its
     *    1×/10×/100× exponents are the evidence that matters.
-    *  - q175/q176 ride q174's cached cut table (r16 verdict #2 — the
-    *    family costs ONE kernel run), so they live in the same tier:
-    *    in the 3-pass loop their pass-1 sample would re-run the whole
-    *    kernel whenever the cache was invalidated, and their warm
-    *    samples would be pure cache probes — neither is a number worth
-    *    three passes. The tier runs in headline order (q174 first), so
-    *    the kernel cost lands on q174's measurement.
+    *  - q175/q176/q178 ride q174's cached cut table (r16 verdict #2 —
+    *    the family costs ONE kernel run), so they live in the same
+    *    tier: in the 3-pass loop their pass-1 sample would re-run the
+    *    whole kernel whenever the cache was invalidated, and their
+    *    warm samples would be pure cache probes — neither is a number
+    *    worth three passes. The tier runs in headline order (q174
+    *    first), so the kernel cost lands on q174's measurement; the
+    *    artifact's `sharded_cut_cache_warm` map records whether each
+    *    family member actually found the cache warm (r17 ADVICE: under
+    *    a query filter that excludes q174, a "1 s" q175 would
+    *    silently become a full kernel run).
     */
   val oracleTier: Set[String] = Set("q30_embed_neardup",
     "q174_sharded_dedup_cut", "q175_sharded_dup_coverage",
-    "q176_cross_shard_dedup_cut")
+    "q176_cross_shard_dedup_cut", "q178_cross_shard_dup_coverage")
+
+  /** The sharded-kernel family whose members share one session-cached
+    * cut table (see [[oracleTier]]'s cache-warm telemetry).
+    */
+  private val shardedCutFamily: Set[String] = Set(
+    "q174_sharded_dedup_cut", "q175_sharded_dup_coverage",
+    "q176_cross_shard_dedup_cut", "q178_cross_shard_dup_coverage")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
@@ -229,8 +241,16 @@ object Bench {
       if (failed.contains(name)) (name, -1.0, -1L)
       else (name, samples.map(_._2).min, samples.map(_._3).min)
     }
-    // oracle tier: one measurement each, reported but not totaled
+    // oracle tier: one measurement each, reported but not totaled;
+    // sharded-family members snapshot cache state first so the
+    // artifact shows which timing rode q174's cached cut table
+    val shardedCacheWarm =
+      scala.collection.mutable.LinkedHashMap[String, Boolean]()
     val oracleResults = headline.filter(oracleTier).map { name =>
+      if (shardedCutFamily.contains(name))
+        shardedCacheWarm(name) = graft.operators.SuffixArray
+          .isShardedCutCached(spark, sfDir, minLen = 40,
+            nShards = graft.queries.IndexQueries.Q174Shards)
       val r = timeOne(name)
       if (failed.contains(name)) (name, -1.0, -1L) else r
     }
@@ -328,6 +348,8 @@ object Bench {
     }.mkString("{", ",", "}")
     writeArtifacts("headline", Seq(
       "loadavg_start" -> ("\"" + loadAvgStart + "\""),
+      "sharded_cut_cache_warm" -> shardedCacheWarm
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"),
       "queries_raw" -> rawJson), "null")
 
     // ---- pinned 1× gate bases (budget-guarded) ------------------------

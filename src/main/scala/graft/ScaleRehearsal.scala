@@ -329,6 +329,30 @@ object ScaleRehearsal {
     // the most expensive member, and independent of the others' caches.
     "q174_sharded_dedup_cut")
 
+  /** The decade-2 SA family — the trailing block of [[decade2Names]]
+    * that shares the build/walk caches and the single-JVM heap
+    * envelope. Since r18 it runs at 100× in its OWN sub-forked JVM
+    * (fresh heap, [[SaSubforkMem]]) — r17's in-run decade-2 lost the
+    * whole family when q137's 100× build OOMed a heap that had already
+    * absorbed the full tier-10 + probes and stopped the shared
+    * SparkContext (r17 verdict #2); the targeted fresh-JVM rerun
+    * settled every member cleanly, so the fix is to make the fresh JVM
+    * the in-run protocol, merging the sub-fork's measurements into the
+    * same artifact.
+    */
+  val decade2SaFamily: Set[String] = Set(
+    "q137_suffix_array", "q138_longest_dup_substring",
+    "q126_dup_substring_coverage", "q127_dup_substring_cut",
+    "q174_sharded_dedup_cut")
+
+  /** Sub-fork heap: the r17 targeted SA rerun's measured-working size
+    * (q137 100× build settled at exponent 1.007 under 56g after the
+    * 48g in-run child OOMed). Overridable via SPARK_GRAFT_SA_MEM. The
+    * parent rehearsal child STOPS its SparkContext before launching
+    * the sub-fork, so the two heaps never peak together.
+    */
+  val SaSubforkMem = "56g"
+
   /** Decade-2 SA-family attribution dependencies: if a prerequisite
     * stage was budget-skipped (or failed), its dependents must skip
     * too — running q126 with no cached build/walk would silently bill
@@ -460,6 +484,47 @@ object ScaleRehearsal {
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
   private def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
 
+  /** Run one registered query fully materialized (noop write) with the
+    * like-for-like broadcast pin for [[NoBroadcastBase]] members —
+    * every tier runs under the join strategy the 100 TB plan would use
+    * (Bench pins the 1× bases identically). Shared by the rehearsal
+    * loop and the decade-2 SA sub-fork ([[ScaleRehearsalSaD2]]).
+    */
+  private[graft] def runPinned(spark: SparkSession, name: String,
+                               dir: String): Boolean =
+    SparkEntry.queries.get(name) match {
+      case None =>
+        System.err.println(s"[rehearsal] $name is not in SparkEntry.queries")
+        false
+      case Some(fn) =>
+        val pinNoBc = NoBroadcastBase.contains(name)
+        val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        val prevABc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        if (pinNoBc) {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        }
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[rehearsal] $name failed at $dir: ${e.getMessage}")
+          false
+        }
+        // per-sample release of query-transient persists — each
+        // sample must see the same storage state, or pass-2 runs
+        // measure the leak, not the engine (see TransientPersists)
+        finally {
+          graft.operators.TransientPersists.releaseAll()
+          if (pinNoBc) {
+            def restore(key: String, v: Option[String]): Unit = v match {
+              case Some(x) => spark.conf.set(key, x)
+              case None => spark.conf.unset(key)
+            }
+            restore("spark.sql.autoBroadcastJoinThreshold", prevBc)
+            restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevABc)
+          }
+        }
+    }
+
   /** JSON-escape a free-text value before it is quoted into the
     * artifact (r15 ADVICE #1: skip reasons interpolate e.getMessage,
     * and Spark exception messages routinely carry newlines/quotes —
@@ -560,42 +625,7 @@ object ScaleRehearsal {
     // was measured under the same pin).
     System.setProperty("graft.lcp.path", "hash")
 
-    def runOne(name: String, dir: String): Boolean =
-      SparkEntry.queries.get(name) match {
-        case None =>
-          System.err.println(s"[rehearsal] $name is not in SparkEntry.queries")
-          false
-        case Some(fn) =>
-          // like-for-like pin for data-scaled-broadcast queries: every
-          // tier runs under the join strategy the 100 TB plan would use
-          // (see NoBroadcastBase; Bench pins the 1× base identically)
-          val pinNoBc = NoBroadcastBase.contains(name)
-          val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-          val prevABc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
-          if (pinNoBc) {
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-          }
-          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[rehearsal] $name failed at $dir: ${e.getMessage}")
-            false
-          }
-          // per-sample release of query-transient persists — each
-          // sample must see the same storage state, or pass-2 runs
-          // measure the leak, not the engine (see TransientPersists)
-          finally {
-            graft.operators.TransientPersists.releaseAll()
-            if (pinNoBc) {
-              def restore(key: String, v: Option[String]): Unit = v match {
-                case Some(x) => spark.conf.set(key, x)
-                case None => spark.conf.unset(key)
-              }
-              restore("spark.sql.autoBroadcastJoinThreshold", prevBc)
-              restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevABc)
-            }
-          }
-      }
+    def runOne(name: String, dir: String): Boolean = runPinned(spark, name, dir)
     /** (secs, shuffleWriteBytes, shuffleReadBytes, inputScanBytes);
       * (-1,-1,-1,-1) on failure. */
     def timeOne(name: String, dir: String): (Double, Long, Long, Long) = {
@@ -922,7 +952,20 @@ object ScaleRehearsal {
           finally { sampling = false; sampler.join(2000) }
         val wall = (System.nanoTime() - t0) / 1e9
         graft.operators.SuffixArray.clearCaches(spark) // release the probe's sidecars
+        // end-of-probe drift on the same whole-volume counter: after
+        // the caches/sidecars are released, any residual delta is
+        // activity the probe did NOT cause (or failed to clean) — the
+        // reader's scale for how much of peak_disk_bytes could be
+        // concurrent-attribution noise (r17 ADVICE)
+        val driftEnd = math.max(0L,
+          tmpFile.getTotalSpace - tmpFile.getUsableSpace - disk0)
         jmap(Seq(
+          "peak_disk_method" -> jstr("whole-tmpdir usage delta sampled at " +
+            "4 Hz plus spilled block bytes: concurrent unrelated disk " +
+            "activity on the volume is ATTRIBUTED to the probe, and " +
+            "sub-250 ms spill peaks can be missed - an approximate, " +
+            "environment-sensitive gate, not an exact measurement"),
+          "disk_drift_end_bytes" -> driftEnd.toString,
           "sum_len" -> sumLen.toString,
           "max_len" -> maxLen.toString,
           "need_bytes" -> need.toString,
@@ -977,6 +1020,10 @@ object ScaleRehearsal {
       // didn't is listed, and a kill can only lose the in-flight query.
       val resourceSkipped =
         scala.collection.mutable.ArrayBuffer[(String, String)]()
+      // SA-family sub-fork telemetry (r17 verdict #2), published in the
+      // decade-2 object so a reader can tell fresh-JVM measurements
+      // from in-process ones without the child log
+      var saSubforkJson: String = "null"
       def d2Flush(pending: Seq[String]): Unit = {
         val lastExp: Seq[(String, Double)] = ran.toSeq.map {
           case (n, _, wb100, _, _, _) =>
@@ -995,6 +1042,7 @@ object ScaleRehearsal {
           .filterNot(settled)
           .flatMap(n => PriorEvidence.get(n).map(n -> _))
         val d2Extra = Seq(
+          "sa_subfork" -> saSubforkJson,
           "bytes_exponent_last" -> jmap(lastExp.map {
             case (n, e) => n -> (if (e == -999.0) "-1" else f"$e%.3f") }),
           "skipped_resource" -> jmap(resourceSkipped.toSeq.map {
@@ -1011,42 +1059,36 @@ object ScaleRehearsal {
       }
       val t10nruns = tier10.map(r => r._1 -> r._6.count(_._1 > 0)).toMap
       val unusable = scala.collection.mutable.Set[String]() // skipped or failed
-      decade2Names.zipWithIndex.foreach { case (n, i) =>
-        // pre-skip by cost estimate, not just starts (r14: starts-only
-        // gating let q137 begin near the deadline and overrun the fork
-        // budget by its full 100× runtime): observed 100×/10× wall
-        // ratios run 5–15× across the family, so estimate at the top
-        // of that band and skip a query the remaining budget clearly
-        // cannot hold — explicit in skipped_budget either way.
-        // Cold-vs-true-cost split (r15 ADVICE #2 — the old form capped
-        // the input at the single-run cutoff, which also capped
-        // GENUINELY expensive queries and recreated the r14 overrun
-        // mode): a multi-sample 10× min is warm — use it uncapped; a
-        // single sample exists precisely because run 1 exceeded the
-        // cutoff, and that one run is cold-inclusive (q110 r15 run 3:
-        // 314 s of mostly scaled-tier codegen vs ~25 s warm), so
-        // subtract a constant cold-compile estimate instead of
-        // clamping — cold cost is constant, not data-scaled.
-        val ColdCompileSecs = 120.0
-        val est = t10secs.get(n).filter(_ > 0)
-          .map { s =>
-            val warmish =
-              if (t10nruns.getOrElse(n, 0) >= 2) s
-              else math.max(60.0, s - ColdCompileSecs)
-            math.max(60.0, 15.0 * warmish)
-          }
-          .getOrElse(60.0)
+      // Cost estimate for the budget pre-skip (r14: starts-only gating
+      // let q137 begin near the deadline and overrun the fork budget by
+      // its full 100× runtime): observed 100×/10× wall ratios run
+      // 5–15× across the family, so estimate at the top of that band.
+      // Cold-vs-true-cost split (r15 ADVICE #2): a multi-sample 10×
+      // min is warm — use it uncapped; a single sample exists because
+      // run 1 exceeded the cutoff and is cold-inclusive, so subtract a
+      // constant cold-compile estimate instead of clamping.
+      val ColdCompileSecs = 120.0
+      def estOf(n: String): Double = t10secs.get(n).filter(_ > 0)
+        .map { s =>
+          val warmish =
+            if (t10nruns.getOrElse(n, 0) >= 2) s
+            else math.max(60.0, s - ColdCompileSecs)
+          math.max(60.0, 15.0 * warmish)
+        }
+        .getOrElse(60.0)
+      // pre-checks shared by the in-process loop and the SA sub-fork
+      // (check order budget → deps → feasibility — r15 ADVICE #5: the
+      // feasibility check scans the scaled corpus, so it only runs for
+      // members the cheaper checks let through). `budgetGated = false`
+      // defers the sequential budget decision to the sub-forked child,
+      // which applies the same estimates against its own deadline.
+      def preSkip(n: String, budgetGated: Boolean): Boolean = {
         val remainingSecs = (deadline100 - System.nanoTime()) / 1e9
         val brokenDeps = decade2SaDeps.getOrElse(n, Nil).filter(unusable)
-        // check order: budget → deps → feasibility. The feasibility
-        // check scans the scaled corpus (memoized, but the first call
-        // pays it), so it only runs for queries the budget and deps
-        // would actually let through (r15 ADVICE #5); its wall cost
-        // then counts inside the slot that benefits from it.
-        if (remainingSecs <= est) {
+        if (budgetGated && remainingSecs <= estOf(n)) {
           System.err.println(f"[rehearsal] decade-2 budget: skipping $n " +
-            f"(est ${est}%.0f s > remaining ${remainingSecs}%.0f s)")
-          skipped += n; unusable += n
+            f"(est ${estOf(n)}%.0f s > remaining ${remainingSecs}%.0f s)")
+          skipped += n; unusable += n; true
         } else if (brokenDeps.nonEmpty) {
           // attribution dependency (see decade2SaDeps): with the
           // prerequisite stage uncached, this run would bill the
@@ -1055,7 +1097,7 @@ object ScaleRehearsal {
           System.err.println(s"[rehearsal] decade-2: skipping $n — its " +
             s"SA-stage prerequisites were skipped/failed: " +
             brokenDeps.mkString(", "))
-          skipped += n; unusable += n
+          skipped += n; unusable += n; true
         } else {
           val infeasible: Option[String] =
             Decade2Feasibility.get(n).flatMap { check =>
@@ -1064,20 +1106,186 @@ object ScaleRehearsal {
                 Some(s"feasibility check itself failed: ${e.getMessage}")
               }
             }
-          if (infeasible.isDefined) {
-            System.err.println(s"[rehearsal] decade-2: skipping $n — " +
-              infeasible.get)
-            resourceSkipped += (n -> infeasible.get)
-            skipped += n; unusable += n
-          } else {
-            val r = timeOne(n, ScaledDir100)
-            ran += ((n, r._1, r._2, r._3, r._4, Seq(r)))
-            if (r._1 <= 0) unusable += n
+          infeasible match {
+            case Some(why) =>
+              System.err.println(s"[rehearsal] decade-2: skipping $n — $why")
+              resourceSkipped += (n -> why)
+              skipped += n; unusable += n; true
+            case None => false
           }
         }
-        d2Flush(decade2Names.drop(i + 1))
+      }
+      val nonSa = decade2Names.filterNot(decade2SaFamily)
+      val saMembers = decade2Names.filter(decade2SaFamily)
+      nonSa.zipWithIndex.foreach { case (n, i) =>
+        if (!preSkip(n, budgetGated = true)) {
+          val r = timeOne(n, ScaledDir100)
+          ran += ((n, r._1, r._2, r._3, r._4, Seq(r)))
+          if (r._1 <= 0) unusable += n
+        }
+        d2Flush(nonSa.drop(i + 1) ++ saMembers)
+      }
+      // ---- the SA family, in its own sub-forked JVM (r17 verdict #2) ----
+      // r17's in-run decade-2 reached this block with a heap that had
+      // already absorbed the whole tier-10 + probes, and q137's 100×
+      // build OOM stopped the shared SparkContext — losing the family
+      // to heap-debt SCHEDULING, not plans (the fresh-JVM targeted
+      // rerun settled everything at the same exponents). Protocol now:
+      // pre-check each member here (deps + feasibility; the corpus
+      // scan needs this session), then STOP this session — its heap
+      // must not peak alongside the sub-fork's — and run the survivors
+      // in a fresh 56g JVM that times each member and reports
+      // (secs, write/read/input bytes) over a TSV; the child applies
+      // the same per-member budget estimates against its own deadline
+      // and the same dep rules on failures, so a mid-family death
+      // costs only the in-flight member. SPARK_GRAFT_SA_SUBFORK=0
+      // falls back to the pre-r18 in-process protocol.
+      val saRunnable = saMembers.filterNot(preSkip(_, budgetGated = false))
+      if (saRunnable.nonEmpty) {
+        val remainingSecs = (deadline100 - System.nanoTime()) / 1e9
+        val cp = System.getProperty("java.class.path")
+        // don't pay the sub-fork's ~90 s JVM-start + warmup when the
+        // remaining budget cannot hold even the CHEAPEST member — the
+        // in-process branch then budget-skips everything instantly
+        // (the in-slot driver bench's usual decade-2 tail state)
+        val subforkOk = freshJvm &&
+          sys.env.getOrElse("SPARK_GRAFT_SA_SUBFORK", "1") == "1" &&
+          cp != null && cp.contains("classes") &&
+          remainingSecs > saRunnable.map(estOf).min + 90
+        if (!subforkOk) {
+          System.err.println(s"[rehearsal] decade-2 SA family: in-process " +
+            s"(subfork unavailable: freshJvm=$freshJvm remaining=" +
+            f"$remainingSecs%.0f s)")
+          saRunnable.zipWithIndex.foreach { case (n, i) =>
+            if (!preSkip(n, budgetGated = true)) {
+              val r = timeOne(n, ScaledDir100)
+              ran += ((n, r._1, r._2, r._3, r._4, Seq(r)))
+              if (r._1 <= 0) unusable += n
+            }
+            d2Flush(saRunnable.drop(i + 1))
+          }
+        } else {
+          saSubforkJson = jmap(Seq("used" -> "true",
+            "members" -> saRunnable.map(jstr).mkString("[", ",", "]"),
+            "mem" -> jstr(sys.env.getOrElse("SPARK_GRAFT_SA_MEM", SaSubforkMem)),
+            "state" -> jstr("launched")))
+          d2Flush(saRunnable) // durable artifact before this session dies
+          try spark.stop()
+          catch { case e: Exception =>
+            System.err.println(s"[rehearsal] pre-subfork stop: ${e.getMessage}")
+          }
+          System.gc() // release this JVM's heap before the 56g child starts
+          val t0 = System.nanoTime()
+          val sub = forkSaD2(ScaledDir100, saRunnable.map(n => n -> estOf(n)),
+            deadlineSecs = math.max(60.0, remainingSecs - 30.0))
+          val wall = (System.nanoTime() - t0) / 1e9
+          sub match {
+            case None =>
+              saSubforkJson = jmap(Seq("used" -> "true",
+                "members" -> saRunnable.map(jstr).mkString("[", ",", "]"),
+                "state" -> jstr("fork failed - members recorded as skipped"),
+                "wall_secs" -> f"$wall%.1f"))
+              skipped ++= saRunnable
+            case Some(rows) =>
+              rows.foreach {
+                case (n, Right(r)) =>
+                  ran += ((n, r._1, r._2, r._3, r._4, Seq(r)))
+                  if (r._1 <= 0) unusable += n
+                case (n, Left(why)) =>
+                  System.err.println(s"[rehearsal] SA subfork skipped $n: $why")
+                  skipped += n; unusable += n
+              }
+              val reported = rows.map(_._1).toSet
+              val lost = saRunnable.filterNot(reported)
+              if (lost.nonEmpty) {
+                System.err.println(s"[rehearsal] SA subfork lost: " +
+                  lost.mkString(", "))
+                skipped ++= lost
+              }
+              saSubforkJson = jmap(Seq("used" -> "true",
+                "members" -> saRunnable.map(jstr).mkString("[", ",", "]"),
+                "state" -> jstr("completed"),
+                "mem" -> jstr(sys.env.getOrElse("SPARK_GRAFT_SA_MEM", SaSubforkMem)),
+                "wall_secs" -> f"$wall%.1f"))
+          }
+        }
       }
       d2Flush(Nil)
+    }
+  }
+
+  /** JPMS opens Spark needs on Java 17+, shared by every forked JVM. */
+  private[graft] val AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Launch [[ScaleRehearsalSaD2]] — the decade-2 SA-family sub-fork —
+    * and parse its per-member TSV. Returns None when the process could
+    * not start or produced no file at all; otherwise one entry per
+    * reported member: Right((secs, writeBytes, readBytes, inputBytes))
+    * for attempted members (secs = -1 on failure, matching timeOne's
+    * convention) or Left(reason) for members the child skipped
+    * (budget / failed deps). The TSV is appended-and-flushed per
+    * member, so a timeout kill loses only the in-flight member.
+    */
+  private def forkSaD2(scaledDir: String, members: Seq[(String, Double)],
+                       deadlineSecs: Double)
+      : Option[Seq[(String, Either[String, (Double, Long, Long, Long)])]] = {
+    try {
+      val cp = System.getProperty("java.class.path")
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+      val mem = sys.env.getOrElse("SPARK_GRAFT_SA_MEM", SaSubforkMem)
+      // tmpdir nested under THIS process's tmpdir: when Bench forked us,
+      // java.io.tmpdir is scale_rehearsal_tmp, which the Bench parent
+      // deletes after waitFor — so even a SIGKILLed grandchild's spill
+      // dirs get cleaned by the grandparent
+      val subTmp = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft_sa_subfork_tmp").getAbsoluteFile
+      subTmp.mkdirs()
+      val outTsv = new java.io.File("scale_rehearsal_sa_sub.tsv").getAbsoluteFile
+      java.nio.file.Files.deleteIfExists(outTsv.toPath)
+      val cmd = Seq(javaBin) ++ AddOpens ++ Seq(s"-Xmx$mem",
+        "-Duser.timezone=UTC", s"-Djava.io.tmpdir=$subTmp",
+        "-cp", cp, "graft.ScaleRehearsalSaD2",
+        scaledDir, outTsv.getAbsolutePath,
+        members.map { case (n, e) => f"$n:$e%.0f" }.mkString(","),
+        f"$deadlineSecs%.0f")
+      val pb = new ProcessBuilder(cmd: _*)
+      val log = new java.io.File("scale_rehearsal_child.log")
+      pb.redirectOutput(ProcessBuilder.Redirect.appendTo(log))
+      pb.redirectError(ProcessBuilder.Redirect.appendTo(log))
+      val p = pb.start()
+      try {
+        val done = p.waitFor((deadlineSecs + 120).toLong,
+          java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { p.destroyForcibly(); p.waitFor() }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(subTmp)
+      }
+      if (!outTsv.isFile) None
+      else Some(scala.io.Source.fromFile(outTsv).getLines().toSeq.flatMap { line =>
+        line.split('\t') match {
+          case Array("#skip", n, why) => Some(n -> Left(why))
+          case Array(n, s, wb, rb, ib) =>
+            Some(n -> Right((s.toDouble, wb.toLong, rb.toLong, ib.toLong)))
+          case _ => None
+        }
+      })
+    } catch { case e: Exception =>
+      System.err.println(s"[rehearsal] SA subfork failed: ${e.getMessage}")
+      None
     }
   }
 
@@ -1097,15 +1305,7 @@ object ScaleRehearsal {
       }
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar",
-      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val addOpens = AddOpens
       // 48g default (box: 128 GiB; the idle parent holds 32g): the 100×
       // tier's SA build OOMed at 32g when identical 64-char start keys
       // landed in ONE range partition. That ceiling is since fixed at
@@ -1149,6 +1349,103 @@ object ScaleRehearsal {
     } catch { case e: Exception =>
       System.err.println(s"[rehearsal] fork failed: ${e.getMessage}")
       false
+    }
+  }
+}
+
+/** Decade-2 SA-family runner — the sub-forked JVM behind
+  * [[ScaleRehearsal]]'s 100× tier (r17 verdict #2). The family's 100×
+  * members need a FRESH heap: r17's in-run decade-2 reached them in a
+  * JVM that had already absorbed the whole tier-10 + probe workload,
+  * and q137's 100× build OOM stopped the shared SparkContext, losing
+  * every later member — while the same members settled cleanly in a
+  * fresh 56g JVM. This main runs ONLY the SA members, in stage order,
+  * with the parent's per-member cost estimates applied against its own
+  * deadline and the decade2SaDeps rules applied on failures, emitting
+  * one flushed TSV line per member so a timeout kill loses only the
+  * in-flight one.
+  *
+  * args: scaledDir outTsv name:est[,name:est...] deadlineSecs
+  */
+object ScaleRehearsalSaD2 {
+  def main(args: Array[String]): Unit = {
+    val Array(scaledDir, outTsv, membersCsv, deadlineStr) = args.take(4)
+    val deadlineSecs = deadlineStr.toDouble
+    val deadline = System.nanoTime() + (deadlineSecs * 1e9).toLong
+    // hard self-watchdog: the parent normally kills an overrunning
+    // sub-fork, but if the PARENT is SIGKILLed first (driver slot
+    // timeout) nothing else would reap a 56g orphan — halt ourselves
+    // a margin past the deadline, unconditionally
+    val watchdog = new Thread(() => {
+      try Thread.sleep(((deadlineSecs + 240) * 1000).toLong)
+      catch { case _: InterruptedException => return }
+      System.err.println("[sa-subfork] watchdog: past deadline - halting")
+      Runtime.getRuntime.halt(3)
+    }, "graft-sa-subfork-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+    val members: Seq[(String, Double)] =
+      membersCsv.split(',').toSeq.filter(_.nonEmpty).map { s =>
+        val i = s.lastIndexOf(':')
+        (s.substring(0, i), s.substring(i + 1).toDouble)
+      }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      // same scaled-tier spill-awareness as the rehearsal session
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shuffle = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(shuffle)
+    // same like-for-like pin as every rehearsal tier (and the 1× base)
+    System.setProperty("graft.lcp.path", "hash")
+    val out = new java.io.PrintWriter(
+      new java.io.FileWriter(outTsv, /* append = */ true))
+    def emit(line: String): Unit = { out.println(line); out.flush() }
+    try {
+      // warmup on the smallest SF: this JVM is cold, and the family's
+      // 100× members run ONCE — without this their wall samples would
+      // be codegen-compile-dominated (bytes are unaffected either way)
+      val warmupDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmupDir).isDirectory)
+        members.foreach(m => ScaleRehearsal.runPinned(spark, m._1, warmupDir))
+      val unusable = scala.collection.mutable.Set[String]()
+      members.foreach { case (n, est) =>
+        val remaining = (deadline - System.nanoTime()) / 1e9
+        val brokenDeps =
+          ScaleRehearsal.decade2SaDeps.getOrElse(n, Nil).filter(unusable)
+        if (remaining <= est) {
+          emit(f"#skip\t$n\tbudget: est $est%.0f s > remaining $remaining%.0f s")
+          unusable += n
+        } else if (brokenDeps.nonEmpty) {
+          emit(s"#skip\t$n\tSA-stage prerequisites failed: " +
+            brokenDeps.mkString("+"))
+          unusable += n
+        } else {
+          val b0 = shuffle.bytes.get()
+          val r0 = shuffle.readBytes.get()
+          val i0 = shuffle.inputBytes.get()
+          val t0 = System.nanoTime()
+          val ok = ScaleRehearsal.runPinned(spark, n, scaledDir)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (ok)
+            emit(f"$n\t$dt%.3f\t${shuffle.bytes.get() - b0}\t" +
+              s"${shuffle.readBytes.get() - r0}\t${shuffle.inputBytes.get() - i0}")
+          else {
+            emit(s"$n\t-1\t-1\t-1\t-1")
+            unusable += n
+          }
+        }
+      }
+    } finally {
+      out.close()
+      spark.stop()
     }
   }
 }

@@ -770,13 +770,33 @@ object SuffixArray {
   def shardedDedupCutCached(docs: DataFrame, key: String, minLen: Int,
                             nShards: Int, docIdCol: String = "doc_id",
                             textCol: String = "text",
-                            numPartitions: Int = 32): DataFrame =
-    shardedCutCache.computeIfAbsent(
-      (System.identityHashCode(docs.sparkSession),
-        shardedCutKey(key, minLen, nShards)),
+                            numPartitions: Int = 32): DataFrame = {
+    val cacheKey = (System.identityHashCode(docs.sparkSession),
+      shardedCutKey(key, minLen, nShards))
+    // hit/miss is LOGGED (r17 ADVICE): q174's invalidate-then-recompute
+    // makes the family's cost attribution order-dependent under query
+    // filters — a filtered run where q175/q176/q178 computes the whole
+    // kernel must be distinguishable from one that rode the cache, or
+    // the recorded secs are uninterpretable across runs
+    val hit = shardedCutCache.containsKey(cacheKey)
+    System.err.println(s"[suffixarray] shardedDedupCutCached " +
+      s"${if (hit) "HIT" else "MISS (running per-shard kernel)"}: " +
+      s"key=$key minLen=$minLen nShards=$nShards")
+    shardedCutCache.computeIfAbsent(cacheKey,
       _ => checkpointReleasing(docs.sparkSession)(
         shardedDedupCut(docs, minLen, nShards, docIdCol, textCol,
           numPartitions)))._1
+  }
+
+  /** Is the (key, minLen, nShards) cut table already cached for this
+    * session? Bench snapshots this before each sharded-family query so
+    * the artifact records which measurements rode the cache
+    * (r17 ADVICE — cost attribution under query filters).
+    */
+  def isShardedCutCached(spark: SparkSession, key: String, minLen: Int,
+                         nShards: Int): Boolean =
+    shardedCutCache.containsKey(
+      (System.identityHashCode(spark), shardedCutKey(key, minLen, nShards)))
 
   def invalidateShardedCutCached(spark: SparkSession, key: String,
                                  minLen: Int, nShards: Int): Unit = {

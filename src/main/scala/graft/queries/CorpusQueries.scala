@@ -2631,6 +2631,16 @@ object CorpusQueries {
       .select(col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
       .groupBy("source").agg(sum(col("nt")).as("weight"))
+    largestRemainderQuotas(w).orderBy("source")
+  }
+
+  /** Hamilton largest-remainder apportionment over a `(source, weight)`
+    * frame with budget = Σweight div 3 → `(source, weight, quota)`.
+    * Factored from q167 so the q177 curation pipeline apportions over
+    * its SURVIVOR weights with literally the same arithmetic; the
+    * ordering window is source-count-bounded, never corpus-sized.
+    */
+  private def largestRemainderQuotas(w: DataFrame): DataFrame = {
     val tot = w.agg(sum(col("weight")).as("tw"))
       .withColumn("budget", expr("tw div 3"))
     val win = org.apache.spark.sql.expressions.Window
@@ -2643,7 +2653,6 @@ object CorpusQueries {
       .select(col("source"), col("weight"),
         (col("floor_q") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
           .as("quota"))
-      .orderBy("source")
   }
 
   val q167Sql: String =
@@ -2734,12 +2743,160 @@ object CorpusQueries {
       | CAST(MAX(quota) AS BIGINT) AS tokens_target
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** q177 — the END-TO-END curation pipeline (r17 verdict #4): the
+    * operator inventory gates each stage alone; this gates their
+    * ASSEMBLY — the chain a real training-data run is — as ONE query
+    * whose DuckDB oracle replays the whole chain, proving the stages
+    * compose (schemas line up, determinism survives composition, and
+    * the chain stays one lineage with no driver round-trips between
+    * stages beyond the two scalar collects noted below):
+    *
+    *  1. FILTER   — q52's cumulative quality cascade (min chars, min
+    *     tokens, mean token length band, distinct ratio); per-row
+    *     predicates, evaluated in the scan projection.
+    *  2. DEDUP    — q19's exact keep-first: min doc_id per md5(text)
+    *     group among survivors; one digest-keyed shuffle.
+    *  3. DECONTAM — q66's Bloom-pruned EXACT decontamination: drop the
+    *     eval source ('src0') and every doc sharing ≥ 1 distinct
+    *     5-shingle with src0's gram set (the Bloom pass only prunes —
+    *     false positives are re-checked by the exact verify join, so
+    *     the result is identical to the brute join the oracle runs).
+    *  4. MIX      — q167's Hamilton apportionment over the SURVIVORS'
+    *     per-source token weights (budget = ⅓ of survivor tokens),
+    *     then q169's deterministic hash-sampling keep rule
+    *     (md5("smp:"+id) mod 2^20 < quota·2^20 div weight) — the
+    *     quota table is source-count-sized and broadcast.
+    *  5. PACK     — q48's two-pass PrefixSum packing of the sampled
+    *     docs in doc_id order into 1024-token chunks; never a
+    *     single-task global window.
+    *
+    * Scale shape: stages 1–4 are one map-side pass + three keyed,
+    * map-side-combined aggregations (digest groups, gram verify,
+    * source weights); the only driver materializations are the Bloom
+    * sketch (distributed merge, ~10 bits/gram) and the source-count
+    * quota table; stage 5 is the two-pass scan. At 100 TB nothing here
+    * shuffles more than once per stage and nothing corpus-sized ever
+    * reaches the driver. Output: one row per doc the curated run
+    * TRAINS ON, with its token span and chunk assignment.
+    */
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 1024
+    // stage 1 — quality filter (q52's p1..p4, kept docs only)
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_chars").cast("long").as("nc"),
+        TextFns.tokens(col("text")).as("w"))
+      .withColumn("nt", size(col("w")).cast("long"))
+    val filtered = tok
+      .filter(col("nc") >= 100 && col("nt") >= 25)
+      .filter((col("nc").cast("double") / col("nt").cast("double"))
+        .between(3.0, 12.0))
+      .filter(size(array_distinct(col("w"))).cast("double") /
+        col("nt").cast("double") >= 0.4)
+    // stage 2 — exact dedup keep-first (q19's rule on the survivors)
+    val keepers = filtered.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = filtered.join(keepers, Seq("doc_id"), "left_semi")
+    // stage 3 — decontaminate (q66's bloom + exact verify; threshold:
+    // ANY shared distinct 5-shingle with the eval set disqualifies)
+    val gramUdf = udf { text: String =>
+      graft.functions.Hashing.shingleSet(text, 5)
+    }
+    val benchGrams = Tables.documents(s, dir)
+      .filter(col("source") === "src0")
+      .select(explode(gramUdf(col("text"))).as("gram")).distinct()
+    val bloom = benchGrams.stat.bloomFilter("gram", 1L << 20, 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf { g: String => bloomBc.value.mightContainString(g) }
+    val candidates = deduped.filter(col("source") =!= "src0")
+    val contaminated = candidates
+      .select(col("doc_id"), explode(gramUdf(col("text"))).as("gram"))
+      .filter(mightContain(col("gram")))
+      .join(broadcast(benchGrams), "gram")
+      .select("doc_id").distinct()
+    val clean = candidates.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 4 — Hamilton quotas over SURVIVOR weights + hash sampling
+    val weights = clean.groupBy("source").agg(sum(col("nt")).as("weight"))
+    val quotas = largestRemainderQuotas(weights)
+    val hUdf = udf { id: Long =>
+      java.lang.Math.floorMod(
+        graft.functions.Hashing.md5Hash64("smp:" + id), 1048576L)
+    }
+    val sampled = clean.join(broadcast(quotas), "source")
+      .withColumn("rate", expr("(quota * 1048576) div weight"))
+      .filter(hUdf(col("doc_id")) < col("rate"))
+    // stage 5 — pack the kept docs into chunk-token windows (q48/q85)
+    graft.operators.PrefixSum
+      .withRunningTotal(
+        sampled.select(col("doc_id"), col("source"), col("nt").as("n_tokens")),
+        "doc_id", "n_tokens", "cum")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        floor((col("cum") - col("n_tokens")) / chunk).cast("long").as("first_chunk"),
+        floor((col("cum") - 1) / chunk).cast("long").as("last_chunk"))
+      .orderBy("doc_id")
+  }
+
+  val q177Sql: String =
+    """WITH tok AS (
+      | SELECT doc_id, source, text, CAST(n_chars AS BIGINT) AS nc,
+      |   string_split_regex(lower(trim(text)), '\s+') AS w
+      | FROM documents),
+      |f AS (
+      | SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS nt
+      | FROM tok
+      | WHERE nc >= 100 AND len(w) >= 25
+      |  AND CAST(nc AS DOUBLE) / CAST(len(w) AS DOUBLE) BETWEEN 3.0 AND 12.0
+      |  AND CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.4),
+      |k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM f GROUP BY 1),
+      |d AS (SELECT f.* FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keep),
+      |bg AS (
+      | SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
+      |   THEN list_distinct(list_transform(range(1, len(w) - 3),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+      |   ELSE [array_to_string(w, ' ')] END) AS gram
+      | FROM tok WHERE source = 'src0'),
+      |sg AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 3),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS gram
+      | FROM d WHERE source <> 'src0'),
+      |contam AS (SELECT DISTINCT sg.doc_id FROM sg JOIN bg USING (gram)),
+      |clean AS (
+      | SELECT * FROM d
+      | WHERE source <> 'src0'
+      |   AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = d.doc_id)),
+      |wsrc AS (SELECT source, SUM(nt) AS weight FROM clean GROUP BY 1),
+      |t AS (SELECT SUM(weight) AS W, SUM(weight) // 3 AS B FROM wsrc),
+      |q AS (SELECT source, weight, (B * weight) // W AS floor_q,
+      |        (B * weight) % W AS rem, B
+      |      FROM wsrc CROSS JOIN t),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |        B - SUM(floor_q) OVER () AS leftover FROM q),
+      |quota AS (SELECT source, weight,
+      |  floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota FROM r),
+      |samp AS (
+      | SELECT c.doc_id, c.source, c.nt
+      | FROM clean c JOIN quota USING (source)
+      | WHERE CAST(md5_number_upper('smp:' || c.doc_id) % 1048576 AS BIGINT)
+      |       < (quota * 1048576) // weight),
+      |packed AS (
+      | SELECT doc_id, source, nt AS n_tokens,
+      |  SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      | FROM samp)
+      |SELECT doc_id, source, n_tokens,
+      | CAST(cum - n_tokens AS BIGINT) AS start_offset,
+      | CAST((cum - n_tokens) // 1024 AS BIGINT) AS first_chunk,
+      | CAST((cum - 1) // 1024 AS BIGINT) AS last_chunk
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_pack_batches" -> ((s: SparkSession, dir: String) => q161(s, dir)),
     "q165_vocab_growth" -> (q165 _),
     "q166_boilerplate_strip" -> ((s: SparkSession, dir: String) => q166(s, dir)),
     "q167_mix_quota" -> (q167 _),
     "q169_hash_sample" -> (q169 _),
+    "q177_curation_pipeline" -> (q177 _),
     "q152_cms_estimates" -> (q152 _),
     "q129_quality_ensemble" -> (q129 _),
     "q127_dup_substring_cut" -> (q127 _),
@@ -2807,6 +2964,7 @@ object CorpusQueries {
     "q166_boilerplate_strip" -> q166Sql,
     "q167_mix_quota" -> q167Sql,
     "q169_hash_sample" -> q169Sql,
+    "q177_curation_pipeline" -> q177Sql,
     "q152_cms_estimates" -> q152Sql,
     "q113_kmv_overlap" -> q113Sql,
     "q83_bpe_train" -> goldenSql("q83_bpe_train"),

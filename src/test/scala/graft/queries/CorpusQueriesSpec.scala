@@ -454,4 +454,45 @@ class CorpusQueriesSpec extends AnyFunSuite {
       .sortBy { case (p, n) => (-n, p) }.take(30)
     assert(got.length == 30 && got.sameElements(brute))
   }
+
+  test("q177 curation pipeline: stage invariants survive composition") {
+    // the oracle gate pins exact values; this pins the PROPERTIES the
+    // chain must preserve end to end — the eval source never trains,
+    // every kept doc passed the quality filter, kept texts are unique,
+    // and the packed offsets tile contiguously in doc_id order
+    val rows = CorpusQueries.q177(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 != "src0"), "eval-source doc in the training set")
+    // deterministic: the hash-sampling keep rule has no RNG state
+    val again = CorpusQueries.q177(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.sameElements(again))
+    // every kept doc passed the q52 cascade and kept its token count
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT)", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val seenTexts = scala.collection.mutable.Set[String]()
+    rows.foreach { case (id, _, nt, _, _, _) =>
+      val (nc, text) = docs(id)
+      val w = text.trim.toLowerCase.split("\\s+")
+      assert(w.length.toLong == nt)
+      assert(nc >= 100 && w.length >= 25)
+      val mean = nc.toDouble / w.length
+      assert(mean >= 3.0 && mean <= 12.0)
+      assert(w.distinct.length.toDouble / w.length >= 0.4)
+      assert(seenTexts.add(text), s"duplicate text trained twice (doc $id)")
+    }
+    // packing tiles: offsets contiguous in doc_id order, chunk ids
+    // derived from the span (q48's invariant, here post-composition)
+    var cum = 0L
+    rows.foreach { case (_, _, nt, start, first, last) =>
+      assert(start == cum)
+      assert(first == start / 1024)
+      assert(last == (start + nt - 1) / 1024)
+      cum += nt
+    }
+  }
 }
