@@ -108,7 +108,17 @@ object Dedup {
     * Scale shape: one map-side UDF pass (the selected ~2/(w+1)
     * fraction of gram positions is all that leaves the mapper), one
     * fingerprint-keyed count, one semi join back — linear, keyed
-    * shuffles only.
+    * shuffles only. A UDF, not the HOF/expression form, for the same
+    * measured reason as [[winnowedSegments]]: the two-phase transform
+    * form gets the whole per-position md5 subtree CollapseProject-
+    * inlined into every window-min lambda — O(n²·minLen) hashing per
+    * doc — and the position-carrying variant only widens that subtree
+    * (each selected element must carry (fp, s, e), so the inlining
+    * duplicates the tuple construction too). The fused JVM kernel
+    * ([[graft.functions.Hashing.winnowedCharGramSpans]]) hashes each
+    * gram once and is the plan we'd want on a cluster: map-only,
+    * codegen-adjacent, nothing leaves the task but the 2/(w+1)
+    * selection.
     */
   def winnowedCharSpans(docs: DataFrame, idCol: String, textCol: String,
                         minLen: Int, w: Int = 8): DataFrame = {

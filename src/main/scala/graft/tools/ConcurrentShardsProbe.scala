@@ -103,9 +103,11 @@ object ConcurrentShardsProbe {
         val agg =
           try SuffixArray.shardedDedupCut(docs, minLen = 40,
               nShards = nShards, maxConcurrentShards = k)
+            // order-invariant row checksum; hashes are mod-reduced so
+            // the Long sum cannot overflow (ANSI mode aborts on it)
             .agg(count(lit(1)).as("n"),
-              coalesce(sum(xxhash64(col("doc_id"), col("cut_start"),
-                col("cut_end"))), lit(0L)).as("h"))
+              coalesce(sum(pmod(xxhash64(col("doc_id"), col("cut_start"),
+                col("cut_end")), lit(1000000007L))), lit(0L)).as("h"))
             .head
           finally { sampling = false; sampler.join(2000) }
         val wall = (System.nanoTime() - t0) / 1e9
