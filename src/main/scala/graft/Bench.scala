@@ -114,7 +114,8 @@ object Bench {
     "q170_sole_late_supplier", "q171_top_p_select", "q172_rfm_segments",
     "q173_langid_nb", "q174_sharded_dedup_cut",
     "q175_sharded_dup_coverage", "q176_cross_shard_dedup_cut",
-    "q177_curation_pipeline", "q178_cross_shard_dup_coverage")
+    "q177_curation_pipeline", "q178_cross_shard_dup_coverage",
+    "q179_importance_resample", "q180_eval_substring_decontaminate")
 
   /** Single-measurement tier: excluded from the 3-pass loop and the
     * headline total, measured once, reported in the queries map. Two

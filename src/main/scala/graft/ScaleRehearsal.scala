@@ -123,7 +123,14 @@ object ScaleRehearsal {
     "q123_doc_novelty", "q140_tfidf_neardup",
     "q145_dedup_sweep", "q148_dedup_quality_audit",
     "q121_containment_dedup", "q126_dup_substring_coverage",
-    "q127_dup_substring_cut", "q174_sharded_dedup_cut")
+    "q127_dup_substring_cut", "q174_sharded_dedup_cut",
+    // r18: q179's doc-keyed score join (rawDocs ⟕ scored) is
+    // data-scaled on both sides, so its auto-broadcast flip would land
+    // inside the gated decade; the model/totals broadcasts are
+    // EXPLICIT hints, which the pin leaves in place — exactly the
+    // 100 TB plan. q180 is NOT pinned: its only join is the explicit
+    // eval-gram broadcast, so its plan is tier-invariant already.
+    "q179_importance_resample")
 
   /** Gate exemptions, each with the reason published in the artifact.
     * An exemption is for operators whose scale contract is EXPLICITLY
@@ -287,6 +294,11 @@ object ScaleRehearsal {
     // r13: complete the top-10-heaviest set (verdict #3) so the
     // two-decade curve has a 10× midpoint for every member
     "q145_dedup_sweep", "q148_dedup_quality_audit",
+    // r18 (this round): the DSIR importance-resampling selector and
+    // the cross-set exact-substring decontamination cut — both
+    // map-side + broadcast plans whose linearity claim belongs in the
+    // gate; cache-independent, so list position is free
+    "q179_importance_resample", "q180_eval_substring_decontaminate",
     // r16: the sharded exact kernel — independent of the q137/q138
     // caches (it builds its own per-shard SAs), so list position is
     // free; last because it is among the heaviest

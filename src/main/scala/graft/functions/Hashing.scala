@@ -351,6 +351,36 @@ object Hashing {
     out
   }
 
+  /** Oracle-replayable 64-bit hashes of EVERY stride-1 `gramLen`-char
+    * substring (index i → gram starting at 1-based position i+1) —
+    * [[md5Hash64]] per gram, so DuckDB replays each element as
+    * `md5_number_upper(substr(text, i, gramLen))`. The EXACT-matching
+    * complement of [[winnowedCharGramSpans]]: no window selection, all
+    * positions — used by the cross-set substring decontamination cut
+    * ([[graft.operators.Dedup.evalSubstringCut]]), where the probe
+    * side must carry every position so a ≥ gramLen-char overlap is
+    * found at its exact offsets. Docs shorter than gramLen return
+    * empty (they cannot contain a ≥ gramLen-char overlap). One
+    * MessageDigest per call, reset between grams — one hash per gram,
+    * O(n·gramLen) per doc, map-side.
+    */
+  def charGramHashes(text: String, gramLen: Int): Array[Long] = {
+    val n = text.length - gramLen + 1
+    if (n <= 0) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(text.substring(i, i + gramLen)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      out(i) = java.nio.ByteBuffer.wrap(d)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+      i += 1
+    }
+    out
+  }
+
   /** Oracle-replayable 64-bit token hashes: the little-endian uint64 of
     * each token's FIRST 8 md5 bytes — bit-for-bit DuckDB's
     * `md5_number_upper`, so SQL can recompute signatures exactly. Used

@@ -135,6 +135,76 @@ object Dedup {
     sel.join(dup, Seq("fp"), "left_semi").select(col(idCol), col("s"), col("e"))
   }
 
+  /** Cross-set EXACT substring decontamination cut — "dedup against
+    * the test set" (Lee et al. 2022 §6.1 run train-vs-eval; the
+    * decontamination step every LLM pretraining run performs before
+    * training): for each non-eval document, every maximal char span
+    * whose content overlaps ANY eval document in a run of ≥ `minLen`
+    * chars. Exact in both directions, not winnowed: a shared run of
+    * length L ≥ minLen contains L − minLen + 1 stride-1 minLen-char
+    * grams, ALL present in the eval gram set, so the merged island
+    * reconstructs the full run at its exact offsets (recall exact);
+    * and a position is cut only when its own minLen-char gram occurs
+    * verbatim in the eval set (precision exact, 64-bit-md5 collision
+    * aside — P[false site] ≈ |eval grams|/2⁶⁴ per train gram). This is
+    * q47's 5-token-gram flag and q66's whole-doc check taken to the
+    * dedup-cut family's char-exact contract, and it is cheaper than
+    * pushing eval docs through the SA kernel: no suffix sort, no LCP
+    * walk — one map pass over each side.
+    *
+    * Scale shape at 100 TB: eval/benchmark corpora are MBs–GBs while
+    * train is the 100 TB side, so the distinct eval gram set (8-byte
+    * hashes, ~|eval chars| of them) broadcasts (the q47 benchGrams
+    * rule) and the train gram stream — generated map-side by the
+    * fused-kernel UDF ([[graft.functions.Hashing.charGramHashes]]),
+    * one hash per char position — is filtered IN the map stage by the
+    * broadcast semi join: nothing corpus-sized ever shuffles; only
+    * matched positions (≈ the contaminated chars) reach the per-doc
+    * islands merge. Output: (idCol, cut_start, cut_end), 1-based,
+    * end-exclusive, disjoint per doc.
+    */
+  def evalSubstringCut(docs: DataFrame, idCol: String, textCol: String,
+                       isEval: Column, minLen: Int): DataFrame =
+    evalSubstringCutAgainst(
+      evalGramSet(docs.filter(isEval), textCol, minLen),
+      docs.filter(!isEval), idCol, textCol, minLen)
+
+  /** The DISTINCT minLen-char-gram hash set of an eval corpus — the
+    * broadcast side of [[evalSubstringCut]], exposed so a long-lived
+    * consumer (the streaming gate
+    * [[graft.streaming.DocStreams.streamingEvalDecontaminate]]) can
+    * materialize it ONCE and probe every micro-batch against the same
+    * cached set instead of re-scanning the eval corpus per batch.
+    * Output: one column `fp` (md5-64 of each gram).
+    */
+  def evalGramSet(evalDocs: DataFrame, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val hashUdf = udf { text: String =>
+      Hashing.charGramHashes(if (text == null) "" else text, minLen)
+    }
+    evalDocs.select(explode(hashUdf(col(textCol))).as("fp")).distinct()
+  }
+
+  /** [[evalSubstringCut]]'s probe stage against a PRE-BUILT eval gram
+    * set (`evalFps` — [[evalGramSet]]'s output, possibly persisted):
+    * the stream-static core. See [[evalSubstringCut]] for semantics
+    * and the scale argument.
+    */
+  def evalSubstringCutAgainst(evalFps: DataFrame, train: DataFrame,
+                              idCol: String, textCol: String,
+                              minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val hashUdf = udf { text: String =>
+      Hashing.charGramHashes(if (text == null) "" else text, minLen)
+    }
+    val hits = train
+      .select(col(idCol), posexplode(hashUdf(col(textCol))).as(Seq("p0", "fp")))
+      .join(broadcast(evalFps), Seq("fp"), "left_semi")
+      .select(col(idCol), (col("p0") + 1L).cast("long").as("s"),
+        (col("p0") + 1L + minLen).cast("long").as("e"))
+    SuffixArray.mergeSpans(hits, idCol)
+  }
+
   /** Exact Jaccard over two distinct-element string arrays, with the
     * intersection size computed by the codegen'd
     * [[graft.functions.SetOverlap]] (one hash-probe loop, no

@@ -2890,8 +2890,213 @@ object CorpusQueries {
       | CAST((cum - 1) // 1024 AS BIGINT) AS last_chunk
       |FROM packed ORDER BY doc_id""".stripMargin
 
+  /** Buckets of the q179 hashed-n-gram feature space — a power of two
+    * on purpose: DuckDB's `md5_number_upper(...) % B` reduces the
+    * UNSIGNED 64-bit value while the JVM's `floorMod(md5Hash64, B)`
+    * reduces the same bits as a SIGNED long, and the two agree for
+    * every input iff 2⁶⁴ mod B = 0 (the q177 `% 1048576` precedent).
+    */
+  private val DsirBuckets = 512L
+
+  /** Resample size of q179's Gumbel top-k selection. */
+  private val DsirK = 100
+
+  /** q179 — importance resampling data selection (DSIR — Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw (non-benchmark) document by how
+    * much more likely its hashed-bigram features are under the TARGET
+    * distribution (source = 'src0', the eval/benchmark stand-in — the
+    * same convention as q47/q66/q90) than under the RAW pool, then
+    * draw the top-K by Gumbel-perturbed log-weight — the
+    * without-replacement importance sample. The selection half of the
+    * curation story q47/q90 only measure: "give me the K raw docs most
+    * like the target domain."
+    *
+    * Numerics follow the repo's decimal-sum rule (LangId/q173): each
+    * bucket's smoothed log-ratio and each doc's Gumbel perturbation
+    * are rounded to 6 decimals and cast DECIMAL(18,6) BEFORE any
+    * summation, so per-doc scores are exact decimal sums —
+    * order-invariant across engines and partitionings; the one
+    * remaining float op per term is a single libm `ln` whose dec6
+    * rounding absorbs cross-engine ulp drift. The Gumbel key is
+    * derived from md5 of the doc id (no RNG), so the sample is
+    * reproducible across engines, runs, and cluster sizes.
+    *
+    * Scale shape at 100 TB: per-doc bucket counts form in ONE fused
+    * JVM pass (the LangId gramCnt rationale — the map, not the raw
+    * bigram stream, leaves the mapper), the model is exactly
+    * [[DsirBuckets]] rows (broadcast), scoring is a map-side join +
+    * one doc-keyed decimal aggregation, and the top-K is TakeOrdered
+    * — no global sort, no corpus-sized window. The only corpus-keyed
+    * shuffles are the (bucket)-keyed count (512 keys, map-side
+    * combined) and the doc-keyed score sum.
+    */
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val B = DsirBuckets
+    // fused per-doc bucket counting: bigrams over the TextFns.tokens
+    // convention (lowercase, trim, whitespace split), each bucket =
+    // floorMod(md5("dsir:" || bigram), B) — emitting the (bucket →
+    // count) map ships ≤ B cells per doc instead of the raw stream
+    val bucketCnt = udf { text: String =>
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.trim.toLowerCase.split("\\s+")
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      var i = 0
+      while (i + 1 < toks.length) {
+        val b = java.lang.Math.floorMod(
+          graft.functions.Hashing.md5Hash64("dsir:" + toks(i) + " " + toks(i + 1)), B)
+        m(b) = m.getOrElse(b, 0L) + 1L
+        i += 1
+      }
+      m.toMap
+    }
+    val bk = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(bucketCnt(col("text"))).as(Seq("b", "k")))
+    val tt = bk.filter(col("source") === "src0")
+      .groupBy("b").agg(sum("k").as("ct"))
+    val rr = bk.filter(col("source") =!= "src0")
+      .groupBy("b").agg(sum("k").as("cr"))
+    val tots = tt.agg(coalesce(sum("ct"), lit(0L)).as("tt")).crossJoin(
+      rr.agg(coalesce(sum("cr"), lit(0L)).as("tr")))
+    // full B-bucket grid: +1 smoothing needs buckets absent on either
+    // side, and the grid (not the observed buckets) is the model
+    val model = s.range(B).select(col("id").as("b"))
+      .join(tt, Seq("b"), "left").join(rr, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)) / (col("tt") + lit(B.toDouble))) /
+            ((coalesce(col("cr"), lit(0L)) + lit(1L)) / (col("tr") + lit(B.toDouble)))), 6)
+          .cast(dec).as("lr"))
+    val rawDocs = Tables.documents(s, dir)
+      .filter(col("source") =!= "src0").select("doc_id")
+    // k·lr (long × decimal — exact) summed per doc; docs with < 2
+    // tokens have no bigram cells and surface with logw = 0 via the
+    // left join (they carry no evidence either way)
+    val scored = bk.filter(col("source") =!= "src0")
+      .join(broadcast(model), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("k") * col("lr")).as("sw"))
+    val gumbel = rawDocs.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sw"), lit(0).cast(dec)).as("logw"),
+        round(-log(-log(
+          (pmod(udf { id: Long => graft.functions.Hashing.md5Hash64("gum:" + id) }
+            .apply(col("doc_id")), lit(1048576L)) + lit(0.5)) / lit(1048576.0))), 6)
+          .cast(dec).as("g"))
+      .select(col("doc_id"), col("logw"), (col("logw") + col("g")).as("key"))
+    val top = gumbel
+      .orderBy(col("key").desc, col("doc_id")).limit(DsirK)
+    // rank over the ALREADY-LIMITED K rows — a bounded (≤ DsirK)
+    // single-partition window, not a corpus-sized one
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("key").desc, col("doc_id"))))
+      .select(col("doc_id"), col("logw").cast("double").as("logw"),
+        col("key").cast("double").as("gumbel_key"), col("rk").cast("long").as("rk"))
+      .orderBy("rk")
+  }
+
+  val q179Sql: String =
+    s"""WITH tok AS (
+      | SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+      | FROM documents),
+      |bg AS (
+      | SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+      | FROM tok WHERE len(w) >= 2),
+      |bk AS (
+      | SELECT doc_id, source,
+      |  CAST(md5_number_upper('dsir:' || gram) % $DsirBuckets AS BIGINT) AS b,
+      |  CAST(COUNT(*) AS BIGINT) AS k
+      | FROM bg GROUP BY 1, 2, 3),
+      |tt AS (SELECT b, SUM(k) AS ct FROM bk WHERE source = 'src0' GROUP BY 1),
+      |rr AS (SELECT b, SUM(k) AS cr FROM bk WHERE source <> 'src0' GROUP BY 1),
+      |tots AS (SELECT (SELECT coalesce(SUM(ct), 0) FROM tt) AS tt,
+      |                (SELECT coalesce(SUM(cr), 0) FROM rr) AS tr),
+      |grid AS (SELECT CAST(i AS BIGINT) AS b
+      |         FROM unnest(range(0, $DsirBuckets)) AS t(i)),
+      |model AS (
+      | SELECT b, CAST(round(ln(
+      |    ((coalesce(ct, 0) + 1) / (tt + $DsirBuckets.0)) /
+      |    ((coalesce(cr, 0) + 1) / (tr + $DsirBuckets.0))), 6) AS DECIMAL(18,6)) AS lr
+      | FROM grid LEFT JOIN tt USING (b) LEFT JOIN rr USING (b) CROSS JOIN tots),
+      |sw AS (
+      | SELECT bk.doc_id, SUM(bk.k * model.lr) AS sw
+      | FROM bk JOIN model USING (b) WHERE bk.source <> 'src0' GROUP BY 1),
+      |lw AS (
+      | SELECT d.doc_id, coalesce(sw.sw, CAST(0 AS DECIMAL(18,6))) AS logw
+      | FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+      | LEFT JOIN sw USING (doc_id)),
+      |gk AS (
+      | SELECT doc_id, logw,
+      |  logw + CAST(round(-ln(-ln(
+      |    (CAST(md5_number_upper('gum:' || doc_id) % 1048576 AS BIGINT) + 0.5)
+      |    / 1048576.0)), 6) AS DECIMAL(18,6)) AS key
+      | FROM lw),
+      |sel AS (SELECT doc_id, logw, key FROM gk
+      |        ORDER BY key DESC, doc_id LIMIT $DsirK)
+      |SELECT doc_id, CAST(logw AS DOUBLE) AS logw,
+      | CAST(key AS DOUBLE) AS gumbel_key,
+      | CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rk
+      |FROM sel ORDER BY rk""".stripMargin
+
+  /** q180 — cross-set EXACT substring decontamination cut
+    * ([[graft.operators.Dedup.evalSubstringCut]]): the char spans of
+    * each raw (non-benchmark) document that overlap ANY eval document
+    * (source = 'src0') in a run of ≥ 40 chars — "dedup against the
+    * test set" (Lee et al. 2022) at the dedup-cut family's char-exact
+    * contract. q47 FLAGS docs sharing a 5-token gram and q66 drops
+    * whole docs; this produces the exact offsets to cut so the rest of
+    * the document survives. Exact both ways: every shared ≥ 40-char
+    * run is reconstructed at its exact offsets by the stride-1 gram
+    * islands, and nothing outside a verbatim ≥ 40-char eval substring
+    * is ever cut. The eval gram set broadcasts (benchmarks are MBs
+    * while train is the 100 TB side), so the corpus-sized gram stream
+    * is filtered map-side and never shuffles.
+    */
+  def q180(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.evalSubstringCut(
+        Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0", minLen = 40)
+      .orderBy("doc_id", "cut_start")
+
+  val q180Sql: String =
+    """WITH eg AS (
+      | SELECT DISTINCT md5_number_upper(substr(text, CAST(i + 1 AS INT), 40)) AS fp
+      | FROM documents, unnest(range(0, length(text) - 39)) AS t(i)
+      | WHERE source = 'src0' AND length(text) >= 40),
+      |tg AS (
+      | SELECT doc_id, CAST(i + 1 AS BIGINT) AS s, CAST(i + 41 AS BIGINT) AS e,
+      |  md5_number_upper(substr(text, CAST(i + 1 AS INT), 40)) AS fp
+      | FROM documents, unnest(range(0, length(text) - 39)) AS t(i)
+      | WHERE source <> 'src0' AND length(text) >= 40),
+      |hit AS (SELECT doc_id, s, e FROM tg JOIN eg USING (fp)),
+      |isl AS (
+      | SELECT doc_id, s, e,
+      |  max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+      | FROM hit),
+      |isl2 AS (
+      | SELECT doc_id, s, e,
+      |  CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ng
+      | FROM isl),
+      |isl3 AS (
+      | SELECT doc_id, s, e,
+      |  sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+      |                ROWS UNBOUNDED PRECEDING) AS gid
+      | FROM isl2)
+      |SELECT doc_id, min(s) AS cut_start, max(e) AS cut_end
+      |FROM isl3 GROUP BY doc_id, gid
+      |ORDER BY doc_id, cut_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_pack_batches" -> ((s: SparkSession, dir: String) => q161(s, dir)),
+    "q179_importance_resample" -> (q179 _),
+    "q180_eval_substring_decontaminate" -> (q180 _),
     "q165_vocab_growth" -> (q165 _),
     "q166_boilerplate_strip" -> ((s: SparkSession, dir: String) => q166(s, dir)),
     "q167_mix_quota" -> (q167 _),
@@ -2965,6 +3170,8 @@ object CorpusQueries {
     "q167_mix_quota" -> q167Sql,
     "q169_hash_sample" -> q169Sql,
     "q177_curation_pipeline" -> q177Sql,
+    "q179_importance_resample" -> q179Sql,
+    "q180_eval_substring_decontaminate" -> q180Sql,
     "q152_cms_estimates" -> q152Sql,
     "q113_kmv_overlap" -> q113Sql,
     "q83_bpe_train" -> goldenSql("q83_bpe_train"),

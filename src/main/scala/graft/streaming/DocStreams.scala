@@ -223,6 +223,62 @@ object DocStreams {
     true
   }
 
+  /** Streaming form of
+    * [[graft.operators.Dedup.evalSubstringCut]] — the decontamination
+    * GATE a crawl-ingest pipeline runs before anything reaches the
+    * training corpus: each micro-batch of documents is probed against
+    * a STATIC eval/benchmark corpus and the exact char spans
+    * overlapping any eval doc in a run of ≥ `minLen` chars are emitted
+    * to `sink` (one DataFrame of (idCol, cut_start, cut_end) per
+    * batch; empty when the batch is clean — the common case, and the
+    * cheap one: the probe is a map-side broadcast semi join, so a
+    * clean batch costs one scan of itself).
+    *
+    * The eval gram set is built and persisted ONCE, before the stream
+    * starts ([[graft.operators.Dedup.evalGramSet]] — benchmarks are
+    * static for the life of a crawl run), so per-batch cost is the
+    * batch's own gram pass + the broadcast probe: delta-scaled, like
+    * [[streamingDedupAgainst]], but with NO growing history — the
+    * reference set never changes, which is why this is a `foreachBatch`
+    * over a cached table rather than a stateful operator (there is no
+    * cross-batch state to keep). Per-doc results depend only on the
+    * doc and the static eval set, so batch boundaries cannot change
+    * any cut (DocStreamsSpec pins batch-vs-streaming parity).
+    *
+    * Lifecycle: the cached gram set lives until the stream stops; the
+    * returned query's termination listener unpersists it, so callers
+    * just `stop()` as usual.
+    */
+  def streamingEvalDecontaminate(incoming: DataFrame, evalDocs: DataFrame,
+                                 idCol: String, textCol: String, minLen: Int,
+                                 checkpoint: String,
+                                 sink: DataFrame => Unit): StreamingQuery = {
+    val spark = evalDocs.sparkSession
+    val fps = graft.operators.Dedup.evalGramSet(evalDocs, textCol, minLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count() // materialize before the first batch, not during it
+    val query = incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.operators.Dedup.evalSubstringCutAgainst(
+          fps, batch.toDF(), idCol, textCol, minLen))
+        ()
+      }
+      .start()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            fps.unpersist(blocking = false)
+            spark.streams.removeListener(this)
+          }
+      })
+    query
+  }
+
   /** Streaming cluster-share monitor — the drift detector a serving
     * pipeline runs over incoming embeddings: each vector is routed to
     * its nearest trained centroid ([[graft.operators.KMeans.assign]] —

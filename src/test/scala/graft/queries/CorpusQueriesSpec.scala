@@ -495,4 +495,127 @@ class CorpusQueriesSpec extends AnyFunSuite {
       cum += nt
     }
   }
+
+  test("q179 importance resampling matches an exact BigDecimal brute recomputation") {
+    // the oracle gate pins DuckDB parity; this pins the NUMERIC
+    // CONTRACT independently of either engine: every score is an exact
+    // decimal sum of dec6-rounded log-ratios, so a driver-side
+    // BigDecimal replay must reproduce the distributed result
+    // bit-for-bit (doubles included — they are casts of exact decimals)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val B = 512L
+    def dec6(x: Double): JBD =
+      new JBD(x).setScale(6, RoundingMode.HALF_UP)
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(t: String): Map[Long, Long] = {
+      val w = t.trim.toLowerCase.split("\\s+")
+      w.iterator.zip(w.iterator.drop(1))
+        .map { case (x, y) =>
+          java.lang.Math.floorMod(
+            graft.functions.Hashing.md5Hash64(s"dsir:$x $y"), B) }
+        .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val byDoc = docs.map { case (id, src, t) => (id, src, buckets(t)) }
+    val ct = byDoc.filter(_._2 == "src0").flatMap(_._3).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val cr = byDoc.filter(_._2 != "src0").flatMap(_._3).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    val lr = (0L until B).map { b =>
+      val pt = (ct.getOrElse(b, 0L) + 1).toDouble / (tt + B.toDouble)
+      val pr = (cr.getOrElse(b, 0L) + 1).toDouble / (tr + B.toDouble)
+      b -> dec6(math.log(pt / pr))
+    }.toMap
+    val expected = byDoc.filter(_._2 != "src0").map { case (id, _, ks) =>
+      val logw = ks.foldLeft(JBD.ZERO) { case (acc, (b, k)) =>
+        acc.add(lr(b).multiply(JBD.valueOf(k))) }
+      val u = (java.lang.Math.floorMod(
+        graft.functions.Hashing.md5Hash64(s"gum:$id"), 1048576L) + 0.5) / 1048576.0
+      val key = logw.add(dec6(-math.log(-math.log(u))))
+      (id, logw, key)
+    }.sortBy { case (id, _, key) => (key.negate, id) }(
+      Ordering.Tuple2(Ordering.ordered[JBD], Ordering.Long)).take(100)
+    val got = CorpusQueries.q179(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length == math.min(100, expected.length))
+    got.zip(expected).zipWithIndex.foreach {
+      case (((gid, glw, gkey, grk), (eid, elw, ekey)), i) =>
+        assert(grk == i + 1)
+        assert(gid == eid, s"rank ${i + 1}: doc $gid vs $eid")
+        assert(glw == elw.doubleValue, s"doc $gid logw")
+        assert(gkey == ekey.doubleValue, s"doc $gid key")
+    }
+  }
+
+  test("q180 evalSubstringCut: exact offsets, 39-char precision boundary, island merge") {
+    import spark.implicits._
+    // a 60-char eval passage with no internal >= 40-char repetition
+    val p60 = (0 until 60).map(i => ('a' + (i * 7 + i / 9) % 26).toChar).mkString
+    assert(p60.length == 60)
+    val p45 = (0 until 45).map(i => ('A' + (i * 11 + 3) % 26).toChar).mkString
+    val evalDoc = s"EVALHEAD $p60 EVALTAIL $p45"
+    val evalDup = "Z" * 10 + p45.reverse + "Y" * 10 // 65 chars, verbatim-dup'd below
+    // train delimiters deliberately differ from the eval doc's spaces:
+    // a shared boundary char would legitimately EXTEND the matched run
+    // (the operator is char-exact), so exact-offset assertions need the
+    // planted passage to be the entire shared run
+    val docs = Seq(
+      (1L, "eval", evalDoc),
+      (2L, "eval", evalDup),
+      // A: p60 embedded whole → ONE span at its exact offsets
+      (10L, "train", s"train-a-prefix_${p60}_train-a-suffix"),
+      // B: only 39 chars of p60 → ZERO cuts (precision at the boundary)
+      (11L, "train", s"train-b-prefix_${p60.substring(0, 39)}_train-b-suffix"),
+      // C: TWO disjoint copies of p45 → two separate spans
+      (12L, "train", s"one_${p45}_mid-filler-text_${p45}_two"),
+      // D: verbatim copy of a whole eval doc → one whole-doc span
+      (13L, "train", evalDup),
+      // E: shorter than 40 chars → no grams, no rows
+      (14L, "train", p60.substring(0, 30))
+    ).toDF("doc_id", "source", "text")
+    val cuts = graft.operators.Dedup
+      .evalSubstringCut(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("source") === "eval", minLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    val byDoc = cuts.groupBy(_._1)
+    // A: exact offsets of the full 60-char run (1-based, end-exclusive)
+    val aStart = "train-a-prefix_".length + 1L
+    assert(byDoc(10L).toSeq == Seq((10L, aStart, aStart + 60)))
+    // B: 39 shared chars — below the contract — must NOT be cut
+    assert(!byDoc.contains(11L), s"39-char overlap cut: ${byDoc.get(11L)}")
+    // C: two disjoint islands, each exactly the 45-char copy
+    val c1 = "one_".length + 1L
+    val c2 = s"one_${p45}_mid-filler-text_".length + 1L
+    assert(byDoc(12L).toSeq == Seq((12L, c1, c1 + 45), (12L, c2, c2 + 45)))
+    // D: the whole doc is one merged span
+    assert(byDoc(13L).toSeq == Seq((13L, 1L, evalDup.length + 1L)))
+    // E: too short to overlap >= 40 chars
+    assert(!byDoc.contains(14L))
+    // eval docs are never cut (they are the reference side)
+    assert(!byDoc.contains(1L) && !byDoc.contains(2L))
+  }
+
+  test("q180 on testdata is deterministic and spans are disjoint, >= 40 chars, in-bounds") {
+    val rows = CorpusQueries.q180(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val again = CorpusQueries.q180(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+    val lens = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "length(text)").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach { case (id, s0, e0) =>
+      assert(e0 - s0 >= 40, s"doc $id span [$s0,$e0) below the contract")
+      assert(s0 >= 1 && e0 <= lens(id) + 1, s"doc $id span [$s0,$e0) out of bounds")
+    }
+    rows.groupBy(_._1).values.foreach { spans =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(e1 < s2, "overlapping spans")
+        case _ =>
+      }
+    }
+  }
 }

@@ -659,4 +659,44 @@ class DocStreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((math.min(pairA, pairB), math.max(pairA, pairB))))
   }
+
+  test("streaming eval decontamination matches the batch cut across any batching") {
+    import org.apache.spark.sql.functions.col
+    // batch truth on the full corpus vs the same docs streamed in two
+    // micro-batches: per-doc cuts depend only on the doc + the STATIC
+    // eval set, so batch boundaries must not change a single span
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val evalDocs = docs.filter(col("source") === "src0")
+    val train = docs.filter(col("source") =!= "src0")
+    // minLen = 20 so sf0.001's small corpus has real hits (assert below)
+    val want = Dedup.evalSubstringCut(docs, "doc_id", "text",
+        col("source") === "src0", minLen = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(want.nonEmpty, "planted-free corpus has no >=20-char overlap to test on")
+    val tmp = Files.createTempDirectory("evaldecon").toFile.getAbsolutePath
+    val mid = train.orderBy("doc_id").collect().map(_.getLong(0))
+      .apply(train.count().toInt / 2)
+    train.filter(col("doc_id") < mid).write.parquet(s"$tmp/src/b1")
+    train.filter(col("doc_id") >= mid).write.parquet(s"$tmp/src/b2")
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = DocStreams.streamingEvalDecontaminate(stream, evalDocs,
+      "doc_id", "text", minLen = 20, s"$tmp/ckpt",
+      cuts => buf.synchronized {
+        buf ++= cuts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      })
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.sorted.toSeq == want)
+    // the termination listener releases the cached gram set (listener
+    // delivery + unpersist are async — poll briefly)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline &&
+        !spark.sparkContext.getPersistentRDDs.keySet.subsetOf(baselineRdds))
+      Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(baselineRdds),
+      "eval gram set cache not released after stream termination")
+  }
 }
