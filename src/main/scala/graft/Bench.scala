@@ -443,8 +443,14 @@ object Bench {
         // sharded kernel is in NoBroadcastBase and its 1× base must be
         // measured under the same lcp path the child pins at every
         // tier (the only other adjacentLcp caller there is q138,
-        // handled here); cleared after the loop
+        // handled here); cleared after the loop. Same for the shard-
+        // concurrency pin: the child runs q174's tiers with the
+        // sequential kernel (k = 1), so its 1× exponent base must be
+        // sequential too — the HEADLINE q174 measurement above stays
+        // auto-concurrent (the plan a real deployment with idle
+        // capacity runs).
         System.setProperty("graft.lcp.path", "hash")
+        System.setProperty("graft.shards.maxConcurrent", "1")
         val q138Pinned: Option[(Double, Long)] =
           if (remaining < MinForkSecs + FinalMargin + 60) {
             pinnedSkipped += "q138_longest_dup_substring"; None
@@ -478,6 +484,7 @@ object Bench {
               }
             }.toMap
         System.clearProperty("graft.lcp.path")
+        System.clearProperty("graft.shards.maxConcurrent")
         // 1× bases for the child: headline min-of-3 secs + min bytes;
         // q138 overridden by the lcp-path pin, NoBroadcastBase queries
         // by the no-broadcast pin. A query whose pinned base failed or
@@ -586,6 +593,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale rehearsal failed: ${e.getMessage}")
         System.clearProperty("graft.lcp.path")
+        System.clearProperty("graft.shards.maxConcurrent")
         ("null", "null", "null", "[]")
       }
     }

@@ -636,6 +636,14 @@ object ScaleRehearsal {
     // exponent compares the same algorithm (the 1× base in baseFile
     // was measured under the same pin).
     System.setProperty("graft.lcp.path", "hash")
+    // q174's derived shard concurrency would likewise change shape
+    // across tiers (k = 4 fits the budget at 10×, k = 1 at 100×): pin
+    // the sequential kernel at every tier — also keeps the autoShards
+    // probe's measured disk envelope the documented ONE-shard form.
+    // The headline/bench q174 number stays unpinned (auto), exactly
+    // like the NoBroadcastBase split: the 1× base for THIS exponent is
+    // re-measured under the same pin by Bench.
+    System.setProperty("graft.shards.maxConcurrent", "1")
 
     def runOne(name: String, dir: String): Boolean = runPinned(spark, name, dir)
     /** (secs, shuffleWriteBytes, shuffleReadBytes, inputScanBytes);

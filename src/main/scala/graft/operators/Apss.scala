@@ -72,10 +72,16 @@ object Apss {
     val tf = docs
       .select(col(docIdCol), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col(docIdCol), explode(expr(
-        """transform(sequence(1, size(ws) - 2),
-          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-          |                 element_at(ws, i + 2)))""".stripMargin)).as("g"))
+      // explode the POSITION, form the gram in the projection after it:
+      // concat_ws/element_at run in whole-stage codegen, where the
+      // former transform-lambda was interpreted per element (measured
+      // 0.52 → 0.28 s for the gram stage at sf0.1, tools.AbProbe "tri")
+      .select(col(docIdCol), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"))
+      .select(col(docIdCol), concat_ws(" ",
+        element_at(col("ws"), col("i")),
+        element_at(col("ws"), col("i") + 1),
+        element_at(col("ws"), col("i") + 2)).as("g"))
       .groupBy(col(docIdCol), col("g"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("g").agg(count(lit(1)).cast("double").as("df"))

@@ -78,7 +78,13 @@ object SuffixArray {
 
   /** Two-pass distributed head rank over `df(gid, k)`: every row gets
     * the 1-based GLOBAL ROW NUMBER of the first row of its key-group
-    * in ascending-key order (ties share; sparse, order-embedding).
+    * in ascending-key order (ties share; sparse, order-embedding),
+    * plus the boolean flag `a` — "this key-group has ≥ 2 members" —
+    * computed IN the same scan from neighbor-key equality (the
+    * partition-boundary neighbors ride the same driver-side stats fold
+    * the head continuation uses). The flag used to cost [[build]] a
+    * separate corpus-keyed `groupBy(r).count ≥ 2` + semi join right
+    * after this method; here it is free.
     * Range-partition on (key, gid) + sort-within (one shuffle, stays
     * parallel, equal keys split — see [[rangeByKeyGid]]),
     * per-partition row counts and boundary keys to the driver
@@ -109,6 +115,11 @@ object SuffixArray {
       }.collect().sortBy(_._1)
       val rowBase = new Array[Long](numPartitions)
       val leadHead = new Array[Long](numPartitions)
+      // boundary neighbors for the group-size flag: the key preceding
+      // each partition's first row / following its last row in global
+      // order (null = no neighbor; keys themselves are never null)
+      val prevLastKey = new Array[Any](numPartitions)
+      val nextFirstKey = new Array[Any](numPartitions)
       var base = 0L
       var prevLast: Any = null
       var prevHead = 0L
@@ -116,6 +127,7 @@ object SuffixArray {
       stats.foreach { case (pid, n, first, last, lastHeadLocal) =>
         rowBase(pid) = base
         leadHead(pid) = if (anyPrev && first == prevLast) prevHead else base
+        prevLastKey(pid) = prevLast
         // the last group's head: if the whole partition is one key that
         // continues the previous group, the head carries through
         prevHead =
@@ -125,36 +137,75 @@ object SuffixArray {
         base += n
         anyPrev = true
       }
+      var nextFirst: Any = null
+      stats.reverseIterator.foreach { case (pid, _, first, _, _) =>
+        nextFirstKey(pid) = nextFirst
+        nextFirst = first
+      }
       val rowBaseB = spark.sparkContext.broadcast(rowBase)
       val leadHeadB = spark.sparkContext.broadcast(leadHead)
-      val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val prevKeyB = spark.sparkContext.broadcast(prevLastKey)
+      val nextKeyB = spark.sparkContext.broadcast(nextFirstKey)
+      val out = rdd.mapPartitionsWithIndex { (pid, it0) =>
         val rb = rowBaseB.value(pid)
+        val it = it0.buffered
         var idx = 0L
-        var prev: Any = null
+        var prev: Any = prevKeyB.value(pid)
         var head = leadHeadB.value(pid)
-        var started = false
+        var started = prev != null
         it.map { r =>
           val k = r.get(1)
+          val prevK: Any = if (started) prev else null
           if (!started) { started = true; prev = k }
           else if (k != prev) { head = rb + idx; prev = k }
+          val nextK: Any =
+            if (it.hasNext) it.head.get(1) else nextKeyB.value(pid)
           idx += 1
-          Row(r.getLong(0), head + 1L)
+          val a = (prevK != null && prevK == k) || (nextK != null && nextK == k)
+          Row(r.getLong(0), head + 1L, a)
         }
       }
       spark.createDataFrame(out,
           new org.apache.spark.sql.types.StructType()
             .add("gid", LongType, nullable = false)
-            .add("r", LongType, nullable = false))
+            .add("r", LongType, nullable = false)
+            .add("a", org.apache.spark.sql.types.BooleanType, nullable = false))
         .localCheckpoint()
     } finally rdd.unpersist(blocking = false)
   }
 
   /** Build the suffix array: (doc_id, p, sa_rank) with 1-based total
     * suffix order; positions are 1-based (SQL substring convention).
+    *
+    * Runs with AQE DISABLED (saved/restored — the same contract as the
+    * LCP hash walk, see [[adjacentLcp]]): every doubling round joins
+    * the corpus-sized checkpointed rank table `t` on its own (gid)
+    * hash layout, and under AQE the checkpoint's LogicalRDD reports
+    * UnknownPartitioning, so each round re-exchanged the FULL rank
+    * table twice (rank lookup + rank update) for a round whose own
+    * data needs are active-set-sized. With AQE off the layout
+    * survives and only the shrinking active side moves (measured at
+    * sf0.1: q137 shuffle write 271.7 → 115.3 MB, and the sharded
+    * kernel's q174 — 4 of these builds — 321.1 → 216.6 MB; the
+    * removed volume grows with corpus × rounds at 100 TB). Same
+    * single-query-at-a-time session contract as the walk.
     */
   def build(docs: DataFrame, docIdCol: String = "doc_id",
             textCol: String = "text", numPartitions: Int = 32,
             startKeyChars: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try buildNoAqe(docs, docIdCol, textCol, numPartitions, startKeyChars)
+    finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  private def buildNoAqe(docs: DataFrame, docIdCol: String,
+                         textCol: String, numPartitions: Int,
+                         startKeyChars: Int): DataFrame = {
     val spark = docs.sparkSession
     val statsRow = docs
       .agg(max(length(col(textCol))), sum(length(col(textCol)))).head
@@ -200,20 +251,40 @@ object SuffixArray {
     // boundary arrays (headRank holds two numPartitions-length arrays).
     val partitions = math.max(numPartitions,
       math.min(1024L, sumLen * (k0 + 16L) / (256L << 20) + 1L).toInt)
+    // t: (gid, r, a) — rank + "my group still has >= 2 members" flag,
+    // hash-partitioned AND sorted within partitions on gid so every
+    // round's joins accept it AS IS (AQE is off — the layout survives
+    // the checkpoint; the sort keeps the SMJ fallback below exchange-
+    // and sort-free on the corpus side). The flag arrives FREE from
+    // headRank's scan — the old separate groupBy(r)/semi-join pass to
+    // seed the active set was one extra corpus-keyed shuffle + join +
+    // checkpoint before the first round.
+    val dbg = sys.env.contains("GRAFT_SA_DEBUG")
+    val tB0 = System.nanoTime()
+    def dbgLog(msg: String): Unit = if (dbg)
+      System.err.println(f"[sabuild] ${(System.nanoTime() - tB0) / 1e9}%6.1f s $msg")
     var t = headRank(pos, partitions)
       .repartition(partitions, col("gid"))
+      .sortWithinPartitions("gid")
       .localCheckpoint()
-    // active = members of groups of size >= 2 (agg + join-back, never a
-    // per-group window over members)
-    var active = t.join(
-        t.groupBy("r").agg(count(lit(1)).as("gsz")).filter(col("gsz") >= 2)
-          .select("r"), Seq("r"), "left_semi")
-      .localCheckpoint()
-    var nActive = active.count()
+    dbgLog(s"headRank + initial checkpoint done (partitions=$partitions)")
+    var nActive = t.filter(col("a")).count()
     var k = k0
     while (nActive > 0 && k < maxLen) {
+      dbgLog(s"round k=$k nActive=$nActive")
+      // shuffled-hash hints are CONDITIONAL on the build side fitting
+      // in execution memory (the walk's rule, same 1M-rows/partition
+      // bound): active-set-sized sides build, the corpus-sized t/lk
+      // side streams in place with no exchange and no sort. Oversized
+      // early rounds at giant corpora fall back to sort-merge, which
+      // spills gracefully — the checkpoint's within-partition gid sort
+      // keeps even that fallback exchange-free on the corpus side.
+      val buildFits = nActive / partitions <= 1000000L
+      def hinted(df: DataFrame): DataFrame =
+        if (buildFits) df.hint("shuffle_hash") else df
+      val active = t.filter(col("a")).select(col("gid"), col("r"))
       val lk = t.select(col("gid").as("lgid"), col("r").as("r2"))
-      val withR2 = active.withColumn("lgid", col("gid") + k)
+      val withR2 = hinted(active.withColumn("lgid", col("gid") + k))
         .join(lk, Seq("lgid"), "left")
         .select(col("gid"), col("r"), coalesce(col("r2"), lit(-1L)).as("r2"))
       // subgroup sizes + running head offsets over the DISTINCT (r, r2)
@@ -222,21 +293,38 @@ object SuffixArray {
       val w = Window.partitionBy("r").orderBy("r2")
         .rowsBetween(Window.unboundedPreceding, -1)
       val heads = cnt.withColumn("off", coalesce(sum(col("c")).over(w), lit(0L)))
-      val upd = withR2.join(heads, Seq("r", "r2"))
-        .select(col("gid"), (col("r") + col("off")).as("r"), col("c"))
-        .localCheckpoint()
-      val updSlim = upd.select(col("gid"), col("r").as("nr"))
-      t = t.join(updSlim, Seq("gid"), "left")
-        .select(col("gid"), coalesce(col("nr"), col("r")).as("r"))
-        .localCheckpoint()
-      active = upd.filter(col("c") >= 2).select("gid", "r").localCheckpoint()
-      nActive = active.count()
+      val upd = withR2.join(hinted(heads), Seq("r", "r2"))
+        .select(col("gid"), (col("r") + col("off")).as("nr"),
+          (col("c") >= 2).as("na"))
+      // ONE checkpoint per round (the old form checkpointed upd, t and
+      // active separately — three corpus-adjacent materialization jobs
+      // per round): the new t carries the updated rank AND the active
+      // flag, so next round's active set is a free filter of t. The
+      // superseded round's checkpoint is released as soon as its rows
+      // are drained into the new one (direct RDD references, never a
+      // context-global id delta — concurrent shard walks share this
+      // SparkContext), so peak storage is two rounds' t, not the sum
+      // of all rounds — the q137 100×-build heap-debt class (r17
+      // verdict #2) shrinks by rounds×.
+      val tNew0 = t.join(hinted(upd), Seq("gid"), "left")
+        .select(col("gid"), coalesce(col("nr"), col("r")).as("r"),
+          coalesce(col("na"), lit(false)).as("a"))
+        .sortWithinPartitions("gid")
+      if (dbg)
+        System.err.println(s"[sabuild] round k=$k plan:\n" +
+          tNew0.queryExecution.executedPlan.toString.linesIterator.take(40)
+            .mkString("\n"))
+      val tNew = tNew0.localCheckpoint()
+      dbgLog(s"round k=$k tNew checkpointed")
+      nActive = tNew.filter(col("a")).count()
+      checkpointRdds(t).foreach(_.unpersist(blocking = false))
+      t = tNew
       k *= 2
     }
     // residual ties are byte-equal whole suffixes: (doc_id, p) == gid
     // order breaks them; per-group row_number over the residue only
     val wr = Window.partitionBy("r").orderBy("gid")
-    val resid = active
+    val resid = t.filter(col("a"))
       .withColumn("fr", col("r") + row_number().over(wr) - 1L)
       .select(col("gid"), col("fr"))
     t.join(resid, Seq("gid"), "left")
@@ -560,6 +648,25 @@ object SuffixArray {
     shards.toInt
   }
 
+  /** How many shards can run CONCURRENTLY inside `budgetBytes`:
+    * [[autoShards]]'s envelope arithmetic in reverse —
+    * clamp(1, min(nShards, 16), budget / one shard's
+    * [[walkWorkingSetBytes]]). When autoShards sized the shard count
+    * against this same budget (the 100 TB deployment), one shard
+    * fills it and this yields 1 — the sequential single-machine
+    * envelope; shards far below the budget overlap as independent
+    * jobs (guide-§2.6 back-fill), peak working set k·shard by
+    * construction. The 16 cap bounds driver-side shard threads.
+    */
+  def autoConcurrency(sumLen: Long, maxLen: Int, nShards: Int,
+                      budgetBytes: Long): Int = {
+    require(budgetBytes > 0, "autoConcurrency needs a positive budget")
+    val perShard =
+      math.max(1L, walkWorkingSetBytes(sumLen / math.max(1, nShards), maxLen))
+    math.max(1L, math.min(math.min(nShards, 16).toLong,
+      budgetBytes / perShard)).toInt
+  }
+
   /** Hard ceiling on shard counts: [[shardOfText]] decodes FOUR md5
     * hex digits, so it yields exactly 65536 distinct key values — a
     * larger `nShards` would silently leave shards ≥ 65536 empty and
@@ -629,37 +736,81 @@ object SuffixArray {
     * nShards = 1 is bit-for-bit the global kernel (spec-pinned).
     *
     * @param maxConcurrentShards upper bound on shards in flight at
-    *   once. 1 (default) is the strictly-sequential form — peak
-    *   working set is ONE shard's, the single-JVM rehearsal envelope,
-    *   and SuffixArraySpec pins it bit-for-bit unchanged. k > 1 runs
-    *   each batch of k shards as independent concurrent jobs on
-    *   isolated `newSession()`s (a cluster runs shards as independent
-    *   jobs; the per-session SQLConf keeps each hash-walk's AQE toggle
-    *   private — see [[adjacentLcp]]'s concurrency contract), sizing
-    *   peak working set at k·shard. Safe on BOTH LCP paths since r18:
-    *   the hash walk releases its per-round checkpoints via direct
-    *   references to its own RDDs, never a context-global id delta
-    *   that could free a sibling walk's blocks (r17 ADVICE;
-    *   SuffixArraySpec pins k=2 ≡ k=1 with `graft.lcp.path=hash`
-    *   forced, and tools.ConcurrentShardsProbe measures the k·shard
-    *   storage envelope at the 10× tier). Runtime conf pins set on
-    *   the parent session (no-broadcast, partition-count overrides)
-    *   do NOT propagate to the k > 1 worker sessions — SESSION-conf
-    *   pinning harnesses keep k = 1, or pin at SparkContext-builder
-    *   level (builder configs are inherited by `newSession()`, the
-    *   probe's approach).
+    *   once. 0 (default) DERIVES the bound from the data: k =
+    *   clamp(1, min(nShards, 16), workingSetBudget / one shard's
+    *   [[walkWorkingSetBytes]]) — the same envelope arithmetic
+    *   [[autoShards]] runs in reverse, costing one extra
+    *   length-column scan of the corpus. When autoShards sized the
+    *   shard count against the per-machine budget (the 100 TB
+    *   deployment), one shard FILLS the budget and the derivation
+    *   yields k = 1 — the strictly-sequential single-machine
+    *   envelope; when shards are far below the budget (a small corpus
+    *   over-sharded, or the fixed bench shard count at sf0.1), idle
+    *   capacity runs shards as overlapping jobs exactly as a cluster
+    *   would run them on separate machines (guide §2.6: overlap
+    *   independent jobs — actions are only sequential because the
+    *   driver calls them sequentially). The budget defaults to 1/4 of
+    *   the JVM heap; `-Dgraft.shards.concurrencyBudgetBytes` overrides
+    *   (a cluster deployment would set its per-machine allowance).
+    *   1 forces the sequential form — peak working set is ONE
+    *   shard's, the single-JVM rehearsal envelope, and SuffixArraySpec
+    *   pins it bit-for-bit unchanged. k > 1 runs each batch of k
+    *   shards as independent concurrent jobs on isolated
+    *   `newSession()`s (the per-session SQLConf keeps each build's and
+    *   hash-walk's AQE toggle private — see [[adjacentLcp]]'s
+    *   concurrency contract), sizing peak working set at k·shard.
+    *   Safe on BOTH LCP paths since r18: the hash walk releases its
+    *   per-round checkpoints via direct references to its own RDDs,
+    *   never a context-global id delta that could free a sibling
+    *   walk's blocks (r17 ADVICE; SuffixArraySpec pins k=2 ≡ k=1 with
+    *   `graft.lcp.path=hash` forced, and tools.ConcurrentShardsProbe
+    *   measures the k·shard storage envelope at the 10× tier).
+    *   Worker sessions INHERIT the parent session's modifiable
+    *   runtime conf at spawn (set-by-set copy): harness pins
+    *   (no-broadcast bases, partition-count overrides) bind the shard
+    *   jobs — the r17 "conf pins do not propagate" footgun is closed
+    *   in code, not by a comment.
     */
   def shardedDedupCut(docs: DataFrame, minLen: Int, nShards: Int,
                       docIdCol: String = "doc_id", textCol: String = "text",
                       numPartitions: Int = 32,
-                      maxConcurrentShards: Int = 1): DataFrame = {
+                      maxConcurrentShards: Int = 0): DataFrame = {
     require(nShards >= 1 && nShards <= MaxShards,
       s"nShards must be in [1, $MaxShards], got $nShards " +
         "(the content key decodes four md5 hex digits - see MaxShards)")
-    require(maxConcurrentShards >= 1,
-      s"maxConcurrentShards must be >= 1, got $maxConcurrentShards")
+    require(maxConcurrentShards >= 0,
+      s"maxConcurrentShards must be >= 0 (0 = derive from the " +
+        s"working-set budget), got $maxConcurrentShards")
     val spark = docs.sparkSession
     val sc = spark.sparkContext
+    // -Dgraft.shards.maxConcurrent pins the derived concurrency for
+    // like-for-like tier measurements (the graft.lcp.path precedent):
+    // the scale rehearsal and the autoShards probe pin 1 so the wall
+    // exponents compare the sequential kernel at every tier and the
+    // probe's disk envelope stays the documented ONE-shard form —
+    // otherwise the 10× tier would overlap shards (k = 4 fits the
+    // heap/4 budget) while 100× cannot (k = 1), and the decade-2 wall
+    // exponent would compare two different execution shapes.
+    val pinned = Integer.getInteger("graft.shards.maxConcurrent", 0)
+    val concurrency: Int =
+      if (maxConcurrentShards > 0) maxConcurrentShards
+      else if (pinned > 0) pinned
+      else if (nShards == 1) 1
+      else {
+        val statsRow = docs
+          .agg(sum(length(col(textCol))), max(length(col(textCol)))).head
+        val sumLen = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+        val docMax = if (statsRow.isNullAt(1)) 0 else statsRow.getInt(1)
+        val budget = java.lang.Long.getLong(
+          "graft.shards.concurrencyBudgetBytes",
+          Runtime.getRuntime.maxMemory() / 4)
+        val k = autoConcurrency(sumLen, docMax, nShards, budget)
+        System.err.println(s"[suffixarray] shardedDedupCut auto concurrency: " +
+          s"perShardWorkingSet=${walkWorkingSetBytes(
+            sumLen / nShards, docMax)}B budget=${budget}B -> k=$k " +
+          s"(nShards=$nShards)")
+        k
+      }
     import scala.jdk.CollectionConverters._
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_sharded_cut").toFile
@@ -702,7 +853,7 @@ object SuffixArray {
         cut.write.mode("overwrite").parquet(
           new java.io.File(outDir, s"__cutshard=$s").getAbsolutePath)
       }
-      (0 until nShards).grouped(maxConcurrentShards).foreach { batch =>
+      (0 until nShards).grouped(concurrency).foreach { batch =>
         val beforeIds = sc.getPersistentRDDs.keySet.toSet
         val beforeDirs = doneSidecars.asScala.toSet
         try {
@@ -710,8 +861,18 @@ object SuffixArray {
           else {
             val errs =
               new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+            // snapshot once per batch: the parent's modifiable runtime
+            // conf (harness pins included) is copied onto each worker
+            // session, which otherwise starts from context defaults
+            val parentConf = spark.conf.getAll
             val threads = batch.map { s =>
               val sess = spark.newSession()
+              parentConf.foreach { case (ck, cv) =>
+                if (sess.conf.isModifiable(ck) &&
+                    !sess.conf.getOption(ck).contains(cv))
+                  try sess.conf.set(ck, cv)
+                  catch { case _: Exception => () }
+              }
               val t = new Thread(
                 () => try runShard(s, sess)
                       catch { case e: Throwable => errs.add(e) },

@@ -839,11 +839,11 @@ object CorpusQueries {
   def q70(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(TextFns.tokens(col("text")).as("w"))
-      .select(explode(expr(
-        """CASE WHEN size(w) >= 2
-          |     THEN transform(sequence(0, size(w) - 2),
-          |                    i -> concat(w[i], ' ', w[i + 1]))
-          |     ELSE array() END""".stripMargin)).as("pair"))
+      // position explode + codegen projection (the Apss measured form);
+      // the size guard keeps sequence() ascending, replacing CASE/array()
+      .filter(size(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(0), size(col("w")) - 2)).as("i"))
+      .select(expr("concat(w[i], ' ', w[i + 1])").as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("pair"))
       .limit(30)
@@ -1273,12 +1273,13 @@ object CorpusQueries {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
-    val pairs = toks.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // position explode + codegen element_at projection (the Apss
+    // measured form — zip_with lambdas are interpreted per element and
+    // allocate two slice copies per doc)
+    val pairs = toks.select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
     val bigram = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val prefix = bigram.groupBy("w1").agg(sum("c2").as("c1"))
     pairs.join(bigram, Seq("w1", "w2"))
@@ -1413,9 +1414,10 @@ object CorpusQueries {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .where(size(col("w")) >= 2)
     val counts = toks
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
-        .as("bg"))
+      // position explode + codegen projection (the Apss measured form)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 2)).as("i"))
+      .select(col("doc_id"), expr("concat(w[i], ' ', w[i + 1])").as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     val top = counts.groupBy("doc_id")
       .agg(min(struct((-col("c")).as("nc"), col("bg"))).as("m"))
@@ -1707,12 +1709,11 @@ object CorpusQueries {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
-    val pairs = toks.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // position explode + codegen element_at projection (q86's form)
+    val pairs = toks.select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
     val bigram = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val prefix = bigram.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("nf"))
@@ -1869,11 +1870,10 @@ object CorpusQueries {
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val n = uni.agg(sum("c").cast("double").as("n"))
     val bigram = toks.filter(size(col("w")) >= 2)
-      .select(explode(zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // position explode + codegen element_at projection (q86's form)
+      .select(col("w"), explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val b = bigram.agg(sum("c12").cast("double").as("b"))
     bigram.filter(col("c12") >= 5)
@@ -1989,12 +1989,16 @@ object CorpusQueries {
     val grams = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(zip_with(
-        zip_with(slice(col("w"), lit(1), size(col("w")) - 2),
-          slice(col("w"), lit(2), size(col("w")) - 2),
-          (a, b) => concat(a, lit(" "), b)),
-        slice(col("w"), lit(3), size(col("w")) - 2),
-        (ab, c) => concat(ab, lit(" "), c))).as("gram"))
+      // position explode + codegen concat_ws/element_at projection (the
+      // Apss measured form) — the former nested zip_with lambdas were
+      // interpreted per element and allocated two intermediate arrays
+      // per doc
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("w"), col("i")),
+        element_at(col("w"), col("i") + 1),
+        element_at(col("w"), col("i") + 2)).as("gram"))
       .distinct()
     val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     val per = grams.join(dfreq, "gram")
@@ -2070,12 +2074,30 @@ object CorpusQueries {
   def q126(s: SparkSession, dir: String): DataFrame = {
     val L = 40
     val docs = Tables.documents(s, dir)
+    // explode the POSITION, hash in the projection after it: the
+    // per-position md5 runs in whole-stage codegen and nothing but
+    // (doc_id, p, 16-byte g) leaves the map stage. The former
+    // `transform(sequence, i -> struct(i, md5…))` form built the whole
+    // (p, hash) struct array per doc inside an INTERPRETED lambda
+    // before exploding it (SuffixArray.build's measured pattern — HOF
+    // lambdas never enter codegen). Measured same-JVM alternating A/B
+    // (tools.AbProbe "pos", sf0.1): med 3.59 → 2.95 s per derivation
+    // (min 3.32 → 2.71) — q126 and q127 each pay the derivation twice.
     val pos = docs.filter(length(col("text")) >= L)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, length(text) - $L + 1),
-           |          i -> struct(i AS p, unhex(md5(substring(text, i, $L))) AS g))"""
-          .stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - L + 1)).as("p"))
+      .select(col("doc_id"), col("p"),
+        // coalesce-to-nonnull: unhex(md5(..)) is never null here (text
+        // is non-null past the length filter), but Spark cannot prove
+        // it, and the downstream join's pushed isnotnull(g) predicate
+        // would otherwise be pushed BELOW this projection and
+        // re-derive the md5 once more per row in a Filter (guide
+        // §4.4's duplicated-expensive-expression trap — measured: the
+        // full q126 ran 6.5 → 10.2 s with the duplicate). A non-null
+        // coalesce makes the column non-nullable, so the pushed
+        // isnotnull folds to true at plan time.
+        coalesce(unhex(md5(expr(s"substring(text, p, $L)"))),
+          lit(Array.emptyByteArray)).as("g"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
     // hot grams via map-side-combined agg (skew-safe; costs a second
@@ -2162,12 +2184,15 @@ object CorpusQueries {
     // Cut set via per-gram agg + join-back (skew-safe — see scaladoc):
     // min(struct(doc_id, p)) is the corpus-wide canonical occurrence;
     // every other occurrence of a gram with count ≥ 2 is cut.
+    // codegen explode+project position pipeline — see q126's comment
     val pos = docs.filter(length(col("text")) >= L)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, length(text) - $L + 1),
-           |          i -> struct(i AS p, unhex(md5(substring(text, i, $L))) AS g))"""
-          .stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - L + 1)).as("p"))
+      .select(col("doc_id"), col("p"),
+        // coalesce-to-nonnull — see q126: folds the join's pushed
+        // isnotnull(g) away instead of re-deriving the md5 in a Filter
+        coalesce(unhex(md5(expr(s"substring(text, p, $L)"))),
+          lit(Array.emptyByteArray)).as("g"))
     val canon = pos.groupBy("g")
       .agg(min(struct(col("doc_id"), col("p"))).as("first"),
         count(lit(1)).as("c"))

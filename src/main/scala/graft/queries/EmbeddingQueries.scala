@@ -818,15 +818,35 @@ object EmbeddingQueries {
         md5(concat(col("vec_id").cast("string"), lit(":knn-eval"))))
       .orderBy(col("__sk"), col("vec_id")).limit(sampleN)
       .drop("__sk")
+      // limit() collapses to ONE partition, and the broadcast cross
+      // join inherits the probe side's layout — without this the whole
+      // n·(n−1) cosine pass ran on a single core (measured: the
+      // committed bench shows 0 shuffle bytes for q131, i.e. no
+      // exchange anywhere = no parallelism). Re-spreading the K sampled
+      // rows is a K-row exchange that buys back full-cluster
+      // parallelism on the O(K²) scoring stage.
+      .repartition(col("vec_id"))
       .localCheckpoint()
     val a = e.toDF("qa", "ea", "la")
     val b = e.toDF("qb", "eb", "lb")
     val pairs = a.crossJoin(b).filter(col("qa") =!= col("qb"))
       .select(col("qa"), col("la"), col("qb"), col("lb"),
         graft.functions.CosineSimilarity(s, col("ea"), col("eb")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-    val top = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // per-query top-k via the native bounded-heap aggregate (q78's
+    // plan): with the scoring stage now parallel, a row_number window
+    // would EXCHANGE AND SORT all n·(n−1) scored pairs before
+    // rank-filtering; the heap keeps k entries per query map-side, so
+    // the exchange carries k×queries rows. struct(-cos, qb) ascending
+    // ≡ (cos DESC, qb ASC) — the identical total order (cos is never
+    // null here: embeddings are non-null, non-zero).
+    val top = pairs
+      .select(col("qa"), col("la"),
+        struct((-col("cos")).as("nc"), col("qb").as("qb"), col("lb").as("lb"))
+          .as("key"))
+      .groupBy("qa", "la")
+      .agg(graft.functions.TopKRows(s, col("key"), k).as("top"))
+      .select(col("la"), explode(col("top")).as("kv"))
+      .select(col("la"), col("kv.lb").as("lb"))
     top.groupBy(col("la").as("label"))
       .agg(count(lit(1)).as("n_slots"),
         sum(when(col("lb") === col("la"), 1L).otherwise(0L)).as("n_matches"))

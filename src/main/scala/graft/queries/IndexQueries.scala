@@ -123,10 +123,13 @@ object IndexQueries {
     // no trigram at all — the oracle returns zero rows there
     val top = docs.select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(explode(expr(
-        """transform(sequence(1, size(ws) - 2),
-          |  i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-          |                 element_at(ws, i + 2)))""".stripMargin)).as("g"))
+      // position explode + codegen projection (Apss's measured form —
+      // the transform lambda was interpreted per element)
+      .select(col("ws"), explode(sequence(lit(1), size(col("ws")) - 2)).as("i"))
+      .select(concat_ws(" ",
+        element_at(col("ws"), col("i")),
+        element_at(col("ws"), col("i") + 1),
+        element_at(col("ws"), col("i") + 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("g")).limit(1)
       .head(1).headOption.map(_.getString(0))
@@ -382,12 +385,21 @@ object IndexQueries {
     * exact duplicates — the dominant class — are never missed; only
     * partial overlaps between non-identical texts can cross a
     * boundary (SuffixArraySpec measures that miss rate on a planted
-    * corpus; winnowing q82 is the corpus-global complement). Shards
-    * run strictly sequentially, so peak working set is one shard's —
-    * sized by SuffixArray.walkWorkingSetBytes / autoShards, the same
-    * formula the rehearsal's feasibility check uses. The oracle
+    * corpus; winnowing q82 is the corpus-global complement). Shard
+    * concurrency is DERIVED from the working-set budget
+    * (SuffixArray.autoConcurrency — autoShards' envelope arithmetic in
+    * reverse): when one shard fills the per-machine budget (the 100 TB
+    * deployment, where autoShards sized the count against that same
+    * budget) shards run strictly sequentially and peak working set is
+    * one shard's; when shards sit far below the budget (the fixed
+    * 4-shard bench corpus) they overlap as independent jobs, exactly
+    * as a cluster would run them on separate machines. The scale
+    * rehearsal pins k = 1 (-Dgraft.shards.maxConcurrent) so tier
+    * exponents compare the sequential kernel at every tier. The oracle
     * replays the identical shard assignment and runs q143's per-shard
-    * suffix sort + coarse/fine LCP replay partitioned by shard.
+    * suffix sort + coarse/fine LCP replay partitioned by shard —
+    * concurrency is an execution knob, never a semantics knob
+    * (spec-pinned bit-for-bit).
     */
   def q174(s: SparkSession, dir: String): DataFrame = {
     // the query that MEANS "run the sharded kernel": invalidate first

@@ -785,11 +785,15 @@ object TextQueries {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
     val grams = toks
       .select(col("doc_id"), explode(lit(Array(3, 4, 5, 10))).as("n"), col("w"))
-      .select(col("doc_id"), col("n"), explode(expr(
-        """CASE WHEN size(w) >= n
-          |     THEN transform(sequence(1, size(w) - n + 1),
-          |                    i -> array_join(slice(w, i, n), ' '))
-          |     ELSE array() END""".stripMargin)).as("g"))
+      // position explode + codegen slice/array_join projection (the
+      // Apss measured form — the transform lambda was interpreted per
+      // element); the size(w) >= n guard keeps sequence() ascending
+      // (the r10 advice crash class), replacing the CASE/array() guard
+      .filter(size(col("w")) >= col("n"))
+      .select(col("doc_id"), col("n"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - col("n") + 1)).as("i"))
+      .select(col("doc_id"), col("n"),
+        array_join(slice(col("w"), col("i"), col("n")), " ").as("g"))
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
     val perN = grams.groupBy("doc_id", "n")
       .agg(sum("c").as("tot"), count(lit(1)).as("dis"),

@@ -423,11 +423,57 @@ class SuffixArraySpec extends AnyFunSuite {
     val ddf = docs.toDF("doc_id", "text")
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-    val seq1 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4))
+    val seq1 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4,
+      maxConcurrentShards = 1))
     val par2 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4,
       maxConcurrentShards = 2))
     assert(par2 == seq1)
     assert(seq1.nonEmpty)
+    // the default derives concurrency from the working-set budget
+    // (k = 4 on a spec-sized corpus) — same rows either way
+    val auto = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4))
+    assert(auto == seq1)
+  }
+
+  test("auto concurrency derives from the working-set budget and " +
+      "collapses to sequential when one shard fills it") {
+    // derivation arithmetic: k = clamp(1, min(nShards, 16),
+    // budget / perShardWorkingSet) — autoShards in reverse, so when
+    // autoShards sized the shards to FILL the budget, k = 1
+    val sumLen = 1500000000L
+    val maxLen = 553
+    val budget = 64L << 30
+    val n = SuffixArray.autoShards(sumLen, maxLen, budget)
+    assert(SuffixArray.autoConcurrency(sumLen, maxLen, n, budget) == 1)
+    // shards an order of magnitude below the budget overlap
+    val per = SuffixArray.walkWorkingSetBytes(sumLen / 8, maxLen)
+    assert(SuffixArray.autoConcurrency(sumLen, maxLen, 8, per * 4) == 4)
+    assert(SuffixArray.autoConcurrency(sumLen, maxLen, 8, per * 100) == 8)
+    // caps: never above nShards, never above 16, never below 1
+    assert(SuffixArray.autoConcurrency(100L, 10, 65536, Long.MaxValue) == 16)
+    assert(SuffixArray.autoConcurrency(sumLen, maxLen, 8, 1L) == 1)
+    // end-to-end: tiny budget -> one shard's working set exceeds it ->
+    // k = 1; huge budget -> all shards in flight — same rows either way
+    val prev = System.getProperty("graft.shards.concurrencyBudgetBytes")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    import spark.implicits._
+    val docs = (0 until 8).map(i => (i.toLong,
+      s"budget probe text $i shared shared shared tail")).toDF("doc_id", "text")
+    try {
+      System.setProperty("graft.shards.concurrencyBudgetBytes", "1")
+      val seqForm = canon(SuffixArray.shardedDedupCut(docs, minLen = 20,
+        nShards = 4))
+      System.setProperty("graft.shards.concurrencyBudgetBytes",
+        (64L << 30).toString)
+      val parForm = canon(SuffixArray.shardedDedupCut(docs, minLen = 20,
+        nShards = 4))
+      assert(parForm == seqForm)
+    } finally {
+      if (prev == null)
+        System.clearProperty("graft.shards.concurrencyBudgetBytes")
+      else System.setProperty("graft.shards.concurrencyBudgetBytes", prev)
+    }
   }
 
   test("maxConcurrentShards = 2 under the FORCED hash-walk path matches " +
@@ -455,7 +501,8 @@ class SuffixArraySpec extends AnyFunSuite {
       val ddf = docs.toDF("doc_id", "text")
       def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-      val seq1 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4))
+      val seq1 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4,
+        maxConcurrentShards = 1))
       val par2 = canon(SuffixArray.shardedDedupCut(ddf, minLen = 20, nShards = 4,
         maxConcurrentShards = 2))
       assert(par2 == seq1)
