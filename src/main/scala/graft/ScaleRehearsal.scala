@@ -159,11 +159,15 @@ object ScaleRehearsal {
     * ac9059a / 435017f).
     */
   val GateDeferralEvidence: Map[String, String] = Map(
-    "q110_triangle_count" -> ("1x->10x raw write exponent 2.167 is the " +
-      "broadcast->shuffle flip completing by 10x (adjacency joins " +
-      "broadcast at 1x, shuffle at 10x); settled 10x->100x decade " +
-      "measured 1.008; left unpinned because pinning cost 8x wall at " +
-      "10x for no extra evidence"),
+    "q110_triangle_count" -> ("r18 message-passing form: 10x shuffle " +
+      "bytes 3.89 GB match the old join form's 3.92 GB, so the settled " +
+      "10x->100x decade exponent 1.008 (measured on the old form, " +
+      "byte-equivalent at 10x) carries; the 1x->10x raw exponent " +
+      "(1.822, was 2.167) is still flip-distorted at the 1x end — the " +
+      "message rounds always exchange their node-keyed lists where " +
+      "AQE broadcast ALL old-form joins at 1x, so the 1x base is not " +
+      "the at-scale shape; left unpinned because pinning cost 8x wall " +
+      "at 10x for no extra evidence"),
     "q114_fuzzy_lookup" -> ("1x->10x raw 1.379 = same " +
       "flip-completes-by-10x class as q110; settled decade 1.032"),
     "q149_gopher_repetition" -> ("per-decade write ratio 10.2-10.8x " +

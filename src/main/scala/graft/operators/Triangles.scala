@@ -28,13 +28,33 @@ import org.apache.spark.sql.functions._
   * at sf0.1 (co-purchase graph, 1.2M edges): 19.2 s / 2.1 GB shuffle →
   * ~2 s / MBs.
   *
-  * Plan shape: one distinct on the canonical edge, one degree agg, two
-  * adjacency joins, one node-keyed count agg. The adjacency joins carry
-  * no hint: AQE sees the adjacency table's true post-shuffle size and
-  * converts them to broadcast joins when it fits (making both attaches
-  * map-side), and keeps node-keyed hash joins — the honest distributed
-  * shape — when the graph is too big to broadcast. No driver-side
-  * count probe: the decision point is exactly the runtime statistic.
+  * Plan shape (r18, message-passing form): one distinct on the
+  * canonical edge, then TWO node-keyed aggregations replace what was a
+  * degree agg + two degree-attach joins + an adjacency agg + one
+  * adjacency-attach join (guide §2.4 — fold joins into the
+  * aggregations that already shuffle by the same key):
+  *
+  *  1. group the directed expansion by src — one pass yields BOTH
+  *     deg(src) (the count) and src's neighbor list;
+  *  2. explode that back as (dst, (src, deg(src))) messages and group
+  *     by dst — the list size IS deg(dst), so each node now holds every
+  *     neighbor WITH its degree and its own degree, and the
+  *     degree-orientation filter runs per-node over that list with no
+  *     join at all.
+  *
+  * Exploding the out-adjacency gives each oriented edge its src list
+  * for free (it is co-partitioned by construction); only ONE join
+  * remains — attaching the dst list — and its right side is already
+  * partitioned by node, so at any scale exactly one side of one join
+  * exchanges. The old form exchanged the edge set through two degree
+  * joins and two adjacency joins whenever the degree/adjacency tables
+  * outgrew the broadcast threshold — the 100 TB regime. The per-node
+  * orientation filter is an interpreted HOF, but over degree-bounded
+  * lists of trivial comparisons (Σdeg = 2m elements total); forcing it
+  * into codegen would cost an extra explode + re-aggregation pass,
+  * which is strictly more work. No driver-side count probe anywhere:
+  * AQE still upgrades the one remaining join to broadcast when the
+  * adjacency table fits.
   */
 object Triangles {
 
@@ -49,31 +69,38 @@ object Triangles {
       .select(least(col(u), col(v)).as("lo"), greatest(col(u), col(v)).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-    val deg = canon.select(col("lo").as("node"))
-      .union(canon.select(col("hi").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient by (deg, id): src -> dst iff (deg(src), src) < (deg(dst), dst)
-    val withDeg = canon
-      .join(deg.withColumnRenamed("node", "lo").withColumnRenamed("deg", "dlo"), "lo")
-      .join(deg.withColumnRenamed("node", "hi").withColumnRenamed("deg", "dhi"), "hi")
-    val srcIsLo = col("dlo") < col("dhi") ||
-      (col("dlo") === col("dhi") && col("lo") < col("hi"))
-    val oriented = withDeg.select(
-      when(srcIsLo, col("lo")).otherwise(col("hi")).as("src"),
-      when(srcIsLo, col("hi")).otherwise(col("lo")).as("dst"))
-    // out-adjacency lists: size bounded by out-degree = O(sqrt(m))
-    val adjSide = oriented.groupBy(col("src").as("node"))
-      .agg(collect_list(col("dst")).as("nbrs"))
-    // edge iterator: for oriented (src, dst), every w in
-    // adj(src) ∩ adj(dst) closes the triangle (src, dst, w) — and the
-    // orientation guarantees each triangle is found at exactly one edge
-    // (the one leaving its unique two-out-edge node). The dst adjacency
-    // attach is an INNER join: a dst with no out-edges yields an empty
-    // intersection and is dropped by the size filter anyway, and inner
-    // keeps the operator id-dtype-generic (no hardcoded empty-array cast).
-    val withLists = oriented
-      .join(adjSide.select(col("node").as("src"), col("nbrs").as("la")), Seq("src"))
-      .join(adjSide.select(col("node").as("dst"), col("nbrs").as("lb")), Seq("dst"))
+    // message round 1: group the directed expansion by source — ONE
+    // aggregation yields deg(node) AND node's full neighbor list
+    val d = canon.select(col("lo").as("node"), col("hi").as("nbr"))
+      .union(canon.select(col("hi").as("node"), col("lo").as("nbr")))
+    val a1 = d.groupBy("node")
+      .agg(count(lit(1)).as("deg"), collect_list(col("nbr")).as("nbrs"))
+    // message round 2: each node sends (itself, its degree) to every
+    // neighbor; the receiver's list size IS its own degree, so the
+    // (deg, id) orientation — src -> dst iff (deg(src), src) <
+    // (deg(dst), dst) — becomes a per-node list filter, joining nothing
+    val msgs = a1.select(col("node"), col("deg"), explode(col("nbrs")).as("dst"))
+    val adj = msgs.groupBy(col("dst"))
+      .agg(collect_list(struct(col("deg").as("d"), col("node").as("n"))).as("infos"))
+      .select(col("dst").as("node"), size(col("infos")).cast("long").as("deg"),
+        col("infos"))
+      .select(col("node"), transform(
+        filter(col("infos"), si => si("d") > col("deg") ||
+          (si("d") === col("deg") && si("n") > col("node"))),
+        si => si("n")).as("out"))
+    // exploding the out-adjacency yields every oriented edge WITH its
+    // src list attached (out-degree bounded by O(sqrt(m)) — arboricity);
+    // only the dst list needs a join, and its right side is already
+    // partitioned by node. Edge iterator: for oriented (src, dst),
+    // every w in adj(src) ∩ adj(dst) closes the triangle (src, dst, w),
+    // found at exactly one edge (the one leaving its unique
+    // two-out-edge node). INNER join: every node with an edge receives
+    // at least one message, so all oriented edges survive; an empty lb
+    // yields an empty intersection, dropped by the size filter anyway.
+    val withLists = adj
+      .select(col("node").as("src"), col("out").as("la"))
+      .select(col("src"), col("la"), explode(col("la")).as("dst"))
+      .join(adj.select(col("node").as("dst"), col("out").as("lb")), Seq("dst"))
       .select(col("src"), col("dst"),
         array_intersect(col("la"), col("lb")).as("common"))
       .filter(size(col("common")) > 0)

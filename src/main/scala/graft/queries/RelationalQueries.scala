@@ -809,14 +809,19 @@ object RelationalQueries {
     */
   def q110(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    // pair formation via double position explode + codegen element_at
+    // projection (the r18 #5 form — the nested transform/flatten lambda
+    // was interpreted per element); size >= 2 keeps both sequences
+    // ascending. Pairs are (p[i], p[j]) for 1 <= i < j <= size, u < v
+    // by the sort.
     val edges = li.groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("p"))
       .filter(size(col("p")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(p) - 2),
-          |  i -> transform(sequence(i + 1, size(p) - 1),
-          |       j -> struct(p[i] AS u, p[j] AS v))))""".stripMargin)).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .select(col("p"), explode(sequence(lit(1), size(col("p")) - 1)).as("i"))
+      .select(col("p"), col("i"),
+        explode(sequence(col("i") + 1, size(col("p")))).as("j"))
+      .select(element_at(col("p"), col("i")).as("u"),
+        element_at(col("p"), col("j")).as("v"))
     graft.operators.Triangles.perNodeTriangles(edges, "u", "v")
   }
 

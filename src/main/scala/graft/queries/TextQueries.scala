@@ -766,10 +766,13 @@ object TextQueries {
     * newlines — q50/q124 run the segment-level equivalent.)
     *
     * Scale shape: ONE explode keyed (doc_id, n, gram) — all four gram
-    * sizes ride one map-side-combined shuffle — then a (doc_id, n)
-    * rollup carrying total grams, distinct grams, and the argmax gram
-    * via `min(struct(-c, gram))` (q93's deterministic tie rule), pivoted
-    * to one row per doc. No window, no self-join; gram cardinality per
+    * sizes ride one map-side-combined shuffle — then ONE doc-keyed
+    * conditional aggregation carrying, per n, total grams, distinct
+    * grams, and the argmax gram via `min(when(n, struct(-c, gram)))`
+    * (q93's deterministic tie rule) straight to one row per doc (r18:
+    * the former (doc_id, n) rollup + pivot cascade cost a second
+    * exchange for the same values). No window, no self-join; gram
+    * cardinality per
     * doc is ~4·|tokens|. Sub-n-word docs contribute an empty gram array
     * (guarded — `sequence(1, size-n+1)` DESCENDS when size < n, the r10
     * advice crash class) and emit 0.0 fractions like the oracle's empty
@@ -795,14 +798,24 @@ object TextQueries {
       .select(col("doc_id"), col("n"),
         array_join(slice(col("w"), col("i"), col("n")), " ").as("g"))
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-    val perN = grams.groupBy("doc_id", "n")
-      .agg(sum("c").as("tot"), count(lit(1)).as("dis"),
-        min(struct((-col("c")).as("nc"), col("g"))).as("m"))
-      .select(col("doc_id"), col("n"), col("tot"), col("dis"),
-        (-col("m.nc")).as("topc"), length(col("m.g")).cast("long").as("topl"))
-    val wide = perN.groupBy("doc_id").pivot("n", Seq(3, 4, 5, 10))
-      .agg(first("tot").as("tot"), first("dis").as("dis"),
-        first("topc").as("topc"), first("topl").as("topl"))
+    // ONE conditional aggregation replaces the (doc_id, n) rollup +
+    // pivot cascade (r18: two exchanges -> one; guide §2.4). Conditional
+    // min/sum ignore the when()'s nulls, so each n's aggregates see
+    // exactly its own gram rows — same values the pivot produced; a doc
+    // with no grams of some n gets null tot (sum over no rows), which
+    // dominates the downstream fractions exactly like the pivot's null.
+    def aggN(n: Int) = {
+      val is = col("n") === n
+      Seq(sum(when(is, col("c"))).as(s"${n}_tot"),
+        count(when(is, lit(1))).as(s"${n}_dis"),
+        min(when(is, struct((-col("c")).as("nc"), col("g")))).as(s"m$n"))
+    }
+    val aggs = Seq(3, 4, 5, 10).flatMap(aggN)
+    val wide = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: Seq(3, 4, 5, 10).flatMap(n => Seq(
+        col(s"${n}_tot"), col(s"${n}_dis"),
+        (-col(s"m$n.nc")).as(s"${n}_topc"),
+        length(col(s"m$n.g")).cast("long").as(s"${n}_topl"))): _*)
     val chars = toks.select(col("doc_id"),
       length(concat_ws(" ", col("w"))).cast("long").as("nch"))
     def frac(num: Column, den: Column): Column =

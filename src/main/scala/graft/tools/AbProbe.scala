@@ -109,6 +109,101 @@ object AbProbe {
               .select(col("doc_id"), col("p"),
                 coalesce(unhex(md5(expr(s"substring(text, p, $L)"))),
                   lit(Array.emptyByteArray)).as("g")))))
+      case "q110" =>
+        // r18: degree/adjacency attach JOINS (the r17 form, inlined) vs
+        // the message-passing two-aggregation form now in
+        // operators.Triangles — same canon edge pipeline both arms.
+        import org.apache.spark.sql.DataFrame
+        def edgesOld(): DataFrame = graft.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("p"))
+          .filter(size(col("p")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(p) - 2),
+              |  i -> transform(sequence(i + 1, size(p) - 1),
+              |       j -> struct(p[i] AS u, p[j] AS v))))""".stripMargin)).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+        def oldTriangles(edges: DataFrame): DataFrame = {
+          val canon = edges
+            .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
+            .filter(col("lo") =!= col("hi")).distinct()
+          val deg = canon.select(col("lo").as("node"))
+            .union(canon.select(col("hi").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("deg"))
+          val withDeg = canon
+            .join(deg.withColumnRenamed("node", "lo").withColumnRenamed("deg", "dlo"), "lo")
+            .join(deg.withColumnRenamed("node", "hi").withColumnRenamed("deg", "dhi"), "hi")
+          val srcIsLo = col("dlo") < col("dhi") ||
+            (col("dlo") === col("dhi") && col("lo") < col("hi"))
+          val oriented = withDeg.select(
+            when(srcIsLo, col("lo")).otherwise(col("hi")).as("src"),
+            when(srcIsLo, col("hi")).otherwise(col("lo")).as("dst"))
+          val adjSide = oriented.groupBy(col("src").as("node"))
+            .agg(collect_list(col("dst")).as("nbrs"))
+          val withLists = oriented
+            .join(adjSide.select(col("node").as("src"), col("nbrs").as("la")), Seq("src"))
+            .join(adjSide.select(col("node").as("dst"), col("nbrs").as("lb")), Seq("dst"))
+            .select(col("src"), col("dst"),
+              array_intersect(col("la"), col("lb")).as("common"))
+            .filter(size(col("common")) > 0)
+          withLists
+            .select(explode(concat(
+              array(
+                struct(col("src").as("node"), size(col("common")).cast("long").as("c")),
+                struct(col("dst").as("node"), size(col("common")).cast("long").as("c"))),
+              transform(col("common"), w => struct(w.as("node"), lit(1L).as("c")))))
+              .as("e"))
+            .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
+            .orderBy("node")
+        }
+        Seq(
+          "joins+hof-pairs" -> (() => oldTriangles(edgesOld())),
+          "message-passing" -> (() =>
+            graft.SparkEntry.queries("q110_triangle_count")(spark, sfDir)))
+      case "q149" =>
+        // r18: (doc_id, n) rollup + pivot (the former form, inlined over
+        // the SAME gram pipeline) vs the fused doc-keyed conditional
+        // aggregation now in TextQueries.q149.
+        import org.apache.spark.sql.{Column, DataFrame}
+        def q149Old(): DataFrame = {
+          val toks = graft.Tables.documents(spark, sfDir)
+            .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("w"))
+          val grams = toks
+            .select(col("doc_id"), explode(lit(Array(3, 4, 5, 10))).as("n"), col("w"))
+            .filter(size(col("w")) >= col("n"))
+            .select(col("doc_id"), col("n"), col("w"),
+              explode(sequence(lit(1), size(col("w")) - col("n") + 1)).as("i"))
+            .select(col("doc_id"), col("n"),
+              array_join(slice(col("w"), col("i"), col("n")), " ").as("g"))
+            .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+          val perN = grams.groupBy("doc_id", "n")
+            .agg(sum("c").as("tot"), count(lit(1)).as("dis"),
+              min(struct((-col("c")).as("nc"), col("g"))).as("m"))
+            .select(col("doc_id"), col("n"), col("tot"), col("dis"),
+              (-col("m.nc")).as("topc"), length(col("m.g")).cast("long").as("topl"))
+          val wide = perN.groupBy("doc_id").pivot("n", Seq(3, 4, 5, 10))
+            .agg(first("tot").as("tot"), first("dis").as("dis"),
+              first("topc").as("topc"), first("topl").as("topl"))
+          val chars = toks.select(col("doc_id"),
+            length(concat_ws(" ", col("w"))).cast("long").as("nch"))
+          def frac(num: Column, den: Column): Column =
+            round(coalesce(num.cast("double") / den.cast("double"), lit(0.0)), 4)
+          chars.join(wide, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              frac(col("3_topc") * col("3_topl"), col("nch")).as("top3_frac"),
+              frac(col("4_topc") * col("4_topl"), col("nch")).as("top4_frac"),
+              frac(col("5_tot") - col("5_dis"), col("5_tot")).as("dup5_frac"),
+              frac(col("10_tot") - col("10_dis"), col("10_tot")).as("dup10_frac"))
+            .withColumn("gopher_ok",
+              col("top3_frac") <= 0.18 && col("top4_frac") <= 0.16 &&
+                col("dup5_frac") <= 0.30 && col("dup10_frac") <= 0.10)
+            .orderBy("doc_id")
+        }
+        Seq(
+          "rollup+pivot" -> (() => q149Old()),
+          "fused-cond-agg" -> (() =>
+            graft.SparkEntry.queries("q149_gopher_repetition")(spark, sfDir)))
       case other => sys.error(s"unknown probe $other")
     }
     // warm both arms (JIT + codegen compile), then alternate timed runs
