@@ -451,6 +451,18 @@ object Bench {
         // capacity runs).
         System.setProperty("graft.lcp.path", "hash")
         System.setProperty("graft.shards.maxConcurrent", "1")
+        // r18: the SA build's adaptive dispatch takes the single-task
+        // path at sf0.1 while every rehearsal tier pins distributed —
+        // re-measure q137's 1× base under the same pin (the q138
+        // precedent) so its exponent compares one algorithm. Runs
+        // BEFORE q138's pinned walk so the distributed rebuild lands
+        // on q137's base and the walk base rides its cache, exactly
+        // the tier-stage order.
+        System.setProperty("graft.sa.path", "distributed")
+        val q137Pinned: Option[(Double, Long)] =
+          if (remaining < MinForkSecs + FinalMargin + 90) {
+            pinnedSkipped += "q137_suffix_array"; None
+          } else pinnedRuns("q137_suffix_array", noBc = false, maxRuns = 1)
         val q138Pinned: Option[(Double, Long)] =
           if (remaining < MinForkSecs + FinalMargin + 60) {
             pinnedSkipped += "q138_longest_dup_substring"; None
@@ -485,12 +497,16 @@ object Bench {
             }.toMap
         System.clearProperty("graft.lcp.path")
         System.clearProperty("graft.shards.maxConcurrent")
+        System.clearProperty("graft.sa.path")
         // 1× bases for the child: headline min-of-3 secs + min bytes;
         // q138 overridden by the lcp-path pin, NoBroadcastBase queries
         // by the no-broadcast pin. A query whose pinned base failed or
         // was budget-skipped gets -1/-1 — the child maps that to
         // gate_not_evaluated rather than a silent cross-plan exponent.
         val baseLines = results.map {
+          case ("q137_suffix_array", _, _) =>
+            val (s, b) = q137Pinned.getOrElse((-1.0, -1L))
+            s"q137_suffix_array\t$s\t$b"
           case ("q138_longest_dup_substring", _, _) =>
             val (s, b) = q138Pinned.getOrElse((-1.0, -1L))
             s"q138_longest_dup_substring\t$s\t$b"
@@ -594,6 +610,7 @@ object Bench {
         System.err.println(s"[bench] scale rehearsal failed: ${e.getMessage}")
         System.clearProperty("graft.lcp.path")
         System.clearProperty("graft.shards.maxConcurrent")
+        System.clearProperty("graft.sa.path")
         ("null", "null", "null", "[]")
       }
     }

@@ -648,6 +648,11 @@ object ScaleRehearsal {
     // like the NoBroadcastBase split: the 1× base for THIS exponent is
     // re-measured under the same pin by Bench.
     System.setProperty("graft.shards.maxConcurrent", "1")
+    // the SA build's adaptive dispatch picks the single-task path below
+    // ~64 M chars (sf0.1 and the 10× tier) and distributed doubling
+    // above (100×): pin distributed at every tier — same reason as the
+    // lcp pin; Bench re-measures q137's 1× base under the same pin.
+    System.setProperty("graft.sa.path", "distributed")
 
     def runOne(name: String, dir: String): Boolean = runPinned(spark, name, dir)
     /** (secs, shuffleWriteBytes, shuffleReadBytes, inputScanBytes);
@@ -1427,8 +1432,9 @@ object ScaleRehearsalSaD2 {
     spark.sparkContext.setLogLevel("WARN")
     val shuffle = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(shuffle)
-    // same like-for-like pin as every rehearsal tier (and the 1× base)
+    // same like-for-like pins as every rehearsal tier (and the 1× base)
     System.setProperty("graft.lcp.path", "hash")
+    System.setProperty("graft.sa.path", "distributed")
     val out = new java.io.PrintWriter(
       new java.io.FileWriter(outTsv, /* append = */ true))
     def emit(line: String): Unit = { out.println(line); out.flush() }

@@ -177,41 +177,234 @@ object SuffixArray {
   /** Build the suffix array: (doc_id, p, sa_rank) with 1-based total
     * suffix order; positions are 1-based (SQL substring convention).
     *
-    * Runs with AQE DISABLED (saved/restored — the same contract as the
-    * LCP hash walk, see [[adjacentLcp]]): every doubling round joins
-    * the corpus-sized checkpointed rank table `t` on its own (gid)
-    * hash layout, and under AQE the checkpoint's LogicalRDD reports
-    * UnknownPartitioning, so each round re-exchanged the FULL rank
-    * table twice (rank lookup + rank update) for a round whose own
-    * data needs are active-set-sized. With AQE off the layout
-    * survives and only the shrinking active side moves (measured at
-    * sf0.1: q137 shuffle write 271.7 → 115.3 MB, and the sharded
-    * kernel's q174 — 4 of these builds — 321.1 → 216.6 MB; the
-    * removed volume grows with corpus × rounds at 100 TB). Same
-    * single-query-at-a-time session contract as the walk.
+    * ADAPTIVE DISPATCH (the same driver/distributed split this repo
+    * uses for connected components, the LCP walk, and BPE): a corpus
+    * whose chars fit [[localMaxChars]] builds in ONE Spark task with
+    * in-memory prefix doubling over primitive arrays
+    * ([[buildBySingleTask]]) — this is literally the published shape
+    * of exact-substring dedup at scale (Lee et al. 2022 run the
+    * suffix-array pass per shard on a single large-memory machine;
+    * [[shardedDedupCut]] sizes shards against exactly such a budget),
+    * and at bench scale it removes the doubling rounds' ~6–8 driver
+    * jobs per round whose fixed cost dominates the wall. Larger
+    * corpora run the distributed doubling below, unchanged.
+    * `-Dgraft.sa.path=local|distributed` pins one path — the
+    * graft.lcp.path precedent: the scale rehearsal pins `distributed`
+    * at every tier (and Bench re-measures the pinned 1× base) so the
+    * published exponents compare one algorithm.
+    *
+    * The distributed path runs with AQE DISABLED (saved/restored — the
+    * same contract as the LCP hash walk, see [[adjacentLcp]]): every
+    * doubling round joins the corpus-sized checkpointed rank table `t`
+    * on its own (gid) hash layout, and under AQE the checkpoint's
+    * LogicalRDD reports UnknownPartitioning, so each round
+    * re-exchanged the FULL rank table twice (rank lookup + rank
+    * update) for a round whose own data needs are active-set-sized.
+    * With AQE off the layout survives and only the shrinking active
+    * side moves (measured at sf0.1: q137 shuffle write
+    * 271.7 → 115.3 MB, and the sharded kernel's q174 — 4 of these
+    * builds — 321.1 → 216.6 MB; the removed volume grows with
+    * corpus × rounds at 100 TB). Same single-query-at-a-time session
+    * contract as the walk.
     */
   def build(docs: DataFrame, docIdCol: String = "doc_id",
             textCol: String = "text", numPartitions: Int = 32,
             startKeyChars: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try buildNoAqe(docs, docIdCol, textCol, numPartitions, startKeyChars)
-    finally prevAqe match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    val statsRow = docs
+      .agg(max(length(col(textCol))), sum(length(col(textCol)))).head
+    val maxLen = if (statsRow.isNullAt(0)) 0 else statsRow.getInt(0)
+    val sumLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val boundary = localMaxChars
+    val useLocal = System.getProperty("graft.sa.path", "auto") match {
+      case "local"       => true
+      case "distributed" => false
+      case _             => sumLen <= boundary
+    }
+    // the decision is logged either way (adjacentLcp's rule): every
+    // artifact records which algorithm actually ran
+    System.err.println(s"[suffixarray] build: corpus=${sumLen} chars " +
+      s"boundary=$boundary path=" +
+      (if (useLocal) "single-task" else "distributed-doubling"))
+    if (useLocal) buildBySingleTask(docs, docIdCol, textCol, numPartitions)
+    else {
+      val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try buildNoAqe(docs, docIdCol, textCol, numPartitions, startKeyChars,
+        maxLen, sumLen)
+      finally prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+  }
+
+  /** Char budget of the single-task build path: working set is
+    * ~26 B/char of primitive arrays (key + sorted-key long, rank int,
+    * docOf/posOf ints) + the ~2 B/char doc strings, so the default
+    * derives from the JVM heap (maxMemory/256 chars ≈ heap/9 working
+    * set) capped at 64 M chars — a shard autoShards sized against a
+    * multi-GB machine budget stays on the distributed path, and so do
+    * the rehearsal's 100× tiers even unpinned.
+    * `-Dgraft.sa.localMaxChars` overrides.
+    */
+  def localMaxChars: Long = {
+    val p = java.lang.Long.getLong("graft.sa.localMaxChars", -1L)
+    if (p > 0L) p
+    else math.min(64L << 20,
+      math.max(1L << 20, Runtime.getRuntime.maxMemory() / 256))
+  }
+
+  /** Single-task in-memory build: the corpus (sorted by doc id — the
+    * enumeration order IS the (doc_id, p) tie-break) flows into one
+    * task that runs classic prefix doubling over primitive long/int
+    * arrays — sort distinct (rank, rank-at-p+k) pairs, binary-search
+    * each position's pair back to its dense rank, double k — exactly
+    * the order the distributed rounds compute (SuffixArraySpec pins
+    * local ≡ distributed ≡ brute on duplicated/tied/empty corpora).
+    * The start key packs 7 chars into one long (8-bit lanes of c+1,
+    * 0-padded past doc end, so pack order is string order and shorter
+    * suffixes sort first) when the corpus is 8-bit-clean, skipping
+    * ~3 rounds; rare wider-char corpora fall back to k0 = 1. The
+    * result is checkpointed once (consumers probe it repeatedly;
+    * callers own the release — buildCached re-checkpoints and frees
+    * it, shardedDedupCut's batch release covers the per-shard case)
+    * and repartitioned so downstream stages keep their parallelism.
+    */
+  private[operators] def buildBySingleTask(docs: DataFrame, docIdCol: String,
+                                           textCol: String,
+                                           numPartitions: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs
+      .filter(length(col(textCol)) >= 1) // empty docs contribute no suffix
+      .select(col(docIdCol).cast("long"), col(textCol))
+      .coalesce(1)
+      .rdd
+      .mapPartitions(localSaRows)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(docIdCol, LongType)
+      .add("p", org.apache.spark.sql.types.IntegerType)
+      .add("sa_rank", LongType)
+    spark.createDataFrame(rdd, schema)
+      .repartition(numPartitions, col(docIdCol), col("p"))
+      .localCheckpoint()
+  }
+
+  /** The in-task kernel behind [[buildBySingleTask]] (rows are
+    * (doc_id long, text string), one partition = the whole corpus).
+    */
+  private def localSaRows(it: Iterator[Row]): Iterator[Row] = {
+    val sorted = it.map(r => (r.getLong(0), r.getString(1))).toArray
+      .sortBy(_._1)
+    val nDocs = sorted.length
+    var total = 0L
+    var d = 0
+    while (d < nDocs) { total += sorted(d)._2.length; d += 1 }
+    require(total < Int.MaxValue - 8,
+      s"single-task SA build got $total chars - dispatch bug (localMaxChars)")
+    val n = total.toInt
+    if (n == 0) return Iterator.empty
+    val lens = new Array[Int](nDocs)
+    val docOf = new Array[Int](n)
+    val posOf = new Array[Int](n) // 1-based (SQL substring convention)
+    var maxLen = 0
+    var maxC = 0
+    var off = 0
+    d = 0
+    while (d < nDocs) {
+      val t = sorted(d)._2
+      val len = t.length
+      lens(d) = len
+      if (len > maxLen) maxLen = len
+      var p = 0
+      while (p < len) {
+        val c = t.charAt(p)
+        if (c > maxC) maxC = c
+        docOf(off) = d; posOf(off) = p + 1
+        off += 1; p += 1
+      }
+      d += 1
+    }
+    // dense order-embedding ranks (0-based) from one sort of the keys +
+    // in-place dedup + per-position binary search back; returns the
+    // distinct-key count (== n means fully resolved)
+    val keys = new Array[Long](n)
+    val rank = new Array[Int](n)
+    def assignRanks(): Int = {
+      val s = keys.clone()
+      java.util.Arrays.sort(s)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (m == 0 || s(i) != s(m - 1)) { s(m) = s(i); m += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        rank(i) = java.util.Arrays.binarySearch(s, 0, m, keys(i))
+        i += 1
+      }
+      m
+    }
+    var g = 0
+    val k0 = if (maxC <= 254) 7 else 1
+    if (k0 == 7) {
+      while (g < n) {
+        val t = sorted(docOf(g))._2
+        val p0 = posOf(g) - 1
+        val len = t.length
+        var v = 0L
+        var i = 0
+        while (i < 7) {
+          v = (v << 8) | (if (p0 + i < len) t.charAt(p0 + i).toInt + 1 else 0)
+          i += 1
+        }
+        keys(g) = v
+        g += 1
+      }
+    } else {
+      while (g < n) {
+        keys(g) = sorted(docOf(g))._2.charAt(posOf(g) - 1).toLong + 1L
+        g += 1
+      }
+    }
+    var nDistinct = assignRanks()
+    var k = k0
+    while (nDistinct < n && k < maxLen) {
+      g = 0
+      while (g < n) {
+        // position p+k of the same doc sits at global index g+k when it
+        // exists; a suffix shorter than k is fully resolved and its
+        // missing rank (0) sorts before every real rank+1
+        val r2 =
+          if (posOf(g) - 1 + k < lens(docOf(g))) rank(g + k) + 1 else 0
+        keys(g) = (rank(g).toLong << 32) | r2.toLong
+        g += 1
+      }
+      nDistinct = assignRanks()
+      k <<= 1
+    }
+    // residual shared ranks are byte-equal whole suffixes; g ascending
+    // IS (doc_id, p) ascending — the tie-break falls out of the sort
+    g = 0
+    while (g < n) { keys(g) = (rank(g).toLong << 32) | g.toLong; g += 1 }
+    java.util.Arrays.sort(keys)
+    new Iterator[Row] {
+      private var i = 0
+      override def hasNext: Boolean = i < n
+      override def next(): Row = {
+        val gg = (keys(i) & 0xFFFFFFFFL).toInt
+        i += 1
+        Row(sorted(docOf(gg))._1, posOf(gg), i.toLong)
+      }
     }
   }
 
   private def buildNoAqe(docs: DataFrame, docIdCol: String,
                          textCol: String, numPartitions: Int,
-                         startKeyChars: Int): DataFrame = {
+                         startKeyChars: Int, maxLen: Int,
+                         sumLen: Long): DataFrame = {
     val spark = docs.sparkSession
-    val statsRow = docs
-      .agg(max(length(col(textCol))), sum(length(col(textCol)))).head
-    val maxRow = statsRow
-    val maxLen = if (maxRow.isNullAt(0)) 0 else maxRow.getInt(0)
-    val sumLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     // rank lookups probe gid + k with p ≤ maxLen and k < maxLen, so the
     // per-doc id range must absorb offsets up to 2·maxLen or a probe
     // past one doc's end would alias into the NEXT doc's positions
@@ -544,16 +737,124 @@ object SuffixArray {
     // exponent, `-Dgraft.lcp.path=broadcast|hash` pins one path at
     // both tiers; the decision is logged either way so every artifact
     // records which algorithm actually ran.
+    // 0 = single-task Kasai (r18 — the walk-side twin of the build's
+    // single-task dispatch: below the same [[localMaxChars]] budget the
+    // whole LCP array is one O(n) in-memory pass over broadcast texts,
+    // replacing the descent's per-pair substring chains and their jobs),
+    // 1 = broadcast-text descent, 2 = hash walk.
     val chosen = System.getProperty("graft.lcp.path", "auto") match {
-      case "broadcast" => true
-      case "hash"      => false
-      case _           => total <= maxBroadcastTextBytes
+      case "local"     => 0
+      case "broadcast" => 1
+      case "hash"      => 2
+      case _ =>
+        if (total <= localMaxChars) 0
+        else if (total <= maxBroadcastTextBytes) 1
+        else 2
     }
     System.err.println(
       s"[suffixarray] adjacentLcp: corpus=${total}B boundary=${maxBroadcastTextBytes}B " +
-        s"path=${if (chosen) "broadcast-text" else "hash-walk"}")
-    if (chosen) lcpByBroadcastText(sa, docs, docIdCol, textCol)
-    else lcpByHashWalk(sa, docs, docIdCol, textCol, numPartitions)
+        s"path=${Seq("single-task", "broadcast-text", "hash-walk")(chosen)}")
+    chosen match {
+      case 0 => lcpBySingleTask(sa, docs, docIdCol, textCol, numPartitions)
+      case 1 => lcpByBroadcastText(sa, docs, docIdCol, textCol)
+      case _ => lcpByHashWalk(sa, docs, docIdCol, textCol, numPartitions)
+    }
+  }
+
+  /** Single-task exact LCP array by multi-string Kasai (Kasai et al.
+    * 2001): texts broadcast, SA rows funneled into one task indexed by
+    * rank, and each document's positions walked in order carrying the
+    * h ≥ h_prev − 1 bound — O(n) total char comparisons, no per-pair
+    * descent, no round jobs. Comparisons stop at either doc's end
+    * (conceptually each doc ends in a distinct sentinel ordered by doc
+    * id — the same order the SA's (doc_id, p) tie-break already
+    * imposes — so the classic amortization argument carries: a
+    * predecessor sharing h ≥ 2 chars has a successor suffix in the
+    * array, and the h ≤ 1 cases are trivially bounded). Output and
+    * schema identical to [[lcpByBroadcastText]]; SuffixArraySpec pins
+    * all three paths bit-equal.
+    */
+  private[operators] def lcpBySingleTask(sa: DataFrame, docs: DataFrame,
+                                         docIdCol: String, textCol: String,
+                                         numPartitions: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val txts = docs
+      .filter(length(col(textCol)) >= 1)
+      .select(col(docIdCol).cast("long"), col(textCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val txtB = spark.sparkContext.broadcast(txts.toMap)
+    val rdd = sa
+      .select(col(docIdCol).cast("long"), col("p").cast("int"),
+        col("sa_rank").cast("long"))
+      .coalesce(1)
+      .rdd
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val n = rows.length
+        if (n < 2) Iterator.empty
+        else {
+          val texts = txtB.value
+          // rank-indexed suffix table (ranks are dense 1..n)
+          val docAt = new Array[Long](n)
+          val posAt = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val r = rows(i)
+            val idx = r.getLong(2).toInt - 1
+            docAt(idx) = r.getLong(0)
+            posAt(idx) = r.getInt(1)
+            i += 1
+          }
+          // per-doc position → rank index
+          val rankOf = new java.util.HashMap[Long, Array[Int]]()
+          i = 0
+          while (i < n) {
+            val d = docAt(i)
+            var arr = rankOf.get(d)
+            if (arr == null) {
+              arr = new Array[Int](texts(d).length)
+              rankOf.put(d, arr)
+            }
+            arr(posAt(i) - 1) = i
+            i += 1
+          }
+          val lcpAt = new Array[Int](n) // lcpAt(i) = lcp(sa[i-1], sa[i])
+          val docIt = rankOf.entrySet().iterator()
+          while (docIt.hasNext) {
+            val e = docIt.next()
+            val t = texts(e.getKey)
+            val ranks = e.getValue
+            val len = t.length
+            var h = 0
+            var p = 0 // 0-based position in this doc
+            while (p < len) {
+              val idx = ranks(p)
+              if (idx > 0) {
+                val d2 = docAt(idx - 1)
+                val t2 = texts(d2)
+                val p2 = posAt(idx - 1) - 1
+                val len2 = t2.length
+                while (p + h < len && p2 + h < len2 &&
+                  t.charAt(p + h) == t2.charAt(p2 + h)) h += 1
+                lcpAt(idx) = h
+                if (h > 0) h -= 1
+              } else h = 0
+              p += 1
+            }
+          }
+          Iterator.range(1, n).map { r =>
+            Row(lcpAt(r).toLong, docAt(r - 1), posAt(r - 1).toLong,
+              docAt(r), posAt(r).toLong)
+          }
+        }
+      }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("lcp", LongType).add("doc_a", LongType).add("p_a", LongType)
+      .add("doc_b", LongType).add("p_b", LongType)
+    spark.createDataFrame(rdd, schema)
+      .repartition(numPartitions, col("doc_a"), col("p_a"))
+      .localCheckpoint()
   }
 
   /** Exact substring dedup-cut (Lee et al. 2022's action): per-doc
@@ -804,11 +1105,25 @@ object SuffixArray {
         val budget = java.lang.Long.getLong(
           "graft.shards.concurrencyBudgetBytes",
           Runtime.getRuntime.maxMemory() / 4)
-        val k = autoConcurrency(sumLen, docMax, nShards, budget)
+        // Overlap exists to back-fill cores the DISTRIBUTED kernel's
+        // many short stages leave idle (guide §2.6). A shard small
+        // enough for the single-task build ([[build]]'s dispatch) runs
+        // a kernel whose walk/cut stages already use the whole
+        // machine, and overlapping those was measured 14× slower PER
+        // SHARD at sf0.1 (4 concurrent walks: 57 s each vs 4 s
+        // sequential; q174 68 vs 26 s wall) — pure contention, no idle
+        // capacity to fill. Sequential is also exactly the 100 TB
+        // shape: autoShards sizes shards against this same budget, so
+        // one shard fills it and autoConcurrency yields 1 there too.
+        val k =
+          if (sumLen / math.max(1, nShards) <= localMaxChars) 1
+          else autoConcurrency(sumLen, docMax, nShards, budget)
         System.err.println(s"[suffixarray] shardedDedupCut auto concurrency: " +
           s"perShardWorkingSet=${walkWorkingSetBytes(
             sumLen / nShards, docMax)}B budget=${budget}B -> k=$k " +
-          s"(nShards=$nShards)")
+          s"(nShards=$nShards" +
+          (if (k == 1) ", single-task-build shards run sequentially" else "") +
+          ")")
         k
       }
     import scala.jdk.CollectionConverters._
@@ -838,7 +1153,13 @@ object SuffixArray {
         else { deleteRecursively(d); None } // empty corpus: no partitions
       }
     try {
+      val shardDbg = sys.env.contains("GRAFT_SHARD_DEBUG")
+      val tKernel0 = System.nanoTime()
+      def dbgLog(msg: String): Unit = if (shardDbg)
+        System.err.println(
+          f"[sharddbg] ${(System.nanoTime() - tKernel0) / 1e9}%6.1f s $msg")
       def runShard(s: Int, sess: SparkSession): Unit = {
+        val t0 = System.nanoTime()
         val dshard = shardInputDir match {
           case Some(d) => sess.read.parquet(d.getAbsolutePath)
             .filter(col("__shard") === s).drop("__shard")
@@ -848,11 +1169,15 @@ object SuffixArray {
             docs.filter(lit(false))
         }
         val sa = build(dshard, docIdCol, textCol, numPartitions)
+        val t1 = System.nanoTime()
         val cut = dedupCut(sa, dshard, minLen, docIdCol, textCol)
         outSchema = cut.schema
         cut.write.mode("overwrite").parquet(
           new java.io.File(outDir, s"__cutshard=$s").getAbsolutePath)
+        dbgLog(f"shard $s done: build ${(t1 - t0) / 1e9}%.1f s, " +
+          f"walk+cut+write ${(System.nanoTime() - t1) / 1e9}%.1f s")
       }
+      dbgLog("shard input materialized")
       (0 until nShards).grouped(concurrency).foreach { batch =>
         val beforeIds = sc.getPersistentRDDs.keySet.toSet
         val beforeDirs = doneSidecars.asScala.toSet
@@ -901,7 +1226,10 @@ object SuffixArray {
           // exactly the one-shard-at-a-time envelope this loop exists
           // to keep. A per-batch GC makes the cleanup deterministic;
           // its pause is noise next to a shard's kernel cost.
+          val tGc = System.nanoTime()
           System.gc()
+          dbgLog(f"batch ${batch.mkString("+")} released " +
+            f"(System.gc ${(System.nanoTime() - tGc) / 1e9}%.1f s)")
         }
       }
     } finally shardInputDir.foreach(deleteRecursively)

@@ -57,6 +57,9 @@ object ConcurrentShardsProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     System.setProperty("graft.lcp.path", "hash")
+    // the probe's k·shard envelope claim is about the distributed
+    // kernel — pin the SA build path like every rehearsal tier
+    System.setProperty("graft.sa.path", "distributed")
     try {
       ScaleData.ensure(spark, "/root/testdata/sf0.1",
         ScaleRehearsal.ScaledDir10, 10)

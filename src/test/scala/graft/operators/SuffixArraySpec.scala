@@ -26,9 +26,28 @@ class SuffixArraySpec extends AnyFunSuite {
     i.toLong
   }
 
-  private def buildSa(docs: Seq[(Long, String)], parts: Int) = {
+  private def withSaPath[A](path: String)(body: => A): A = {
+    val prev = System.getProperty("graft.sa.path")
+    System.setProperty("graft.sa.path", path)
+    try body
+    finally {
+      if (prev == null) System.clearProperty("graft.sa.path")
+      else System.setProperty("graft.sa.path", prev)
+    }
+  }
+
+  /** Defaults to the DISTRIBUTED doubling path: the adaptive dispatch
+    * (r18) sends every spec-sized corpus to the single-task path, which
+    * would silently drop the distributed rounds from spec coverage; the
+    * cross-path parity test below covers the single-task form against
+    * the same brute reference.
+    */
+  private def buildSa(docs: Seq[(Long, String)], parts: Int,
+                      path: String = "distributed") = {
     import spark.implicits._
-    SuffixArray.build(docs.toDF("doc_id", "text"), numPartitions = parts)
+    withSaPath(path) {
+      SuffixArray.build(docs.toDF("doc_id", "text"), numPartitions = parts)
+    }
   }
 
   test("matches the brute suffix order on a duplicated-passage corpus") {
@@ -40,6 +59,29 @@ class SuffixArraySpec extends AnyFunSuite {
     val got = buildSa(docs, 3).collect()
       .map(r => (r.getLong(2), r.getLong(0), r.getInt(1).toLong)).sorted
     assert(got.toSeq == bruteSa(docs))
+  }
+
+  test("single-task and distributed builds agree with brute across corpora") {
+    // duplicated passages, byte-equal whole-suffix ties, empty docs,
+    // 8-bit-clean accents (packed 7-char start key), and BMP CJK (the
+    // k0 = 1 wide-char fallback) — every dispatch regime of the local
+    // kernel against the same brute reference the distributed path pins
+    val corpora = Seq(
+      Seq(0L -> "the quick brown fox jumps over the lazy dog",
+        1L -> "pack my box with the quick brown fox inside",
+        2L -> "banana bandana banana", 3L -> "aaaaaaaa", 4L -> ""),
+      Seq(0L -> "xyz end", 1L -> "abc end", 2L -> "end", 3L -> "end"),
+      Seq(5L -> "héllo wörld shared tail", 6L -> "shared tail",
+        7L -> "ascii only text"),
+      Seq(8L -> "世界 abc 世界", 9L -> "abc 世"))
+    corpora.foreach { docs =>
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(2), r.getLong(0), r.getInt(1).toLong)).sorted.toSeq
+      val loc = canon(buildSa(docs, 3, path = "local"))
+      val dist = canon(buildSa(docs, 2, path = "distributed"))
+      assert(loc == dist, s"path divergence on $docs")
+      assert(loc == bruteSa(docs), s"brute divergence on $docs")
+    }
   }
 
   test("byte-equal suffixes across docs tie-break by (doc_id, p)") {
@@ -98,7 +140,7 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("broadcast-text and hash-walk LCP paths agree exactly") {
+  test("single-task, broadcast-text and hash-walk LCP paths agree exactly") {
     val docs = Seq(
       0L -> "shared shared shared prefix tail one",
       1L -> "shared shared shared prefix tail two",
@@ -112,8 +154,41 @@ class SuffixArraySpec extends AnyFunSuite {
       .sorted.toSeq
     val viaText = canon(SuffixArray.lcpByBroadcastText(sa, ddf, "doc_id", "text"))
     val viaHash = canon(SuffixArray.lcpByHashWalk(sa, ddf, "doc_id", "text", 3))
+    val viaLocal = canon(SuffixArray.lcpBySingleTask(sa, ddf, "doc_id", "text", 3))
     assert(viaText == viaHash)
+    assert(viaLocal == viaText)
     assert(viaText.nonEmpty)
+    // brute cross-check: every adjacent pair's LCP from direct compare
+    val text = docs.toMap
+    val saSeq = bruteSa(docs)
+    val expected = saSeq.zip(saSeq.tail).map { case ((_, da, pa), (_, db, pb)) =>
+      (bruteLcp(text(da).substring(pa.toInt - 1), text(db).substring(pb.toInt - 1)),
+        da, pa, db, pb)
+    }.sorted.toSeq
+    assert(viaLocal == expected)
+  }
+
+  test("single-task LCP matches brute on a dup-degenerate corpus (Kasai bound)") {
+    // whole-document duplicates + overlapping self-repeats + full-prefix
+    // suffixes: the cases where the carried h bound must stay exact
+    val docs = Seq(
+      0L -> "abababababababab",
+      1L -> "abababababababab",
+      2L -> "ab", 3L -> "abab", 4L -> "ba", 5L -> "x")
+    import spark.implicits._
+    val ddf = docs.toDF("doc_id", "text")
+    val sa = SuffixArray.build(ddf, numPartitions = 2).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    val text = docs.toMap
+    val saSeq = bruteSa(docs)
+    val expected = saSeq.zip(saSeq.tail).map { case ((_, da, pa), (_, db, pb)) =>
+      (bruteLcp(text(da).substring(pa.toInt - 1), text(db).substring(pb.toInt - 1)),
+        da, pa, db, pb)
+    }.sorted.toSeq
+    assert(canon(SuffixArray.lcpBySingleTask(sa, ddf, "doc_id", "text", 2))
+      == expected)
   }
 
   test("empty-text docs contribute no suffix (build and both LCP paths)") {
