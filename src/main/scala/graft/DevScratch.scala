@@ -133,10 +133,39 @@ object DevScratch {
       }),
     )
 
+    val docsT = () => Tables.documents(spark, sfDir)
+    def posTable() = {
+      val L = 40
+      docsT().filter(length(col("text")) >= L)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - L + 1)).as("p"))
+        .select(col("doc_id"), col("p"),
+          coalesce(unhex(md5(expr(s"substring(text, p, $L)"))),
+            lit(Array.emptyByteArray)).as("g"))
+    }
+    val arms2: Seq[(String, () => Unit)] = Seq(
+      "q127-canon-struct" -> (() =>
+        noop(posTable().groupBy("g")
+          .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+            count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("g"), col("first.doc_id").as("f_doc"),
+            col("first.p").as("f_p")))),
+      "q127-canon-packed" -> (() =>
+        noop(posTable().groupBy("g")
+          .agg(min(col("doc_id") * 4096L + col("p")).as("first"),
+            count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("g"), expr("first div 4096").as("f_doc"),
+            (col("first") % 4096L).as("f_p")))),
+      "q127-full" -> (() =>
+        noop(graft.queries.CorpusQueries.q127(spark, sfDir))),
+    )
+
     val rounds = 3
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
-    for (r <- 1 to rounds; (name, fn) <- arms) {
+    for (r <- 1 to rounds; (name, fn) <- arms2) {
       val t0 = System.nanoTime()
       fn()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -144,10 +173,11 @@ object DevScratch {
       println(f"[scratch] round=$r $name%-18s $dt%6.2f s")
     }
     println("[scratch] --- min / med ---")
-    arms.foreach { case (name, _) =>
+    arms2.foreach { case (name, _) =>
       val s = samples(name).sorted
       println(f"[scratch] $name%-18s min=${s.head}%6.2f med=${s(s.size / 2)}%6.2f")
     }
+    val _ = arms
     spark.stop()
   }
 }
